@@ -1,0 +1,100 @@
+"""CSR format — host conversion + device-resident arrays.
+
+TPU-first re-design of the reference CSR converter
+(reference src/csr_matrix.c:63-126: count -> prefix-sum -> scatter -> per-row
+quicksort by column). Here the whole conversion is one vectorized
+``np.lexsort`` over (row, col), which both builds CSR order and sorts each
+row's columns in a single O(nnz log nnz) pass — no per-row Python loops, so
+100M-nnz matrices convert in seconds (SURVEY §7 hard part 4).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .coo import COOMatrix
+
+__all__ = ["CSRMatrix"]
+
+
+@dataclass(frozen=True)
+class CSRMatrix:
+    """≙ reference ``CSRMatrix{M,N,nz,row_ptr,col_idx,values}`` (libs/csr_matrix.h:8-16)."""
+
+    nrows: int
+    ncols: int
+    row_ptr: np.ndarray  # (nrows+1,) int64
+    col_idx: np.ndarray  # (nnz,) int32
+    values: np.ndarray   # (nnz,) float
+
+    @property
+    def nnz(self) -> int:
+        return int(self.col_idx.size)
+
+    @property
+    def shape(self) -> tuple:
+        return (self.nrows, self.ncols)
+
+    @classmethod
+    def from_coo(cls, coo: COOMatrix, *, sort_columns: bool = True) -> "CSRMatrix":
+        """Build CSR (vectorized; ≙ reference convert_in_csr, csr_matrix.c:63)."""
+        if sort_columns:
+            order = np.lexsort((coo.col, coo.row))
+        else:
+            order = np.argsort(coo.row, kind="stable")
+        col_idx = np.ascontiguousarray(coo.col[order], dtype=np.int32)
+        values = np.ascontiguousarray(coo.val[order])
+        counts = np.bincount(coo.row, minlength=coo.nrows)
+        row_ptr = np.zeros(coo.nrows + 1, dtype=np.int64)
+        np.cumsum(counts, out=row_ptr[1:])
+        return cls(coo.nrows, coo.ncols, row_ptr, col_idx, values)
+
+    def row_nnz(self) -> np.ndarray:
+        return np.diff(self.row_ptr)
+
+    def row_ids(self) -> np.ndarray:
+        """Expanded per-entry row index (for segment-sum SpMV)."""
+        return np.repeat(
+            np.arange(self.nrows, dtype=np.int32), self.row_nnz().astype(np.int64)
+        )
+
+    def memory_stats(self) -> dict:
+        """CSR footprint report (≙ reference write_memory_stats_to_csv,
+        src/csr_matrix.c:28-61)."""
+        bytes_row_ptr = self.row_ptr.nbytes
+        bytes_col_idx = self.col_idx.nbytes
+        bytes_values = self.values.nbytes
+        return {
+            "rows": self.nrows,
+            "cols": self.ncols,
+            "nnz": self.nnz,
+            "bytes_row_ptr": bytes_row_ptr,
+            "bytes_col_idx": bytes_col_idx,
+            "bytes_values": bytes_values,
+            "bytes_total": bytes_row_ptr + bytes_col_idx + bytes_values,
+            "bytes_per_nnz": (bytes_row_ptr + bytes_col_idx + bytes_values)
+            / max(self.nnz, 1),
+        }
+
+    def to_coo(self) -> COOMatrix:
+        return COOMatrix(self.nrows, self.ncols, self.row_ids(), self.col_idx, self.values)
+
+    def to_dense(self) -> np.ndarray:
+        return self.to_coo().to_dense()
+
+    def spmv(self, x: np.ndarray) -> np.ndarray:
+        """Golden serial CSR SpMV in fp64 on host (the framework oracle).
+
+        ≙ reference csr_matrix_vector_mult (src/csr_matrix.c:130-139), but
+        vectorized: products then ``np.add.reduceat`` over row starts.
+        """
+        x = np.asarray(x)
+        prod = self.values.astype(np.float64) * x.astype(np.float64)[self.col_idx]
+        y = np.zeros(self.nrows, dtype=np.float64)
+        nz_rows = self.row_ptr[:-1] != self.row_ptr[1:]
+        if prod.size:
+            starts = self.row_ptr[:-1][nz_rows]
+            y[nz_rows] = np.add.reduceat(prod, starts)
+        return y

@@ -1,0 +1,405 @@
+"""MatrixMarket (.mtx) reader/writer — TPU-framework IO layer.
+
+Re-implements (TPU-first, numpy-vectorized) the capabilities of the reference's
+vendored NIST mmio (reference: libs/mmio.{h,c}) plus its COO "PreMatrix" parser
+(reference: src/matrix_parser.c):
+
+  - banner / typecode parsing with the full typecode query surface
+    (reference mmio.h:36-51 ``mm_is_*`` macros -> :class:`MMTypeCode` properties)
+  - coordinate (sparse) and array (dense) body parsing
+  - 1-based -> 0-based index conversion  (reference matrix_parser.c:100-101)
+  - symmetric expansion: off-diagonal entries mirrored
+    (reference matrix_parser.c:116-121); skew-symmetric mirrors with negation;
+    hermitian mirrors with conjugation
+  - pattern matrices: values forced to 1.0  (reference matrix_parser.c:70-83)
+  - bounds validation of every index      (reference matrix_parser.c:103-112)
+
+Unlike the reference (a scalar fscanf loop), parsing is numpy-vectorized so
+100M+ nnz matrices convert at memory speed; an optional C++ fast path lives in
+``native/`` (see :mod:`..native.build`).
+"""
+
+from __future__ import annotations
+
+import io as _io
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+__all__ = [
+    "MMTypeCode",
+    "MMIOError",
+    "read_matrix_market",
+    "read_banner",
+    "write_matrix_market",
+    "mm_typecode_to_str",
+]
+
+_BANNER = "%%MatrixMarket"
+
+_OBJECTS = ("matrix", "vector")
+_FORMATS = ("coordinate", "array")
+_FIELDS = ("real", "integer", "complex", "pattern")
+_SYMMETRIES = ("general", "symmetric", "skew-symmetric", "hermitian")
+
+
+class MMIOError(ValueError):
+    """Malformed MatrixMarket content (parity with mmio.c error returns)."""
+
+
+@dataclass(frozen=True)
+class MMTypeCode:
+    """MatrixMarket typecode.
+
+    Mirrors the reference's 4-char ``MM_typecode`` plus the ``mm_is_*`` query
+    macros (reference mmio.h:36-51) as properties.
+    """
+
+    object: str = "matrix"
+    format: str = "coordinate"
+    field: str = "real"
+    symmetry: str = "general"
+
+    def __post_init__(self):
+        if self.object not in _OBJECTS:
+            raise MMIOError(f"bad object: {self.object!r}")
+        if self.format not in _FORMATS:
+            raise MMIOError(f"bad format: {self.format!r}")
+        if self.field not in _FIELDS:
+            raise MMIOError(f"bad field: {self.field!r}")
+        if self.symmetry not in _SYMMETRIES:
+            raise MMIOError(f"bad symmetry: {self.symmetry!r}")
+
+    # --- mm_is_* query surface (reference mmio.h:36-51) ---
+    @property
+    def is_matrix(self) -> bool:
+        return self.object == "matrix"
+
+    @property
+    def is_sparse(self) -> bool:
+        return self.format == "coordinate"
+
+    @property
+    def is_coordinate(self) -> bool:
+        return self.format == "coordinate"
+
+    @property
+    def is_dense(self) -> bool:
+        return self.format == "array"
+
+    @property
+    def is_array(self) -> bool:
+        return self.format == "array"
+
+    @property
+    def is_real(self) -> bool:
+        return self.field == "real"
+
+    @property
+    def is_integer(self) -> bool:
+        return self.field == "integer"
+
+    @property
+    def is_complex(self) -> bool:
+        return self.field == "complex"
+
+    @property
+    def is_pattern(self) -> bool:
+        return self.field == "pattern"
+
+    @property
+    def is_general(self) -> bool:
+        return self.symmetry == "general"
+
+    @property
+    def is_symmetric(self) -> bool:
+        return self.symmetry == "symmetric"
+
+    @property
+    def is_skew(self) -> bool:
+        return self.symmetry == "skew-symmetric"
+
+    @property
+    def is_hermitian(self) -> bool:
+        return self.symmetry == "hermitian"
+
+    def to_banner(self) -> str:
+        return f"{_BANNER} {self.object} {self.format} {self.field} {self.symmetry}"
+
+
+def mm_typecode_to_str(tc: MMTypeCode) -> str:
+    """Human string for a typecode (≙ reference mm_typecode_to_str, mmio.c)."""
+    return f"{tc.object} {tc.format} {tc.field} {tc.symmetry}"
+
+
+@dataclass
+class _ParsedHeader:
+    typecode: MMTypeCode
+    comments: list = field(default_factory=list)
+
+
+def _parse_banner_line(line: str) -> MMTypeCode:
+    parts = line.strip().split()
+    if len(parts) != 5 or parts[0] != _BANNER:
+        raise MMIOError(f"not a MatrixMarket banner: {line.strip()!r}")
+    _, obj, fmt, fld, sym = (p.lower() for p in parts)
+    return MMTypeCode(object=obj, format=fmt, field=fld, symmetry=sym)
+
+
+def read_banner(path_or_file) -> MMTypeCode:
+    """Read only the banner (≙ reference mm_read_banner, mmio.c:96)."""
+    if hasattr(path_or_file, "readline"):
+        return _parse_banner_line(path_or_file.readline())
+    with open(path_or_file, "r") as f:
+        return _parse_banner_line(f.readline())
+
+
+def _strip_comments(lines_iter):
+    for line in lines_iter:
+        s = line.strip()
+        if not s or s.startswith("%"):
+            continue
+        yield s
+
+
+def read_matrix_market(
+    path,
+    *,
+    expand_symmetry: bool = True,
+    dtype=np.float64,
+    index_dtype=np.int32,
+):
+    """Parse a MatrixMarket file into COO triplets.
+
+    Returns ``(nrows, ncols, row, col, val, typecode)`` with 0-based int
+    indices and ``val`` of ``dtype`` (pattern fields become 1.0, reference
+    matrix_parser.c:70-83). With ``expand_symmetry`` (default, matching the
+    reference parser matrix_parser.c:116-121) symmetric/hermitian/skew
+    off-diagonal entries are mirrored, so downstream format converters see a
+    fully general matrix.
+
+    Raises :class:`MMIOError` on malformed content or out-of-range indices
+    (reference matrix_parser.c:103-112).
+    """
+    with open(path, "rb") as f:
+        data = f.read()
+    return _read_matrix_market_bytes(
+        data, expand_symmetry=expand_symmetry, dtype=dtype, index_dtype=index_dtype
+    )
+
+
+def _read_matrix_market_bytes(data: bytes, *, expand_symmetry, dtype, index_dtype):
+    # Split off header lines (banner + comments + size line) from the body.
+    text_head_end = 0
+    lines = []
+    pos = 0
+    # Read lines until we have banner + size line (skipping comments).
+    banner = None
+    size_line = None
+    while size_line is None:
+        nl = data.find(b"\n", pos)
+        if nl < 0:
+            raw, nl = data[pos:], len(data)
+        else:
+            raw = data[pos:nl]
+        line = raw.decode("latin-1").strip()
+        pos = nl + 1
+        if banner is None:
+            banner = _parse_banner_line(line)
+            continue
+        if not line or line.startswith("%"):
+            continue
+        size_line = line
+        text_head_end = pos
+        if pos > len(data):
+            break
+
+    tc = banner
+    if not (tc.is_matrix and (tc.is_sparse or tc.is_dense)):
+        raise MMIOError(f"unsupported object/format: {mm_typecode_to_str(tc)}")
+
+    if tc.is_sparse:
+        sizes = size_line.split()
+        if len(sizes) != 3:
+            raise MMIOError(f"bad coordinate size line: {size_line!r}")
+        nrows, ncols, nnz = (int(s) for s in sizes)
+        body = data[text_head_end:]
+        row, col, val = _parse_coordinate_body(body, nnz, tc, dtype, index_dtype)
+    else:
+        sizes = size_line.split()
+        if len(sizes) != 2:
+            raise MMIOError(f"bad array size line: {size_line!r}")
+        nrows, ncols = (int(s) for s in sizes)
+        body = data[text_head_end:]
+        row, col, val = _parse_array_body(body, nrows, ncols, tc, dtype, index_dtype)
+
+    # Bounds validation (reference matrix_parser.c:103-112).
+    if row.size:
+        if int(row.min()) < 0 or int(row.max()) >= nrows or int(col.min()) < 0 or int(col.max()) >= ncols:
+            bad = int(np.argmax((row < 0) | (row >= nrows) | (col < 0) | (col >= ncols)))
+            raise MMIOError(
+                f"index out of range ({int(row[bad]) + 1},{int(col[bad]) + 1}) "
+                f"for {nrows}x{ncols} matrix"
+            )
+
+    if expand_symmetry and not tc.is_general:
+        row, col, val = _expand_symmetry(row, col, val, tc)
+
+    return nrows, ncols, row, col, val, tc
+
+
+def _parse_coordinate_body(body: bytes, nnz: int, tc: MMTypeCode, dtype, index_dtype):
+    ncol_file = 2 if tc.is_pattern else (4 if tc.is_complex else 3)
+    # numpy-vectorized parse of the whitespace table; np.loadtxt fallback for
+    # ragged/odd bodies (robust but slower).
+    try:
+        table = _fast_parse_table(body, ncol_file, nnz)
+    except Exception:
+        table = np.loadtxt(_io.BytesIO(body), dtype=np.float64, ndmin=2)
+        if table.size == 0:
+            table = table.reshape(0, ncol_file)
+    if table.shape[0] < nnz:
+        raise MMIOError(f"expected {nnz} entries, found {table.shape[0]}")
+    table = table[:nnz]
+    if table.shape[1] < ncol_file:
+        raise MMIOError(
+            f"expected {ncol_file} columns per entry, found {table.shape[1]}"
+        )
+    row = table[:, 0].astype(index_dtype) - 1
+    col = table[:, 1].astype(index_dtype) - 1
+    if tc.is_pattern:
+        val = np.ones(nnz, dtype=dtype)  # reference matrix_parser.c:83
+    elif tc.is_complex:
+        if np.issubdtype(dtype, np.complexfloating):
+            val = (table[:, 2] + 1j * table[:, 3]).astype(dtype)
+        else:
+            # real framework default: keep the real part
+            val = table[:, 2].astype(dtype)
+    else:
+        val = table[:, 2].astype(dtype)
+    return row, col, val
+
+
+def _fast_parse_table(body: bytes, ncols: int, expected_rows: int) -> np.ndarray:
+    """Vectorized whitespace-table parse; raises on ragged/malformed input."""
+    cells = body.split()
+    n = len(cells)
+    if n % ncols != 0:
+        # maybe trailing garbage or comments within body -> fall back
+        raise MMIOError("ragged table")
+    vals = np.array(cells, dtype="S32").astype(np.float64)
+    return vals.reshape(-1, ncols)
+
+
+def _parse_array_body(body: bytes, nrows: int, ncols: int, tc: MMTypeCode, dtype, index_dtype):
+    """Dense 'array' format: column-major values; returns COO of nonzeros kept dense."""
+    per = 2 if tc.is_complex else 1
+    if tc.is_general:
+        nexp = nrows * ncols
+    else:
+        nexp = nrows * (nrows + 1) // 2 if not tc.is_skew else nrows * (nrows - 1) // 2
+    table = _fast_parse_table(body, per, nexp)
+    if table.shape[0] < nexp:
+        raise MMIOError(f"expected {nexp} array values, found {table.shape[0]}")
+    table = table[:nexp]
+    if tc.is_complex and np.issubdtype(dtype, np.complexfloating):
+        flatv = (table[:, 0] + 1j * table[:, 1]).astype(dtype)
+    else:
+        flatv = table[:, 0].astype(dtype)
+
+    if tc.is_general:
+        col, row = np.divmod(np.arange(nrows * ncols, dtype=np.int64), nrows)
+        val = flatv
+    else:
+        # lower-triangular column-major enumeration
+        r_idx, c_idx = [], []
+        for j in range(ncols):
+            r = np.arange(j + (1 if tc.is_skew else 0), nrows, dtype=np.int64)
+            r_idx.append(r)
+            c_idx.append(np.full(r.size, j, dtype=np.int64))
+        row = np.concatenate(r_idx) if r_idx else np.zeros(0, np.int64)
+        col = np.concatenate(c_idx) if c_idx else np.zeros(0, np.int64)
+        val = flatv
+    keep = val != 0
+    return row[keep].astype(index_dtype), col[keep].astype(index_dtype), val[keep]
+
+
+def _expand_symmetry(row, col, val, tc: MMTypeCode):
+    """Mirror off-diagonal entries (reference matrix_parser.c:116-121).
+
+    Order matches the reference: each mirrored entry immediately follows its
+    original, so converters see the same entry stream the C code produced.
+    """
+    off = row != col
+    if tc.is_skew:
+        mval = -val[off]
+    elif tc.is_hermitian and np.issubdtype(val.dtype, np.complexfloating):
+        mval = np.conj(val[off])
+    else:
+        mval = val[off]
+
+    n = val.size
+    n_off = int(np.count_nonzero(off))
+    out_n = n + n_off
+    # interleave originals with their mirrors, preserving reference order
+    dest = np.zeros(n, dtype=np.int64)
+    dest[1:] = np.cumsum(off.astype(np.int64))[:-1]
+    dest += np.arange(n, dtype=np.int64)  # position of each original entry
+    out_row = np.empty(out_n, dtype=row.dtype)
+    out_col = np.empty(out_n, dtype=col.dtype)
+    out_val = np.empty(out_n, dtype=val.dtype)
+    out_row[dest] = row
+    out_col[dest] = col
+    out_val[dest] = val
+    mpos = dest[off] + 1
+    out_row[mpos] = col[off]
+    out_col[mpos] = row[off]
+    out_val[mpos] = mval
+    return out_row, out_col, out_val
+
+
+def write_matrix_market(
+    path,
+    nrows: int,
+    ncols: int,
+    row: np.ndarray,
+    col: np.ndarray,
+    val: np.ndarray | None = None,
+    *,
+    field: str = "real",
+    symmetry: str = "general",
+    comment: str | None = None,
+    precision: int = 17,
+):
+    """Write a coordinate MatrixMarket file (1-based indices).
+
+    Port of the writer capability in the reference generator
+    (src/matrix_generator.py:23-39 header + body emission).
+    """
+    tc = MMTypeCode(field=field, symmetry=symmetry)
+    row = np.asarray(row)
+    col = np.asarray(col)
+    nnz = row.size
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "w") as f:
+        f.write(tc.to_banner() + "\n")
+        if comment:
+            for line in comment.splitlines():
+                f.write(f"%{line}\n")
+        f.write(f"{nrows} {ncols} {nnz}\n")
+        if field == "pattern":
+            np.savetxt(f, np.column_stack([row + 1, col + 1]), fmt="%d %d")
+        elif field == "integer":
+            np.savetxt(
+                f,
+                np.column_stack([row + 1, col + 1, np.asarray(val, np.int64)]),
+                fmt="%d %d %d",
+            )
+        else:
+            np.savetxt(
+                f,
+                np.column_stack([row + 1, col + 1, np.asarray(val, np.float64)]),
+                fmt=f"%d %d %.{precision}g",
+            )
+    return path

@@ -1,0 +1,207 @@
+"""Pallas SELL-C-128 SpMV — the TPU performance kernel.
+
+TPU-native redesign of the reference's CUDA warp-per-row kernels
+(cuda_src/csr_matrix_cuda.cu:151-196 warp CSR, cuda_src/hll_matrix.cu:379-426
+warp HLL, and the shared-memory x-caching variants :198-241/:428-479):
+
+  * warp-per-row lane striding        ->  lane-per-row SELL-C-128 layout
+  * __shfl_down_sync butterfly reduce ->  native sublane reduction
+  * shared-memory x cache             ->  whole x table resident in VMEM
+  * gather of x[col]                  ->  slab decomposition col = 128*q + m:
+        loop over the group's distinct slabs q (scalar-prefetched lists),
+        broadcast slab row, Mosaic lane-gather by m, masked accumulate
+  * cudaOccupancyMaxPotentialBlockSize -> K-binning of groups (one pallas_call
+        per rectangular bin; bin edges autotunable)
+
+Empirical design constraints (measured on TPU v5e via probes; see
+docs/DESIGN.md): XLA arbitrary gather ~0.1-1 G elem/s (unusable); Mosaic
+lane-gather (``take_along_axis`` axis=1) is the only vectorized gather; Pallas
+streaming tops at ~100 GB/s on this runtime; output blocks must be >= (8,128).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..formats.sell import GROUP_ROWS, LANES, SUBLANES, SellMatrix
+
+__all__ = ["DeviceSellBin", "DeviceSell", "device_put_sell", "sell_spmv_pallas"]
+
+_UNROLL_MAX = 64  # unroll the K-reduction up to this many slices
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class DeviceSellBin:
+    k: int
+    n_groups: int
+    group_ids: jax.Array   # (ng,) int32
+    ja: jax.Array          # (ng*k*8, 128) int32
+    as_: jax.Array         # (ng*k*8, 128) float
+    slab_list: jax.Array   # (ng, s_max) int32
+    slab_count: jax.Array  # (ng,) int32
+
+    def tree_flatten(self):
+        return (
+            (self.group_ids, self.ja, self.as_, self.slab_list, self.slab_count),
+            (self.k, self.n_groups),
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        k, ng = aux
+        return cls(k, ng, *children)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class DeviceSell:
+    nrows: int
+    ncols: int
+    nnz: int
+    num_groups: int
+    bins: list
+
+    def tree_flatten(self):
+        return (tuple(self.bins),), (self.nrows, self.ncols, self.nnz, self.num_groups)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*aux, list(children[0]))
+
+    def spmv(self, x):
+        return sell_spmv_pallas(self, x)
+
+
+def device_put_sell(sell: SellMatrix, dtype=jnp.float32, device=None) -> DeviceSell:
+    """Upload a host SellMatrix (≙ the HLL per-block device upload of
+    main_cuda.cu:376-402, flattened into rectangular bins)."""
+    bins = []
+    for b in sell.bins:
+        bins.append(
+            DeviceSellBin(
+                k=int(b.k),
+                n_groups=int(b.n_groups),
+                group_ids=jax.device_put(jnp.asarray(b.group_ids, jnp.int32), device),
+                ja=jax.device_put(jnp.asarray(b.ja, jnp.int32), device),
+                as_=jax.device_put(jnp.asarray(b.as_, dtype), device),
+                slab_list=jax.device_put(jnp.asarray(b.slab_list, jnp.int32), device),
+                slab_count=jax.device_put(jnp.asarray(b.slab_count, jnp.int32), device),
+            )
+        )
+    return DeviceSell(sell.nrows, sell.ncols, sell.nnz, sell.num_groups, bins)
+
+
+def pack_x_table(x, ncols: int):
+    """Pad x to the (R, 128) slab table consumed by the kernel."""
+    R = -(-ncols // LANES)
+    Rp = -(-R // SUBLANES) * SUBLANES  # sublane-aligned table
+    pad = Rp * LANES - x.shape[0]
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad,), x.dtype)])
+    return x.reshape(Rp, LANES)
+
+
+def _sell_bin_kernel(k: int, interpret: bool):
+    """Build the per-bin kernel body. K (entries/row) is static per bin."""
+    KB = k * SUBLANES
+
+    def kernel(gid_ref, slab_ref, cnt_ref, x_ref, ja_ref, as_ref, y_ref):
+        g = pl.program_id(0)
+        ja = ja_ref[:]
+        q = ja // LANES          # (KB,128) slab id per entry
+        m = ja - q * LANES       # lane within slab
+        vals = as_ref[:]
+        nslab = cnt_ref[g]
+
+        def body(s, acc):
+            sq = slab_ref[g, s]
+            xrow = x_ref[sq, :]
+            xb = jnp.broadcast_to(xrow[None, :], (KB, LANES))
+            gat = jnp.take_along_axis(xb, m, axis=1)
+            return acc + jnp.where(q == sq, vals * gat, 0)
+
+        acc = jax.lax.fori_loop(
+            0, nslab, body, jnp.zeros((KB, LANES), vals.dtype)
+        )
+        # per-row reduction: out[i,j] = sum_k acc[k*8+i, j]
+        if k <= _UNROLL_MAX:
+            red = acc[0:SUBLANES, :]
+            for kk in range(1, k):
+                red = red + acc[kk * SUBLANES : (kk + 1) * SUBLANES, :]
+        else:
+
+            def red_body(kk, r):
+                return r + jax.lax.dynamic_slice(
+                    acc, (kk * SUBLANES, 0), (SUBLANES, LANES)
+                )
+
+            red = jax.lax.fori_loop(
+                1, k, red_body, acc[0:SUBLANES, :]
+            )
+        y_ref[:] = red
+
+    return kernel
+
+
+def _bin_call(bin_: DeviceSellBin, x_tab, y, num_groups: int, interpret: bool):
+    """One pallas_call for one rectangular bin, writing its groups' (8,128)
+    output tiles in place into the shared y buffer (input_output_aliases)."""
+    ng, K = bin_.n_groups, bin_.k
+    KB = K * SUBLANES
+    R = x_tab.shape[0]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # group_ids, slab_list, slab_count
+        grid=(ng,),
+        in_specs=[
+            pl.BlockSpec((R, LANES), lambda g, *refs: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((KB, LANES), lambda g, *refs: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((KB, LANES), lambda g, *refs: (g, 0), memory_space=pltpu.VMEM),
+            # the aliased y input: same mapping as the output so the revolving
+            # window holds the tile we overwrite
+            pl.BlockSpec(
+                (SUBLANES, LANES),
+                lambda g, refs0, refs1, refs2: (refs0[g], 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (SUBLANES, LANES),
+            lambda g, refs0, refs1, refs2: (refs0[g], 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+
+    kernel_body = _sell_bin_kernel(K, interpret)
+
+    def kernel(gid_ref, slab_ref, cnt_ref, x_ref, ja_ref, as_ref, yin_ref, y_ref):
+        kernel_body(gid_ref, slab_ref, cnt_ref, x_ref, ja_ref, as_ref, y_ref)
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_groups * SUBLANES, LANES), x_tab.dtype),
+        input_output_aliases={6: 0},  # yin (3 prefetch + x,ja,as -> index 6) -> y
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(bin_.group_ids, bin_.slab_list, bin_.slab_count, x_tab, bin_.ja, bin_.as_, y)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def sell_spmv_pallas(dsell: DeviceSell, x, *, interpret: bool = False):
+    """SpMV over the binned SELL layout; returns y[:nrows] in natural order."""
+    x_tab = pack_x_table(x, dsell.ncols)
+    y = jnp.zeros((dsell.num_groups * SUBLANES, LANES), dtype=x_tab.dtype)
+    for bin_ in dsell.bins:
+        y = _bin_call(bin_, x_tab, y, dsell.num_groups, interpret)
+    return y.reshape(-1)[: dsell.nrows]

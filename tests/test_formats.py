@@ -1,0 +1,170 @@
+"""Format conversion tests: COO -> CSR/HLL/SELL vs scipy (SURVEY §4 pytest
+units for parser/converters against scipy + property tests)."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from sparsematrixvectormultiplication_tpu import (
+    COOMatrix,
+    CSRMatrix,
+    HLLMatrix,
+    SellMatrix,
+)
+from sparsematrixvectormultiplication_tpu.formats.sell import GROUP_ROWS
+
+
+@pytest.mark.parametrize("shape,density", [
+    ((100, 80), 0.05),
+    ((1, 1), 1.0),
+    ((1024, 1024), 0.01),
+    ((1030, 999), 0.02),   # non-multiple of group size
+    ((3, 5000), 0.01),     # wide
+    ((5000, 3), 0.3),      # tall, dense-ish rows
+])
+def test_csr_matches_scipy(make_random_coo, shape, density):
+    coo, s = make_random_coo(*shape, density)
+    csr = CSRMatrix.from_coo(coo)
+    ref = s.tocsr()
+    ref.sort_indices()
+    assert np.array_equal(csr.row_ptr, ref.indptr)
+    assert np.array_equal(csr.col_idx, ref.indices)
+    assert np.allclose(csr.values, ref.data)
+
+
+def test_csr_rows_column_sorted(make_random_coo):
+    coo, _ = make_random_coo(200, 150, 0.1)
+    csr = CSRMatrix.from_coo(coo)
+    for i in range(csr.nrows):
+        cols = csr.col_idx[csr.row_ptr[i]:csr.row_ptr[i + 1]]
+        assert np.all(np.diff(cols) > 0)
+
+
+def test_csr_spmv_oracle(make_random_coo):
+    coo, s = make_random_coo(300, 270, 0.05)
+    csr = CSRMatrix.from_coo(coo)
+    x = np.random.default_rng(0).standard_normal(270)
+    assert np.allclose(csr.spmv(x), s.tocsr() @ x, rtol=1e-13, atol=1e-13)
+
+
+def test_csr_empty_rows():
+    # rows 0 and 2 empty
+    coo = COOMatrix(4, 4, np.array([1, 3]), np.array([0, 2]), np.array([2.0, 5.0]))
+    csr = CSRMatrix.from_coo(coo)
+    y = csr.spmv(np.ones(4))
+    assert np.allclose(y, [0.0, 2.0, 0.0, 5.0])
+
+
+@pytest.mark.parametrize("hack", [1, 7, 32, 64])
+def test_hll_roundtrip(make_random_coo, hack):
+    coo, s = make_random_coo(217, 190, 0.06)
+    hll = HLLMatrix.from_coo(coo, hack_size=hack)
+    x = np.random.default_rng(0).standard_normal(190)
+    assert np.allclose(hll.spmv(x), s.tocsr() @ x, rtol=1e-13, atol=1e-13)
+
+
+def test_hll_reference_semantics(make_random_coo):
+    """Per-block MAXNZ, row-major layout, last-valid-col padding
+    (reference hll_matrix.c:86-92, :235, :241-246)."""
+    coo, s = make_random_coo(70, 50, 0.1)
+    csr = CSRMatrix.from_coo(coo)
+    hll = HLLMatrix.from_csr(csr, hack_size=32)
+    row_nnz = csr.row_nnz()
+    for b in range(hll.num_blocks):
+        ja, as_ = hll.block(b)
+        r0 = b * hll.hack_size
+        rows = ja.shape[0]
+        expected_maxnz = max(1, int(row_nnz[r0:r0 + rows].max()))
+        assert hll.maxnz[b] == expected_maxnz
+        for lr in range(rows):
+            r = r0 + lr
+            k = int(row_nnz[r])
+            cols = csr.col_idx[csr.row_ptr[r]:csr.row_ptr[r + 1]]
+            vals = csr.values[csr.row_ptr[r]:csr.row_ptr[r + 1]]
+            assert np.array_equal(ja[lr, :k], cols)
+            assert np.allclose(as_[lr, :k], vals)
+            pad_col = cols[-1] if k else 0
+            assert np.all(ja[lr, k:] == pad_col)       # last valid col
+            assert np.all(as_[lr, k:] == 0.0)          # zero values
+
+
+def test_hll_rect_view(make_random_coo):
+    coo, s = make_random_coo(100, 90, 0.05)
+    hll = HLLMatrix.from_coo(coo)
+    ja, as_ = hll.to_rect()
+    x = np.random.default_rng(0).standard_normal(90)
+    y = (as_ * x[ja]).sum(axis=1)[:100]
+    assert np.allclose(y, s.tocsr() @ x, rtol=1e-13, atol=1e-13)
+    assert ja.min() >= 0 and ja.max() < 90
+
+
+def test_hll_rect_memory_guard(make_random_coo):
+    coo, _ = make_random_coo(2000, 2000, 0.01)
+    hll = HLLMatrix.from_coo(coo)
+    with pytest.raises(MemoryError):
+        hll.to_rect(max_elements=10)
+
+
+@pytest.mark.parametrize("shape,density", [
+    ((100, 80), 0.05),
+    ((1024, 1024), 0.01),
+    ((2050, 1999), 0.02),
+    ((5000, 200000), 0.0005),  # many slabs
+])
+def test_sell_spmv_oracle(make_random_coo, shape, density):
+    coo, s = make_random_coo(*shape, density)
+    sell = SellMatrix.from_coo(coo)
+    x = np.random.default_rng(0).standard_normal(shape[1])
+    assert np.allclose(sell.spmv(x), s.tocsr() @ x, rtol=1e-12, atol=1e-12)
+
+
+def test_sell_slab_lists_cover_all_columns(make_random_coo):
+    coo, _ = make_random_coo(3000, 2000, 0.02)
+    sell = SellMatrix.from_coo(coo)
+    for b in sell.bins:
+        ng = b.n_groups
+        ja = b.ja.reshape(ng, b.k, 8, 128)
+        for gl in range(ng):
+            slabs_real = set()
+            g = int(b.group_ids[gl])
+            # real entries of this group from the COO
+            mask = (coo.row // GROUP_ROWS) == g
+            slabs_real = set((coo.col[mask] // 128).tolist())
+            listed = set(b.slab_list[gl, : b.slab_count[gl]].tolist())
+            assert slabs_real == listed
+            # every JA slab (incl. padding) must be in the list or value==0
+            q = ja[gl] // 128
+            in_list = np.isin(q, list(listed) or [0])
+            as_ = b.as_.reshape(ng, b.k, 8, 128)[gl]
+            assert np.all(in_list | (as_ == 0.0))
+
+
+def test_sell_padding_ratio_sane(make_random_coo):
+    coo, _ = make_random_coo(4096, 4096, 0.01)  # ~41 nnz/row uniform
+    sell = SellMatrix.from_coo(coo)
+    assert sell.padding_ratio < 2.5
+
+
+def test_duplicate_coalescing():
+    coo = COOMatrix(
+        3, 3,
+        np.array([0, 0, 1, 1, 1]),
+        np.array([1, 1, 2, 2, 0]),
+        np.array([1.0, 2.0, 3.0, 4.0, 5.0]),
+    )
+    out = coo.sum_duplicates()
+    assert out.nnz == 3
+    dense = out.to_dense()
+    assert dense[0, 1] == 3.0 and dense[1, 2] == 7.0 and dense[1, 0] == 5.0
+
+
+def test_memory_stats(make_random_coo):
+    coo, _ = make_random_coo(500, 400, 0.03)
+    csr = CSRMatrix.from_coo(coo)
+    st = csr.memory_stats()
+    assert st["nnz"] == coo.nnz
+    assert st["bytes_total"] == st["bytes_row_ptr"] + st["bytes_col_idx"] + st["bytes_values"]
+    hst = HLLMatrix.from_csr(csr).memory_stats()
+    assert hst["padded_nnz"] >= hst["nnz"]
+    sst = SellMatrix.from_csr(csr).memory_stats()
+    assert sst["padded_nnz"] >= sst["nnz"]

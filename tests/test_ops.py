@@ -1,0 +1,149 @@
+"""Device kernel tests: XLA ops + Pallas (interpret mode) vs the numpy fp64
+golden reference — the differential strategy of SURVEY §4, automated."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sparsematrixvectormultiplication_tpu import CSRMatrix, HLLMatrix, SellMatrix
+from sparsematrixvectormultiplication_tpu.ops.pallas_sell import (
+    device_put_sell,
+    pack_x_table,
+    sell_spmv_pallas,
+)
+from sparsematrixvectormultiplication_tpu.ops.xla import (
+    device_put_csr,
+    device_put_ell,
+    sell_spmv_xla,
+)
+from sparsematrixvectormultiplication_tpu.utils.validation import (
+    difference_metrics,
+    difference_metrics_mean,
+)
+
+
+@pytest.fixture
+def problem(make_random_coo):
+    coo, s = make_random_coo(3000, 2500, 0.01)
+    x = np.random.default_rng(7).standard_normal(2500)
+    return coo, s, x
+
+
+def test_xla_csr_f64(problem):
+    coo, s, x = problem
+    dcsr = device_put_csr(CSRMatrix.from_coo(coo))
+    y = np.asarray(dcsr.spmv(jnp.asarray(x)))
+    assert np.allclose(y, s.tocsr() @ x, rtol=1e-12, atol=1e-12)
+
+
+def test_xla_ell_f64(problem):
+    coo, s, x = problem
+    dell = device_put_ell(HLLMatrix.from_coo(coo))
+    y = np.asarray(dell.spmv(jnp.asarray(x)))
+    assert np.allclose(y, s.tocsr() @ x, rtol=1e-12, atol=1e-12)
+
+
+def test_xla_sell_f64(problem):
+    coo, s, x = problem
+    dsell = device_put_sell(SellMatrix.from_coo(coo), dtype=jnp.float64)
+    y = np.asarray(sell_spmv_xla(dsell, pack_x_table(jnp.asarray(x), 2500)))[:3000]
+    assert np.allclose(y, s.tocsr() @ x, rtol=1e-12, atol=1e-12)
+
+
+def test_pallas_sell_matches_xla_twin_exactly(problem):
+    """Pallas kernel vs the jnp twin on identical f32 data: bitwise-same
+    layout and reduction order -> results must agree to f32 roundoff."""
+    coo, s, x = problem
+    sell = SellMatrix.from_coo(coo)
+    dsell = device_put_sell(sell, dtype=jnp.float32)
+    x32 = jnp.asarray(x, jnp.float32)
+    y_xla = np.asarray(sell_spmv_xla(dsell, pack_x_table(x32, 2500)))[:3000]
+    y_pal = np.asarray(sell_spmv_pallas(dsell, x32, interpret=True))
+    assert np.max(np.abs(y_xla - y_pal)) < 1e-5
+
+
+def test_pallas_sell_f32_accuracy(problem):
+    coo, s, x = problem
+    dsell = device_put_sell(SellMatrix.from_coo(coo), dtype=jnp.float32)
+    y = np.asarray(sell_spmv_pallas(dsell, jnp.asarray(x, jnp.float32), interpret=True))
+    y_ref = s.tocsr() @ x
+    dm = difference_metrics_mean(y_ref, y)
+    assert dm.mean_rel_err < 1e-5  # f32 with ~25 nnz/row
+
+
+def test_pallas_sell_f64_interpret(problem):
+    coo, s, x = problem
+    dsell = device_put_sell(SellMatrix.from_coo(coo), dtype=jnp.float64)
+    y = np.asarray(sell_spmv_pallas(dsell, jnp.asarray(x), interpret=True))
+    assert np.allclose(y, s.tocsr() @ x, rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.parametrize("shape,density", [
+    ((1024, 1024), 0.02),
+    ((1030, 777), 0.03),     # partial last group, odd N
+    ((100, 100), 0.05),      # single group, tiny
+    ((4096, 131072), 0.0005),  # slab-heavy
+])
+def test_pallas_sell_shapes(make_random_coo, shape, density):
+    coo, s = make_random_coo(*shape, density)
+    x = np.random.default_rng(3).standard_normal(shape[1])
+    dsell = device_put_sell(SellMatrix.from_coo(coo), dtype=jnp.float64)
+    y = np.asarray(sell_spmv_pallas(dsell, jnp.asarray(x), interpret=True))
+    assert np.allclose(y, s.tocsr() @ x, rtol=1e-11, atol=1e-11)
+
+
+def test_pallas_multi_bin(make_random_coo):
+    """Matrix engineered to span several K bins: mixes short and long rows."""
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(5)
+    M, N = 4096, 4096
+    rows, cols, vals = [], [], []
+    for g, k in [(0, 2), (1, 30), (2, 100), (3, 7)]:
+        r0 = g * 1024
+        for r in range(r0, r0 + 1024, 16):
+            c = rng.choice(N, size=k, replace=False)
+            rows.extend([r] * k)
+            cols.extend(c.tolist())
+            vals.extend(rng.standard_normal(k).tolist())
+    s = sp.coo_matrix((vals, (rows, cols)), shape=(M, N))
+    from sparsematrixvectormultiplication_tpu import COOMatrix
+
+    coo = COOMatrix(M, N, s.row, s.col, s.data)
+    sell = SellMatrix.from_coo(coo)
+    assert len(sell.bins) >= 3
+    x = rng.standard_normal(N)
+    dsell = device_put_sell(sell, dtype=jnp.float64)
+    y = np.asarray(sell_spmv_pallas(dsell, jnp.asarray(x), interpret=True))
+    assert np.allclose(y, s.tocsr() @ x, rtol=1e-11, atol=1e-11)
+
+
+def test_empty_matrix():
+    from sparsematrixvectormultiplication_tpu import COOMatrix
+
+    coo = COOMatrix(8, 8, np.zeros(0, np.int32), np.zeros(0, np.int32), np.zeros(0))
+    dsell = device_put_sell(SellMatrix.from_coo(coo), dtype=jnp.float64)
+    y = np.asarray(sell_spmv_pallas(dsell, jnp.ones(8), interpret=True))
+    assert np.allclose(y, 0.0)
+
+
+def test_validation_metrics_reference_formula():
+    ref = np.array([1.0, 2.0, 3.0, 0.0])
+    res = np.array([1.0, 2.1, 3.0, 0.5])
+    dm = difference_metrics(ref, res, abs_tol=1e-5, rel_tol=1e-4)
+    # entries 1 and 3 differ significantly
+    assert dm.significant_diffs == 2
+    exp1 = 0.1 / 2.1
+    exp3 = 0.5 / 0.5
+    assert np.isclose(dm.mean_rel_err, (exp1 + exp3) / 2)
+    assert dm.mean_abs_err == 0.0  # reference hardwires 0
+
+    dm2 = difference_metrics_mean(ref, res)
+    assert np.isclose(dm2.mean_abs_err, (0.0 + 0.1 + 0.0 + 0.5) / 4)
+
+
+def test_validation_identical_is_zero():
+    y = np.random.default_rng(0).standard_normal(100)
+    dm = difference_metrics(y, y.copy())
+    assert dm.significant_diffs == 0 and dm.mean_rel_err == 0.0
