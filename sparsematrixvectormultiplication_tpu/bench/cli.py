@@ -1,0 +1,152 @@
+"""Benchmark CLI — the directory-sweep driver (≙ main.c:22-459).
+
+Promotes every hard-coded constant of the reference to a flag (SURVEY §5
+config note: matrix dir main.c:25, iteration count main.c:20, hack size
+hll_matrix.h:12, tolerances main.c:145):
+
+    python -m sparsematrixvectormultiplication_tpu.bench.cli \
+        --matrix-dir ./matrix_for_test --output-dir ./result
+    python -m sparsematrixvectormultiplication_tpu.bench.cli --suite quick
+
+Writes the native CSV plus reference-compatible openmp/cuda-style CSVs, and
+supports resumable sweeps via a checkpoint file (a capability the reference
+lacks — its startup wipes result/, utility.c:200-216).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import traceback
+
+
+def build_parser():
+    p = argparse.ArgumentParser(
+        prog="spmv-bench",
+        description="TPU SpMV benchmark sweep (validating, CSV-reporting)",
+    )
+    src = p.add_mutually_exclusive_group()
+    src.add_argument("--matrix-dir", help=".mtx directory to sweep (≙ ../matrix_for_test)")
+    src.add_argument("--matrix", action="append", help="single .mtx file (repeatable)")
+    src.add_argument(
+        "--suite",
+        choices=["quick", "full"],
+        help="generated synthetic corpus (models/synthetic.py BENCH_SUITE)",
+    )
+    p.add_argument("--output-dir", default="result", help="CSV output directory")
+    p.add_argument("--iterations", type=int, default=20, help="measured reps per stage")
+    p.add_argument("--skip", type=int, default=5, help="warm-up iterations (utility.h:7)")
+    p.add_argument("--rounds", type=int, default=3)
+    p.add_argument("--dtype", default="float32", choices=["float32", "float64", "bfloat16"])
+    p.add_argument("--hack-size", type=int, default=32, help="HLL block rows (hll_matrix.h:12)")
+    p.add_argument("--abs-tol", type=float, default=1e-5)
+    p.add_argument("--rel-tol", type=float, default=1e-4)
+    p.add_argument(
+        "--kernels",
+        default="serial_csr,serial_hll,xla_csr,xla_ell,pallas_sell",
+        help="comma-separated stage list",
+    )
+    p.add_argument("--no-validate", action="store_true")
+    p.add_argument("--resume", action="store_true",
+                   help="skip matrices already present in the checkpoint")
+    p.add_argument("--json", action="store_true", help="also print per-matrix JSON lines")
+    return p
+
+
+def iter_matrices(args):
+    from ..formats.coo import COOMatrix
+
+    if args.suite:
+        from ..models.synthetic import BENCH_SUITE, generate_suite
+
+        entries = BENCH_SUITE[:4] if args.suite == "quick" else BENCH_SUITE
+        for name, family, coo in generate_suite(entries):
+            yield name, coo
+    elif args.matrix:
+        for path in args.matrix:
+            yield os.path.splitext(os.path.basename(path))[0], COOMatrix.from_mtx(path)
+    elif args.matrix_dir:
+        files = sorted(glob.glob(os.path.join(args.matrix_dir, "*.mtx")))
+        if not files:
+            print(f"no .mtx files in {args.matrix_dir}", file=sys.stderr)
+        for path in files:
+            yield os.path.splitext(os.path.basename(path))[0], COOMatrix.from_mtx(path)
+    else:
+        from ..models.synthetic import BENCH_SUITE, generate_suite
+
+        for name, family, coo in generate_suite(BENCH_SUITE[:2]):
+            yield name, coo
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    from .csv_report import (
+        write_cuda_style_row,
+        write_native_row,
+        write_openmp_style_row,
+        write_tile_config_row,
+    )
+    from .harness import BenchConfig, run_matrix
+
+    cfg = BenchConfig(
+        iterations=args.iterations,
+        skip=args.skip,
+        rounds=args.rounds,
+        abs_tol=args.abs_tol,
+        rel_tol=args.rel_tol,
+        dtype=args.dtype,
+        hack_size=args.hack_size,
+        kernels=tuple(k.strip() for k in args.kernels.split(",") if k.strip()),
+        validate=not args.no_validate,
+    )
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    ckpt_path = os.path.join(args.output_dir, ".sweep_checkpoint")
+    done = set()
+    if args.resume and os.path.exists(ckpt_path):
+        done = set(open(ckpt_path).read().split())
+
+    native_csv = os.path.join(args.output_dir, "spmv_results.csv")
+    openmp_csv = os.path.join(args.output_dir, "spmv_results_openmp.csv")
+    cuda_csv = os.path.join(args.output_dir, "spmv_results_cuda.csv")
+    tiles_csv = os.path.join(args.output_dir, "spmv_tile_config.csv")
+
+    n_ok = n_fail = 0
+    for name, coo in iter_matrices(args):
+        if name in done:
+            print(f"[{name}] skipped (checkpoint)")
+            continue
+        try:
+            res = run_matrix(name, coo, cfg)
+            write_native_row(native_csv, res)
+            write_openmp_style_row(openmp_csv, res)
+            write_cuda_style_row(cuda_csv, res)
+            write_tile_config_row(tiles_csv, res)
+            if args.json:
+                best = max(
+                    (s for s in res.stages.values() if not s.stage.startswith("serial")),
+                    key=lambda s: s.gflops,
+                    default=None,
+                )
+                print(json.dumps({
+                    "matrix": name, "nnz": res.nnz,
+                    "best_stage": best.stage if best else None,
+                    "best_gflops": best.gflops if best else 0.0,
+                }))
+            with open(ckpt_path, "a") as f:
+                f.write(name + "\n")
+            n_ok += 1
+        except Exception:
+            # per-matrix failure continues the sweep (≙ main.c:54-75)
+            traceback.print_exc()
+            n_fail += 1
+    print(f"sweep done: {n_ok} ok, {n_fail} failed -> {args.output_dir}/")
+    return 0 if n_fail == 0 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

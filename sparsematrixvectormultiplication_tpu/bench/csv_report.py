@@ -1,0 +1,226 @@
+"""CSV reporting — native schema plus reference-compatible emitters.
+
+The reference writes three CSVs (SURVEY §5 observability):
+  * ``spmv_results_openmp.csv`` — 33 columns (src/utility.c:114-120)
+  * ``spmv_results_cuda.csv`` — 32 columns (cuda_src/utility.cu:115-123)
+  * ``spmv_results_cuda_block_dim.csv`` — chosen launch dims
+    (cuda_src/utility.cu:251)
+
+This module writes (a) the framework's native schema with full stage detail
+and (b) bit-layout-compatible reference schemas with a documented stage
+mapping, so downstream tooling written for the reference's CSVs keeps
+working. All writers append, emitting the header only when the file is new or
+empty (≙ utility.c:102-121) — which, unlike the reference (whose startup
+wipes result/, utility.c:200-216, defeating resume), makes interrupted sweeps
+resumable; see also checkpoint support in bench/sweep.py.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+
+from .harness import MatrixResult
+
+__all__ = [
+    "write_native_row",
+    "write_openmp_style_row",
+    "write_cuda_style_row",
+    "write_tile_config_row",
+]
+
+
+def _append_row(path: str, header: list, row: list):
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    new = not os.path.exists(path) or os.path.getsize(path) == 0
+    with open(path, "a", newline="") as f:
+        w = csv.writer(f)
+        if new:
+            w.writerow(header)
+        w.writerow(row)
+
+
+def _fmt(v: float) -> str:
+    return f"{v:.15f}"
+
+
+NATIVE_HEADER = [
+    "matrix_name", "rows", "cols", "nonzeros", "stage", "dtype",
+    "time_s", "gflops", "speedup_vs_serial",
+    "mean_rel_err", "significant_diffs", "max_abs_err", "max_rel_err",
+    "padding_ratio", "bytes_streamed_per_nnz",
+]
+
+
+def write_native_row(path: str, result: MatrixResult):
+    """One row per (matrix, stage) — the framework's primary schema."""
+    pad = result.format_stats.get("sell", {}).get("padding_ratio", 1.0)
+    for stage, s in result.stages.items():
+        per_nnz = 12.0 if "csr" in stage else 8.0 * pad
+        _append_row(
+            path,
+            NATIVE_HEADER,
+            [
+                result.name, result.nrows, result.ncols, result.nnz, stage,
+                result.config.dtype if not stage.startswith("serial") else "float64",
+                _fmt(s.seconds), f"{s.gflops:.6f}",
+                f"{result.speedup(stage):.6f}",
+                f"{s.diff.mean_rel_err:.15e}", s.diff.significant_diffs,
+                f"{s.diff.max_abs_err:.15e}", f"{s.diff.max_rel_err:.15e}",
+                f"{pad:.6f}", f"{per_nnz:.2f}",
+            ],
+        )
+
+
+# Exact header of the reference OpenMP CSV (src/utility.c:114-120).
+OPENMP_HEADER = (
+    "matrix_name,rows,cols,nonzeros,num_threads,"
+    "time_serial,time_serial_hll,time_parallel,time_parallel_simd,"
+    "time_parallel_hll,time_parallel_hll_simd,"
+    "error_csr_relative,error_csr_absolute,error_hll_relative,error_hll_absolute,"
+    "error_csr_simd_relative,error_csr_simd_absolute,error_hll_simd_relative,"
+    "error_hll_simd_absolute,"
+    "flops_serial,flops_serial_hll,flops_parallel,flops_parallel_simd,"
+    "flops_parallel_hll,flops_parallel_hll_simd,"
+    "speedup_parallel,speedup_simd,speedup_hll,speedup_hll_simd,"
+    "efficiency_parallel,efficiency_simd,efficiency_hll,efficiency_hll_simd"
+).split(",")
+
+# Stage mapping onto the reference's column roles:
+#   time_parallel        <- pallas_sell   (the parallel CSR-class kernel)
+#   time_parallel_simd   <- xla_csr       (the vectorized CSR kernel)
+#   time_parallel_hll    <- xla_ell       (the parallel HLL kernel)
+#   time_parallel_hll_simd <- pallas_sell (best HLL-layout kernel)
+_OPENMP_MAP = {
+    "parallel": "pallas_sell",
+    "parallel_simd": "xla_csr",
+    "parallel_hll": "xla_ell",
+    "parallel_hll_simd": "pallas_sell",
+}
+
+
+def write_openmp_style_row(path: str, result: MatrixResult, num_threads: int = 1):
+    """Reference-schema row; ``num_threads`` records device count."""
+    def sec(stage):
+        s = result.stages.get(stage)
+        return s.seconds if s else 0.0
+
+    def gf(stage):
+        s = result.stages.get(stage)
+        return s.gflops * 1e9 if s else 0.0  # reference stores raw FLOPS
+
+    def err(stage):
+        s = result.stages.get(stage)
+        return (s.diff.mean_rel_err, s.diff.mean_abs_err) if s else (0.0, 0.0)
+
+    sp = {k: result.speedup(v) for k, v in _OPENMP_MAP.items()}
+    eff = {k: v / max(num_threads, 1) for k, v in sp.items()}
+    e_csr = err(_OPENMP_MAP["parallel"])
+    e_hll = err(_OPENMP_MAP["parallel_hll"])
+    e_csr_simd = err(_OPENMP_MAP["parallel_simd"])
+    e_hll_simd = err(_OPENMP_MAP["parallel_hll_simd"])
+
+    row = [
+        result.name, result.nrows, result.ncols, result.nnz, num_threads,
+        _fmt(sec("serial_csr")), _fmt(sec("serial_hll")),
+        _fmt(sec(_OPENMP_MAP["parallel"])), _fmt(sec(_OPENMP_MAP["parallel_simd"])),
+        _fmt(sec(_OPENMP_MAP["parallel_hll"])), _fmt(sec(_OPENMP_MAP["parallel_hll_simd"])),
+        _fmt(e_csr[0]), _fmt(e_csr[1]), _fmt(e_hll[0]), _fmt(e_hll[1]),
+        _fmt(e_csr_simd[0]), _fmt(e_csr_simd[1]), _fmt(e_hll_simd[0]), _fmt(e_hll_simd[1]),
+        _fmt(gf("serial_csr")), _fmt(gf("serial_hll")),
+        _fmt(gf(_OPENMP_MAP["parallel"])), _fmt(gf(_OPENMP_MAP["parallel_simd"])),
+        _fmt(gf(_OPENMP_MAP["parallel_hll"])), _fmt(gf(_OPENMP_MAP["parallel_hll_simd"])),
+        _fmt(sp["parallel"]), _fmt(sp["parallel_simd"]),
+        _fmt(sp["parallel_hll"]), _fmt(sp["parallel_hll_simd"]),
+        _fmt(eff["parallel"]), _fmt(eff["parallel_simd"]),
+        _fmt(eff["parallel_hll"]), _fmt(eff["parallel_hll_simd"]),
+    ]
+    _append_row(path, OPENMP_HEADER, row)
+
+
+# Exact header of the reference CUDA CSV (cuda_src/utility.cu:115-123).
+CUDA_HEADER = (
+    "matrix_name,rows,cols,nonzeros,"
+    "time_serial,time_serial_hll,time_row_csr,time_warp_csr,time_warp_shared_csr,"
+    "time_row_hll,time_warp_hll,time_warp_shared_hll,"
+    "flops_serial,avg_flops_hll_serial,flops_row_csr,flops_warp_csr,"
+    "flops_warp_csr_shared,flops_row_hll,flops_warp_hll,flops_warp_shared_hll,"
+    "relative_error_row_csr,absolute_error_row_csr,"
+    "relative_error_warp_csr,absolute_error_warp_csr,"
+    "relative_error_warp_shared_csr,absolute_error_warp_shared_csr,"
+    "relative_error_row_hll,absolute_error_row_hll,"
+    "relative_error_warp_hll,absolute_error_warp_hll,"
+    "relative_error_warp_shared_hll,absolute_error_warp_shared_hll"
+).split(",")
+
+# Stage mapping onto the reference's CUDA kernel roles:
+#   row_csr         <- xla_csr      (thread-per-row analogue: segment sum)
+#   warp_csr        <- pallas_sell  (lane-per-row analogue)
+#   warp_shared_csr <- pallas_sell  (VMEM-resident x ≙ shared-memory cache)
+#   row_hll / warp_hll / warp_shared_hll <- xla_ell / pallas_hll when present
+_CUDA_MAP = {
+    "row_csr": "xla_csr",
+    "warp_csr": "pallas_sell",
+    "warp_shared_csr": "pallas_sell",
+    "row_hll": "xla_ell",
+    "warp_hll": "pallas_hll",
+    "warp_shared_hll": "pallas_sell",
+}
+
+
+def write_cuda_style_row(path: str, result: MatrixResult):
+    def sec(role):
+        s = result.stages.get(_CUDA_MAP.get(role, role))
+        return s.seconds if s else 0.0
+
+    def gf(role):
+        s = result.stages.get(_CUDA_MAP.get(role, role))
+        return s.gflops * 1e9 if s else 0.0
+
+    def err(role):
+        s = result.stages.get(_CUDA_MAP.get(role, role))
+        return (s.diff.mean_rel_err, s.diff.mean_abs_err) if s else (0.0, 0.0)
+
+    def sser(stage):
+        s = result.stages.get(stage)
+        return s.seconds if s else 0.0
+
+    def gser(stage):
+        s = result.stages.get(stage)
+        return s.gflops * 1e9 if s else 0.0
+
+    roles = ["row_csr", "warp_csr", "warp_shared_csr", "row_hll", "warp_hll",
+             "warp_shared_hll"]
+    errs = [x for r in roles for x in err(r)]
+    row = [
+        result.name, result.nrows, result.ncols, result.nnz,
+        _fmt(sser("serial_csr")), _fmt(sser("serial_hll")),
+        _fmt(sec("row_csr")), _fmt(sec("warp_csr")), _fmt(sec("warp_shared_csr")),
+        _fmt(sec("row_hll")), _fmt(sec("warp_hll")), _fmt(sec("warp_shared_hll")),
+        _fmt(gser("serial_csr")), _fmt(gser("serial_hll")),
+        _fmt(gf("row_csr")), _fmt(gf("warp_csr")), _fmt(gf("warp_shared_csr")),
+        _fmt(gf("row_hll")), _fmt(gf("warp_hll")), _fmt(gf("warp_shared_hll")),
+    ] + [_fmt(e) for e in errs]
+    _append_row(path, CUDA_HEADER, row)
+
+
+TILE_HEADER = [
+    "matrix_name", "nonzeros", "kernel", "bin_k", "n_groups", "s_max",
+    "padding_ratio",
+]
+
+
+def write_tile_config_row(path: str, result: MatrixResult):
+    """Chosen tile/bin shapes per kernel (≙ write_block_result_to_csv,
+    cuda_src/utility.cu:236-261: the reference logs chosen CUDA block dims;
+    we log chosen SELL bins)."""
+    sell = result.format_stats.get("sell")
+    if not sell:
+        return
+    for k in sell.get("bin_ks", []):
+        _append_row(
+            path,
+            TILE_HEADER,
+            [result.name, result.nnz, "pallas_sell", k, "", "",
+             f"{sell.get('padding_ratio', 1.0):.6f}"],
+        )

@@ -1,0 +1,200 @@
+"""Benchmark harness — stage runner with validation (≙ main.c / main_cuda.cu).
+
+Reproduces the reference driver shape: per matrix, convert to every format,
+run each kernel stage for ``skip + iterations`` passes (reference
+NUM_ITERATION=100 incl. 5-iteration warm-up skip, main.c:20, utility.h:7),
+validate every stage against the serial fp64 CSR oracle
+(≙ main.c:145,207,260,310,362), and report mean time / GFLOPS / errors.
+
+TPU-specific deltas (by design, see utils/timing.py):
+  - timing uses readback-forced wall clock and in-jit scan chaining, since
+    dispatch is async and this runtime's block_until_ready returns early;
+  - validation compares one representative device result on the host per
+    stage instead of copying y D2H every iteration (the reference pays a
+    cudaMemcpy per iteration, main_cuda.cu:183-188 — on TPU that would
+    serialize the pipeline);
+  - an HBM scrub between stages ≙ clear_cache (utility.c:141-159).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..formats.coo import COOMatrix
+from ..formats.csr import CSRMatrix
+from ..formats.hll import DEFAULT_HACK_SIZE, HLLMatrix
+from ..formats.sell import SellMatrix
+from ..ops.pallas_sell import device_put_sell, sell_spmv_pallas
+from ..ops.xla import device_put_csr, device_put_ell
+from ..utils.metrics import MetricStat, calculate_flops
+from ..utils.timing import ITERATION_SKIP, time_device_fn, time_device_fn_batched
+from ..utils.validation import (
+    DEFAULT_ABS_TOL,
+    DEFAULT_REL_TOL,
+    DiffMetrics,
+    difference_metrics,
+    difference_metrics_mean,
+)
+
+__all__ = ["BenchConfig", "StageResult", "MatrixResult", "run_matrix", "flush_hbm"]
+
+
+@dataclass
+class BenchConfig:
+    iterations: int = 20          # measured reps (reference uses 95; TPU runs are chained)
+    skip: int = ITERATION_SKIP    # warm-up iterations (≙ utility.h:7)
+    rounds: int = 3               # outer repetitions; best round wins
+    abs_tol: float = DEFAULT_ABS_TOL
+    rel_tol: float = DEFAULT_REL_TOL
+    dtype: str = "float32"        # device dtype for performance kernels
+    hack_size: int = DEFAULT_HACK_SIZE
+    kernels: tuple = ("serial_csr", "serial_hll", "xla_csr", "xla_ell", "pallas_sell")
+    ell_max_elements: int = 1 << 29  # guard for power-law rect blow-up
+    flush_between_stages: bool = True
+    validate: bool = True
+
+
+@dataclass
+class StageResult:
+    stage: str
+    seconds: float
+    gflops: float
+    diff: DiffMetrics
+    extra: dict = field(default_factory=dict)
+
+
+@dataclass
+class MatrixResult:
+    name: str
+    nrows: int
+    ncols: int
+    nnz: int
+    stages: dict            # stage -> StageResult
+    format_stats: dict
+    config: BenchConfig
+
+    def stage(self, name: str) -> StageResult | None:
+        return self.stages.get(name)
+
+    def speedup(self, stage: str, baseline: str = "serial_csr") -> float:
+        b, s = self.stages.get(baseline), self.stages.get(stage)
+        if not b or not s or s.seconds <= 0:
+            return 0.0
+        return b.seconds / s.seconds
+
+
+def flush_hbm(mbytes: int = 64):
+    """Scrub a buffer through HBM between stages (≙ clear_cache,
+    utility.c:141-159 / clear_gpu_cache, cuda_src/utility.cu:148-175)."""
+    n = mbytes * 1024 * 1024 // 4
+    buf = jnp.ones((n,), jnp.float32)
+    float(np.asarray(jnp.sum(buf * 1.0000001)))
+
+
+def _dtype(cfg: BenchConfig):
+    return {"float32": jnp.float32, "float64": jnp.float64,
+            "bfloat16": jnp.bfloat16}[cfg.dtype]
+
+
+def run_matrix(
+    name: str,
+    coo: COOMatrix,
+    cfg: BenchConfig = BenchConfig(),
+    x: np.ndarray | None = None,
+    log=print,
+) -> MatrixResult:
+    """Run all configured stages on one matrix (≙ the per-matrix body of
+    main.c:39-459 / main_cuda.cu:52-729)."""
+    M, N, nnz = coo.nrows, coo.ncols, coo.nnz
+    if x is None:
+        x = np.ones(N, dtype=np.float64)  # ≙ init_vector_at_one (utility.c:18)
+
+    t0 = time.perf_counter()
+    csr = CSRMatrix.from_coo(coo)
+    t_csr_conv = time.perf_counter() - t0
+
+    stages: dict = {}
+    fstats = {"csr": csr.memory_stats(), "convert_csr_s": t_csr_conv}
+
+    # --- golden oracle: host fp64 serial CSR (≙ csr_matrix_vector_mult) ---
+    y_ref = None
+    if "serial_csr" in cfg.kernels:
+        times = []
+        for i in range(min(cfg.skip, 2) + 3):
+            t0 = time.perf_counter()
+            y_ref = csr.spmv(x)
+            times.append(time.perf_counter() - t0)
+        sec = min(times)
+        stages["serial_csr"] = StageResult(
+            "serial_csr", sec, calculate_flops(nnz, sec) / 1e9, DiffMetrics()
+        )
+        log(f"[{name}] serial_csr: {sec*1e3:.3f} ms = {stages['serial_csr'].gflops:.3f} GFLOPS (host fp64 oracle)")
+    if y_ref is None:
+        y_ref = csr.spmv(x)
+
+    def validate(y) -> DiffMetrics:
+        if not cfg.validate:
+            return DiffMetrics()
+        return difference_metrics(y_ref, np.asarray(y, np.float64)[:M],
+                                  cfg.abs_tol, cfg.rel_tol)
+
+    dt = _dtype(cfg)
+    xd = jnp.asarray(x, dt)
+    xd64 = jnp.asarray(x, jnp.float64) if jax.config.jax_enable_x64 else xd
+
+    hll = None
+    if {"serial_hll", "xla_ell"} & set(cfg.kernels):
+        t0 = time.perf_counter()
+        hll = HLLMatrix.from_csr(csr, cfg.hack_size)
+        fstats["convert_hll_s"] = time.perf_counter() - t0
+        fstats["hll"] = hll.memory_stats()
+
+    if "serial_hll" in cfg.kernels and hll is not None:
+        t0 = time.perf_counter()
+        y = hll.spmv(x)
+        sec = time.perf_counter() - t0
+        stages["serial_hll"] = StageResult(
+            "serial_hll", sec, calculate_flops(nnz, sec) / 1e9, validate(y)
+        )
+        log(f"[{name}] serial_hll: {sec*1e3:.3f} ms, sig_diffs={stages['serial_hll'].diff.significant_diffs}")
+
+    def run_device_stage(stage, fn, *args):
+        if cfg.flush_between_stages:
+            flush_hbm()
+        y = np.asarray(fn(*args))  # correctness pass (also compiles)
+        dm = validate(y)
+        sec, _ = time_device_fn_batched(fn, *args, reps=cfg.iterations, rounds=cfg.rounds)
+        stages[stage] = StageResult(stage, sec, calculate_flops(nnz, sec) / 1e9, dm)
+        log(f"[{name}] {stage}: {sec*1e3:.3f} ms = {stages[stage].gflops:.3f} GFLOPS, "
+            f"sig_diffs={dm.significant_diffs}, max_rel={dm.max_rel_err:.2e}")
+
+    if "xla_csr" in cfg.kernels:
+        dcsr = device_put_csr(csr, dtype=dt)
+        run_device_stage("xla_csr", lambda xx: dcsr.spmv(xx)[:M], xd)
+
+    if "xla_ell" in cfg.kernels and hll is not None:
+        try:
+            dell = device_put_ell(hll, dtype=dt, max_elements=cfg.ell_max_elements)
+            run_device_stage("xla_ell", lambda xx: dell.spmv(xx), xd)
+        except MemoryError as e:
+            log(f"[{name}] xla_ell skipped: {e}")
+
+    if "pallas_sell" in cfg.kernels:
+        t0 = time.perf_counter()
+        sell = SellMatrix.from_csr(csr)
+        fstats["convert_sell_s"] = time.perf_counter() - t0
+        fstats["sell"] = sell.memory_stats()
+        on_tpu = jax.devices()[0].platform != "cpu"
+        dsell = device_put_sell(sell, dtype=dt)
+        run_device_stage(
+            "pallas_sell",
+            lambda xx: sell_spmv_pallas(dsell, xx, interpret=not on_tpu),
+            xd,
+        )
+
+    return MatrixResult(name, M, N, nnz, stages, fstats, cfg)

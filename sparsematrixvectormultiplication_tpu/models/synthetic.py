@@ -1,0 +1,190 @@
+"""Synthetic matrix model families — generator + benchmark corpus.
+
+Ports the capability of the reference's Python generator
+(src/matrix_generator.py:41-132 ``MTXGenerator.generate_random_sparse_mtx``:
+general/symmetric/pattern x real/integer, density-controlled, 1-based sorted
+output) and extends it with the structural families of the SuiteSparse sweep
+the reference benchmarks against (SURVEY §4.3 matrix list): banded FEM-like
+matrices (cant/af_1_k101/Cube_Coup_dt0 class), power-law graphs
+(webbase-1M class), road networks (roadNet-PA class), and diagonal-dominant
+thermal-style matrices — so the bench suite exercises the same regimes
+without network access to SuiteSparse.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..formats.coo import COOMatrix
+
+__all__ = [
+    "random_general",
+    "random_symmetric",
+    "random_pattern",
+    "banded",
+    "power_law",
+    "road_network",
+    "diagonal_dominant",
+    "dense_rows_mix",
+    "BENCH_SUITE",
+    "generate_suite",
+    "write_suite",
+]
+
+
+def _dedup(nrows, ncols, row, col, val):
+    key = row.astype(np.int64) * ncols + col.astype(np.int64)
+    _, idx = np.unique(key, return_index=True)
+    return COOMatrix(nrows, ncols, row[idx], col[idx], val[idx])
+
+
+def random_general(nrows: int, ncols: int, density: float, seed: int = 0) -> COOMatrix:
+    """Uniform random sparse matrix (≙ matrix_generator.py general/real)."""
+    rng = np.random.default_rng(seed)
+    nnz = max(1, int(round(nrows * ncols * density)))
+    nnz = min(nnz, nrows * ncols)
+    flat = rng.choice(nrows * ncols, size=nnz, replace=False) if nrows * ncols < 1 << 28 else None
+    if flat is not None:
+        row, col = np.divmod(flat, ncols)
+    else:
+        row = rng.integers(0, nrows, nnz)
+        col = rng.integers(0, ncols, nnz)
+    val = rng.uniform(-1.0, 1.0, row.size)
+    return _dedup(nrows, ncols, row.astype(np.int32), col.astype(np.int32), val)
+
+
+def random_symmetric(n: int, density: float, seed: int = 0) -> COOMatrix:
+    """Symmetric random matrix, materialized fully expanded
+    (≙ matrix_generator.py symmetric branch + parser expansion)."""
+    base = random_general(n, n, density / 2, seed)
+    off = base.row != base.col
+    row = np.concatenate([base.row, base.col[off]])
+    col = np.concatenate([base.col, base.row[off]])
+    val = np.concatenate([base.val, base.val[off]])
+    return _dedup(n, n, row, col, val)
+
+
+def random_pattern(nrows: int, ncols: int, density: float, seed: int = 0) -> COOMatrix:
+    """Pattern matrix: all values 1.0 (≙ matrix_generator.py pattern field)."""
+    m = random_general(nrows, ncols, density, seed)
+    return COOMatrix(nrows, ncols, m.row, m.col, np.ones_like(m.val))
+
+
+def banded(n: int, nnz_per_row: int, bandwidth: int, seed: int = 0) -> COOMatrix:
+    """FEM-class banded matrix: each row has ~nnz_per_row entries within
+    +-bandwidth of the diagonal (Cube_Coup_dt0 / cant / ML_Laplace regime:
+    long uniform rows, strong column locality)."""
+    rng = np.random.default_rng(seed)
+    row = np.repeat(np.arange(n, dtype=np.int64), nnz_per_row)
+    col = row + rng.integers(-bandwidth, bandwidth + 1, size=row.size)
+    np.clip(col, 0, n - 1, out=col)
+    val = rng.standard_normal(row.size)
+    return _dedup(n, n, row.astype(np.int32), col.astype(np.int32), val)
+
+
+def power_law(n: int, avg_nnz_per_row: int, alpha: float = 2.1, seed: int = 0,
+              max_row: int | None = None) -> COOMatrix:
+    """Power-law (webbase-1M class): row degrees ~ Zipf(alpha), columns
+    preferentially attached — the adversarial case for padded formats
+    (reference result: HLL warp-shared collapses to 0.21 GFLOPS on
+    webbase-1M, BASELINE.md)."""
+    rng = np.random.default_rng(seed)
+    deg = rng.zipf(alpha, size=n).astype(np.int64)
+    cap = max_row or max(64, avg_nnz_per_row * 64)
+    np.clip(deg, 1, cap, out=deg)
+    scale = n * avg_nnz_per_row / deg.sum()
+    deg = np.maximum(1, (deg * scale).astype(np.int64))
+    row = np.repeat(np.arange(n, dtype=np.int64), deg)
+    # preferential column attachment: square a uniform to bias to low ids,
+    # then permute so "hubs" are scattered
+    u = rng.random(row.size)
+    col = (u * u * n).astype(np.int64)
+    perm = rng.permutation(n)
+    col = perm[np.clip(col, 0, n - 1)]
+    val = rng.standard_normal(row.size)
+    return _dedup(n, n, row.astype(np.int32), col.astype(np.int32), val)
+
+
+def road_network(n: int, seed: int = 0) -> COOMatrix:
+    """roadNet-PA class: ~2-4 nnz/row, near-diagonal + a few long links."""
+    rng = np.random.default_rng(seed)
+    deg = rng.integers(1, 5, size=n)
+    row = np.repeat(np.arange(n, dtype=np.int64), deg)
+    local = row + rng.integers(-50, 51, size=row.size)
+    far = rng.integers(0, n, size=row.size)
+    use_far = rng.random(row.size) < 0.05
+    col = np.where(use_far, far, np.clip(local, 0, n - 1))
+    val = np.ones(row.size)
+    return _dedup(n, n, row.astype(np.int32), col.astype(np.int32), val)
+
+
+def diagonal_dominant(n: int, nnz_per_row: int = 7, seed: int = 0) -> COOMatrix:
+    """thermal2-class: few nnz/row, clustered near diagonal."""
+    return banded(n, nnz_per_row, max(8, n // 1000), seed)
+
+
+def dense_rows_mix(n: int, seed: int = 0) -> COOMatrix:
+    """dc1-class: mostly short rows plus a handful of dense rows —
+    stresses the K-binning load balancer."""
+    rng = np.random.default_rng(seed)
+    base = banded(n, 5, 30, seed)
+    hot = rng.choice(n, size=max(1, n // 2000), replace=False)
+    hrow = np.repeat(hot.astype(np.int64), n // 50)
+    hcol = rng.integers(0, n, size=hrow.size)
+    row = np.concatenate([base.row.astype(np.int64), hrow])
+    col = np.concatenate([base.col.astype(np.int64), hcol])
+    val = np.concatenate([base.val, rng.standard_normal(hrow.size)])
+    return _dedup(n, n, row.astype(np.int32), col.astype(np.int32), val)
+
+
+@dataclass(frozen=True)
+class SuiteEntry:
+    name: str
+    family: str
+    builder: object  # () -> COOMatrix
+
+
+# The standing bench corpus: one entry per SuiteSparse regime in the
+# reference sweep (names indicate the analogue).
+BENCH_SUITE = [
+    SuiteEntry("banded_fem_large", "banded (Cube_Coup_dt0-class)",
+               lambda: banded(1_500_000, 80, 4000, seed=1)),
+    SuiteEntry("banded_fem_medium", "banded (cant-class)",
+               lambda: banded(250_000, 64, 1500, seed=2)),
+    SuiteEntry("ml_laplace_like", "banded (ML_Laplace-class)",
+               lambda: banded(400_000, 70, 2500, seed=3)),
+    SuiteEntry("thermal_like", "diagonal (thermal2-class)",
+               lambda: diagonal_dominant(1_200_000, 7, seed=4)),
+    SuiteEntry("road_like", "graph (roadNet-PA-class)",
+               lambda: road_network(1_000_000, seed=5)),
+    SuiteEntry("powerlaw_web", "power-law (webbase-1M-class)",
+               lambda: power_law(1_000_000, 3, seed=6)),
+    SuiteEntry("dense_rows_mix", "mixed (dc1-class)",
+               lambda: dense_rows_mix(500_000, seed=7)),
+    SuiteEntry("random_uniform", "uniform random (cage-class)",
+               lambda: random_general(200_000, 200_000, 2.5e-4, seed=8)),
+]
+
+
+def generate_suite(entries=None):
+    """Yield (name, family, COOMatrix) for the bench corpus."""
+    for e in entries or BENCH_SUITE:
+        yield e.name, e.family, e.builder()
+
+
+def write_suite(directory: str, entries=None):
+    """Materialize the corpus as .mtx files (≙ the reference's
+    matrix_for_test/ directory feeding main.c:25-44)."""
+    import os
+
+    from ..io.mmio import write_matrix_market
+
+    os.makedirs(directory, exist_ok=True)
+    paths = []
+    for name, _family, coo in generate_suite(entries):
+        p = os.path.join(directory, f"{name}.mtx")
+        write_matrix_market(p, coo.nrows, coo.ncols, coo.row, coo.col, coo.val)
+        paths.append(p)
+    return paths
