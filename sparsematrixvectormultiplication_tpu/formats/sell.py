@@ -10,39 +10,42 @@ lanes — the VPU register shape).
 
 Layout
 ------
-Rows are grouped into *groups* of ``1024`` (8x128). Group ``g`` stores its
-entries in a ``(K_g * 8, 128)`` tile where entry ``k`` of local row
-``r = i*128 + j`` lives at ``[k*8 + i, j]``. A whole-group row-sum is then
-8-way sublane-strided adds plus one native sublane reduction, and the result
-tile ``(8, 128)`` is exactly rows ``g*1024 .. g*1024+1023`` in natural order —
-no permutation of ``y`` (unlike SELL-sigma row sorting).
-
+Rows are grouped into *groups* of ``1024`` (8 superblocks x 128 lanes).
 Groups are *binned* by padded width ``K`` so each bin is one rectangular
 buffer = one ``pallas_call`` grid (the TPU equivalent of the reference's
-nnz-balanced thread scheduling, src/csr_matrix.c:167-266: binning replaces
-per-thread row ranges as the load-balancing mechanism — BASELINE.json names
-row-binning explicitly).
+nnz-balanced thread scheduling, src/csr_matrix.c:167-266 — binning replaces
+per-thread row ranges as the load-balancing mechanism; BASELINE.json names
+row-binning explicitly). Within a bin each group stores a ``(K*8, 128)``
+tile in one of two interleaves, chosen per bin by a cost model:
+
+* ``k-major`` — entry ``k`` of local row ``i*128+j`` at ``[k*8+i, j]``.
+  Served by the *slab-list* kernel: loop over the group's distinct x-slabs.
+  Wins on scattered matrices (power-law) where per-chunk column ranges are
+  wide but the distinct-slab count is moderate.
+* ``sb-major`` — entry ``k`` of local row ``sb*128+j`` at ``[sb*K+k, j]``.
+  Each ``(8,128)`` chunk then covers 8 *consecutive* entries of 128
+  *consecutive* rows, so its slab range ``[qmin, qmax]`` is tiny on
+  banded/local matrices; the kernel range-scans it with no side tables.
+  Requires ``K`` to be a multiple of 8.
 
 x-gather decomposition
 ----------------------
 TPU has no fast arbitrary gather. Column index ``c`` decomposes as
 ``c = 128*q + m``: ``q`` selects a *slab* (one 128-wide row of the
 ``(ceil(N/128), 128)`` x-table), ``m`` selects the lane within the slab.
-Mosaic supports lane-gather (``take_along_axis`` axis=1), so the kernel loops
-over the group's *distinct slabs* (precomputed here as ``slab_list``),
-broadcasts each slab row, lane-gathers, and accumulates under an equality
-mask. Per-group slab counts are the kernel's work measure for irregular
-matrices (≙ the x-prefix shared-memory caching idea of
-cuda_src/csr_matrix_cuda.cu:198-241, generalized).
+Mosaic supports lane-gather (``take_along_axis`` axis=1), so both kernels
+broadcast a slab row, lane-gather by ``m``, and accumulate under a ``q``
+equality mask — they differ only in how candidate slabs are enumerated.
 
 Padding follows the reference HLL semantics (hll_matrix.c:241-246): padded
-entries replicate the row's last valid column with value 0.0, so they never
-add slabs beyond those already touched by real entries.
+entries replicate the row's last valid column with value 0.0. Fully empty
+rows pad with their superblock's minimum real column (not 0) so sb-major
+range scans stay tight; contributions are 0 either way.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
@@ -54,23 +57,29 @@ __all__ = ["SellBin", "SellMatrix", "GROUP_ROWS", "LANES", "SUBLANES"]
 LANES = 128
 SUBLANES = 8
 GROUP_ROWS = LANES * SUBLANES  # 1024
+CHUNK_K = 8  # entries per (8,128) chunk in sb-major layout
 
-# Default K bin edges: powers of two-ish ladder; a group with max row nnz K_g
-# is padded to the smallest edge >= K_g. Autotunable (tune/autotune.py).
-DEFAULT_K_BINS = (1, 2, 4, 8, 12, 16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512, 768, 1024)
+# Default K bin edges; a group with max row nnz K_g is padded to the smallest
+# edge >= K_g. Autotunable (tune/autotune.py).
+DEFAULT_K_BINS = (1, 2, 4, 8, 16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512, 768, 1024)
 
 
 @dataclass(frozen=True)
 class SellBin:
-    """One rectangular bin: all groups padded to the same entry width ``k``."""
+    """One rectangular bin: all groups padded to the same entry width ``k``,
+    served by the same kernel shape (layout + static span)."""
 
     k: int                   # padded entries per row
+    layout: str              # "k-major" | "sb-major"
     group_ids: np.ndarray    # (n_groups,) int32 — global group indices
     ja: np.ndarray           # (n_groups * k * 8, 128) int32 column indices
     as_: np.ndarray          # (n_groups * k * 8, 128) values (0.0 padding)
-    slab_list: np.ndarray    # (n_groups, s_max) int32 distinct col//128 per group
-    slab_count: np.ndarray   # (n_groups,) int32
+    slab_list: np.ndarray    # k-major: (n_groups, s_max) distinct col//128
+                             # sb-major: (n_groups, 8 * k/CHUNK_K) per-chunk qbase
+    slab_count: np.ndarray   # (n_groups,) int32 distinct-slab counts (k-major loop bound)
     real_nnz: int            # un-padded nnz covered by this bin
+    span: int = 0            # sb-major: static slabs scanned per chunk
+    cost_passes: int = 0     # modeled vreg-ops per element for the chosen kernel
 
     @property
     def n_groups(self) -> int:
@@ -125,6 +134,7 @@ class SellMatrix:
             "padding_ratio": self.padding_ratio,
             "num_bins": len(self.bins),
             "bin_ks": [b.k for b in self.bins],
+            "bin_layouts": [b.layout for b in self.bins],
             "bytes_total": byt,
         }
 
@@ -135,11 +145,14 @@ class SellMatrix:
         *,
         k_bins=DEFAULT_K_BINS,
         value_dtype=None,
+        layout: str = "auto",
     ) -> "SellMatrix":
         """Convert CSR (column-sorted rows) to binned SELL-C-128.
 
         ``value_dtype`` defaults to the CSR value dtype (fp64 host-exact);
         :func:`..ops.pallas_sell.device_put_sell` casts on upload.
+        ``layout``: "auto" picks per bin by cost model; "k-major"/"sb-major"
+        force one.
         """
         if value_dtype is None:
             value_dtype = csr.values.dtype
@@ -161,33 +174,43 @@ class SellMatrix:
             edges = np.unique(np.concatenate([edges, np.asarray(extra[1:], np.int64)]))
         bin_of_group = np.searchsorted(edges, kg, side="left")
 
-        # pad-column per padded row (reference hll_matrix.c:241-246 semantics)
-        last_col = np.zeros(padded_rows, dtype=np.int32)
+        # pad-column per padded row (reference hll_matrix.c:241-246 semantics;
+        # empty rows use the superblock's min real column to keep sb-major
+        # range scans tight — value is 0.0 so semantics are unchanged)
+        last_col = np.full(padded_rows, -1, dtype=np.int64)
         rows_idx = np.flatnonzero(row_nnz[:M] > 0) if M else np.zeros(0, np.int64)
         if rows_idx.size:
             last_col[rows_idx] = csr.col_idx[csr.row_ptr[1:][rows_idx].astype(np.int64) - 1]
+        first_col = np.full(padded_rows, np.iinfo(np.int64).max, dtype=np.int64)
+        if rows_idx.size:
+            first_col[rows_idx] = csr.col_idx[csr.row_ptr[:-1][rows_idx].astype(np.int64)]
+        sb_min = first_col.reshape(-1, LANES).min(axis=1)  # per 128-row superblock
+        sb_min = np.where(sb_min == np.iinfo(np.int64).max, 0, sb_min)
+        fill = np.repeat(sb_min, LANES)
+        last_col = np.where(last_col < 0, fill, last_col).astype(np.int32)
 
         rows_of_entries = csr.row_ids().astype(np.int64)
         within = np.arange(csr.nnz, dtype=np.int64) - csr.row_ptr[:-1].astype(np.int64)[rows_of_entries]
 
+        # x-table row count exactly as pack_x_table builds it (sublane-aligned);
+        # qbase clamping keeps every scanned slab index inside the table.
+        R = -(-N // LANES)
+        Rp = -(-R // SUBLANES) * SUBLANES
+
         bins = []
         for b_id in np.unique(bin_of_group) if num_groups else []:
             K = int(edges[b_id])
-            gids = np.flatnonzero(bin_of_group == b_id).astype(np.int32)
-            ng = gids.size
-            # local (within-bin) dense index of each group
+            gids_all = np.flatnonzero(bin_of_group == b_id).astype(np.int32)
             ginv = np.full(num_groups, -1, dtype=np.int64)
-            ginv[gids] = np.arange(ng)
+            ginv[gids_all] = np.arange(gids_all.size)
+            ng = gids_all.size
 
-            # build (ng * K * 8, 128) tiles
+            # build in k-major logical form (ng, K, 8, 128) first
             ja = np.empty((ng, K, SUBLANES, LANES), dtype=np.int32)
             as_ = np.zeros((ng, K, SUBLANES, LANES), dtype=value_dtype)
-            # initialize JA with per-row pad columns:
-            # padded row r (global) -> (g, i, j): g=r//1024, i=(r%1024)//128, j=r%128
-            pad_cols = last_col.reshape(num_groups, SUBLANES, LANES)[gids]  # (ng,8,128)
+            pad_cols = last_col.reshape(num_groups, SUBLANES, LANES)[gids_all]
             ja[:] = pad_cols[:, None, :, :]
 
-            # scatter real entries belonging to this bin's groups
             g_all = rows_of_entries // GROUP_ROWS
             sel = ginv[g_all] >= 0
             if np.any(sel):
@@ -199,24 +222,91 @@ class SellMatrix:
                 k = within[sel]
                 ja[gl, k, i, j] = csr.col_idx[sel]
                 as_[gl, k, i, j] = csr.values[sel].astype(value_dtype)
-            real_nnz = int(np.count_nonzero(sel))
 
-            # distinct slabs per group, from REAL entries only
             slab_list, slab_count = _build_slab_lists(
-                rows_of_entries, csr.col_idx, gids, ginv, ng
+                rows_of_entries, csr.col_idx, gids_all, ginv, ng
             )
 
-            bins.append(
-                SellBin(
-                    k=K,
-                    group_ids=gids,
-                    ja=ja.reshape(ng * K * SUBLANES, LANES),
-                    as_=as_.reshape(ng * K * SUBLANES, LANES),
-                    slab_list=slab_list,
-                    slab_count=slab_count,
-                    real_nnz=real_nnz,
+            # ---- per-group layout + span decision ----
+            Kp = -(-K // CHUNK_K) * CHUNK_K  # sb-major padded width
+            nchunks = Kp // CHUNK_K
+            # sb-major view (ng, 8, Kp, 128) and per-chunk q ranges
+            jat = np.transpose(ja, (0, 2, 1, 3))
+            if Kp != K:
+                jat = np.concatenate(
+                    [jat, np.broadcast_to(pad_cols[:, :, None, :],
+                                          (ng, SUBLANES, Kp - K, LANES))],
+                    axis=2,
                 )
-            )
+            q = jat.astype(np.int64) // LANES
+            qc = q.reshape(ng, SUBLANES, nchunks, CHUNK_K, LANES)
+            qmin = qc.min(axis=(3, 4))                      # (ng, 8, nchunks)
+            spans = qc.max(axis=(3, 4)) - qmin + 1
+            g_span = spans.max(axis=(1, 2))                 # (ng,) max span per group
+            # quantize spans to pow2 sub-bins
+            s_q = np.maximum(1, 1 << np.ceil(np.log2(np.maximum(g_span, 1))).astype(np.int64))
+            s_q = np.minimum(s_q, max(Rp, 1))
+            # modeled vreg-ops per group (ops on (8,128) registers):
+            #   sb-major: per chunk, span gather passes (~5 ops) + 2
+            #   k-major : per distinct slab, K tile-vregs x ~5 ops
+            cost_sb_g = SUBLANES * nchunks * (5 * s_q + 2)
+            cost_km_g = 5 * slab_count.astype(np.int64) * K + K
+            if layout == "sb-major":
+                use_sb = np.ones(ng, dtype=bool)
+            elif layout == "k-major":
+                use_sb = np.zeros(ng, dtype=bool)
+            else:
+                use_sb = cost_sb_g < cost_km_g
+
+            group_nnz = row_nnz.reshape(num_groups, GROUP_ROWS).sum(axis=1)
+
+            def emit(mask, lay, span_val):
+                sub = np.flatnonzero(mask)
+                if sub.size == 0:
+                    return
+                gsub = gids_all[sub]
+                real = int(group_nnz[gsub].sum())
+                if lay == "sb-major":
+                    qb = np.clip(qmin[sub], 0, max(Rp - span_val, 0)).astype(np.int32)
+                    ast = np.transpose(as_[sub], (0, 2, 1, 3))
+                    if Kp != K:
+                        ast = np.concatenate(
+                            [ast, np.zeros((sub.size, SUBLANES, Kp - K, LANES),
+                                           dtype=value_dtype)],
+                            axis=2,
+                        )
+                    bins.append(
+                        SellBin(
+                            k=Kp,
+                            layout="sb-major",
+                            group_ids=gsub,
+                            ja=np.ascontiguousarray(jat[sub]).reshape(-1, LANES),
+                            as_=np.ascontiguousarray(ast).reshape(-1, LANES),
+                            slab_list=qb.reshape(sub.size, SUBLANES * nchunks),
+                            slab_count=np.full(sub.size, span_val, np.int32),
+                            real_nnz=real,
+                            span=int(span_val),
+                            cost_passes=int(cost_sb_g[sub].sum()),
+                        )
+                    )
+                else:
+                    bins.append(
+                        SellBin(
+                            k=K,
+                            layout="k-major",
+                            group_ids=gsub,
+                            ja=np.ascontiguousarray(ja[sub]).reshape(-1, LANES),
+                            as_=np.ascontiguousarray(as_[sub]).reshape(-1, LANES),
+                            slab_list=slab_list[sub],
+                            slab_count=slab_count[sub],
+                            real_nnz=real,
+                            cost_passes=int(cost_km_g[sub].sum()),
+                        )
+                    )
+
+            emit(~use_sb, "k-major", 0)
+            for sv in np.unique(s_q[use_sb]) if np.any(use_sb) else []:
+                emit(use_sb & (s_q == sv), "sb-major", int(sv))
 
         return cls(nrows=M, ncols=N, nnz=csr.nnz, bins=bins, num_groups=num_groups)
 
@@ -230,9 +320,14 @@ class SellMatrix:
         y = np.zeros(self.padded_rows, dtype=np.float64)
         for bin_ in self.bins:
             ng, K = bin_.n_groups, bin_.k
-            ja = bin_.ja.reshape(ng, K, SUBLANES, LANES)
-            as_ = bin_.as_.reshape(ng, K, SUBLANES, LANES)
-            contrib = (as_.astype(np.float64) * x[ja]).sum(axis=1)  # (ng,8,128)
+            if bin_.layout == "k-major":
+                ja = bin_.ja.reshape(ng, K, SUBLANES, LANES)
+                as_ = bin_.as_.reshape(ng, K, SUBLANES, LANES)
+                contrib = (as_.astype(np.float64) * x[ja]).sum(axis=1)  # (ng,8,128)
+            else:
+                ja = bin_.ja.reshape(ng, SUBLANES, K, LANES)
+                as_ = bin_.as_.reshape(ng, SUBLANES, K, LANES)
+                contrib = (as_.astype(np.float64) * x[ja]).sum(axis=2)  # (ng,8,128)
             rows = (
                 bin_.group_ids.astype(np.int64)[:, None, None] * GROUP_ROWS
                 + np.arange(SUBLANES)[None, :, None] * LANES

@@ -224,8 +224,9 @@ def _read_matrix_market_bytes(data: bytes, *, expand_symmetry, dtype, index_dtyp
         if len(sizes) != 3:
             raise MMIOError(f"bad coordinate size line: {size_line!r}")
         nrows, ncols, nnz = (int(s) for s in sizes)
-        body = data[text_head_end:]
-        row, col, val = _parse_coordinate_body(body, nnz, tc, dtype, index_dtype)
+        row, col, val = _parse_coordinate_body(
+            data, nnz, tc, dtype, index_dtype, offset=text_head_end
+        )
     else:
         sizes = size_line.split()
         if len(sizes) != 2:
@@ -249,14 +250,40 @@ def _read_matrix_market_bytes(data: bytes, *, expand_symmetry, dtype, index_dtyp
     return nrows, ncols, row, col, val, tc
 
 
-def _parse_coordinate_body(body: bytes, nnz: int, tc: MMTypeCode, dtype, index_dtype):
+def _parse_coordinate_body(data: bytes, nnz: int, tc: MMTypeCode, dtype, index_dtype,
+                           offset: int = 0):
     ncol_file = 2 if tc.is_pattern else (4 if tc.is_complex else 3)
+
+    # native C++ multithreaded parser (native/fast_mmio.cpp); real/integer/
+    # pattern only — complex needs both components, handled by the numpy path
+    if not tc.is_complex and nnz >= (1 << 14):
+        try:
+            from ..native.build import parse_body_native
+
+            out = parse_body_native(data, nnz, ncol_file, offset=offset)
+        except Exception:
+            out = None
+        if out is not None:
+            row1, col1, vals = out
+            row = row1.astype(index_dtype, copy=False) - 1
+            col = col1.astype(index_dtype, copy=False) - 1
+            if tc.is_pattern:
+                val = np.ones(nnz, dtype=dtype)
+            else:
+                val = vals.astype(dtype, copy=False)
+            return row, col, val
+
+    body = data[offset:]
+
     # numpy-vectorized parse of the whitespace table; np.loadtxt fallback for
     # ragged/odd bodies (robust but slower).
     try:
         table = _fast_parse_table(body, ncol_file, nnz)
     except Exception:
-        table = np.loadtxt(_io.BytesIO(body), dtype=np.float64, ndmin=2)
+        try:
+            table = np.loadtxt(_io.BytesIO(body), dtype=np.float64, ndmin=2)
+        except Exception as e:
+            raise MMIOError(f"malformed coordinate body: {e}") from e
         if table.size == 0:
             table = table.reshape(0, ncol_file)
     if table.shape[0] < nnz:

@@ -59,10 +59,13 @@ def random_symmetric(n: int, density: float, seed: int = 0) -> COOMatrix:
     """Symmetric random matrix, materialized fully expanded
     (≙ matrix_generator.py symmetric branch + parser expansion)."""
     base = random_general(n, n, density / 2, seed)
-    off = base.row != base.col
-    row = np.concatenate([base.row, base.col[off]])
-    col = np.concatenate([base.col, base.row[off]])
-    val = np.concatenate([base.val, base.val[off]])
+    # canonicalize to the lower triangle first so mirrored pairs agree
+    lo = _dedup(n, n, np.maximum(base.row, base.col),
+                np.minimum(base.row, base.col), base.val)
+    off = lo.row != lo.col
+    row = np.concatenate([lo.row, lo.col[off]])
+    col = np.concatenate([lo.col, lo.row[off]])
+    val = np.concatenate([lo.val, lo.val[off]])
     return _dedup(n, n, row, col, val)
 
 

@@ -1,4 +1,4 @@
-"""Pallas SELL-C-128 SpMV — the TPU performance kernel.
+"""Pallas SELL-C-128 SpMV — the TPU performance kernels.
 
 TPU-native redesign of the reference's CUDA warp-per-row kernels
 (cuda_src/csr_matrix_cuda.cu:151-196 warp CSR, cuda_src/hll_matrix.cu:379-426
@@ -7,11 +7,17 @@ warp HLL, and the shared-memory x-caching variants :198-241/:428-479):
   * warp-per-row lane striding        ->  lane-per-row SELL-C-128 layout
   * __shfl_down_sync butterfly reduce ->  native sublane reduction
   * shared-memory x cache             ->  whole x table resident in VMEM
-  * gather of x[col]                  ->  slab decomposition col = 128*q + m:
-        loop over the group's distinct slabs q (scalar-prefetched lists),
-        broadcast slab row, Mosaic lane-gather by m, masked accumulate
+  * gather of x[col]                  ->  slab decomposition col = 128*q + m
   * cudaOccupancyMaxPotentialBlockSize -> K-binning of groups (one pallas_call
         per rectangular bin; bin edges autotunable)
+
+Two kernels, selected per bin by the host-side cost model in formats/sell.py:
+
+  * ``k-major`` slab-list kernel — iterates the group's distinct x-slabs
+    (scalar-prefetched lists); best for scattered (power-law) columns.
+  * ``sb-major`` range-scan kernel — each (8,128) chunk covers 8 consecutive
+    entries x 128 consecutive rows, so the kernel scans the chunk's
+    ``[qmin, qmax]`` computed in-kernel; best for banded/local columns.
 
 Empirical design constraints (measured on TPU v5e via probes; see
 docs/DESIGN.md): XLA arbitrary gather ~0.1-1 G elem/s (unusable); Mosaic
@@ -30,7 +36,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..formats.sell import GROUP_ROWS, LANES, SUBLANES, SellMatrix
+from ..formats.sell import CHUNK_K, GROUP_ROWS, LANES, SUBLANES, SellMatrix
 
 __all__ = ["DeviceSellBin", "DeviceSell", "device_put_sell", "sell_spmv_pallas"]
 
@@ -42,22 +48,24 @@ _UNROLL_MAX = 64  # unroll the K-reduction up to this many slices
 class DeviceSellBin:
     k: int
     n_groups: int
+    layout: str            # "k-major" | "sb-major"
+    span: int              # sb-major static scan length
     group_ids: jax.Array   # (ng,) int32
     ja: jax.Array          # (ng*k*8, 128) int32
     as_: jax.Array         # (ng*k*8, 128) float
-    slab_list: jax.Array   # (ng, s_max) int32
+    slab_list: jax.Array   # k-major: (ng, s_max) slab ids; sb-major: (ng, 8*k/8) qbase
     slab_count: jax.Array  # (ng,) int32
 
     def tree_flatten(self):
         return (
             (self.group_ids, self.ja, self.as_, self.slab_list, self.slab_count),
-            (self.k, self.n_groups),
+            (self.k, self.n_groups, self.layout, self.span),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        k, ng = aux
-        return cls(k, ng, *children)
+        k, ng, layout, span = aux
+        return cls(k, ng, layout, span, *children)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -89,6 +97,8 @@ def device_put_sell(sell: SellMatrix, dtype=jnp.float32, device=None) -> DeviceS
             DeviceSellBin(
                 k=int(b.k),
                 n_groups=int(b.n_groups),
+                layout=b.layout,
+                span=int(b.span),
                 group_ids=jax.device_put(jnp.asarray(b.group_ids, jnp.int32), device),
                 ja=jax.device_put(jnp.asarray(b.ja, jnp.int32), device),
                 as_=jax.device_put(jnp.asarray(b.as_, dtype), device),
@@ -100,7 +110,7 @@ def device_put_sell(sell: SellMatrix, dtype=jnp.float32, device=None) -> DeviceS
 
 
 def pack_x_table(x, ncols: int):
-    """Pad x to the (R, 128) slab table consumed by the kernel."""
+    """Pad x to the (R, 128) slab table consumed by the kernels."""
     R = -(-ncols // LANES)
     Rp = -(-R // SUBLANES) * SUBLANES  # sublane-aligned table
     pad = Rp * LANES - x.shape[0]
@@ -109,16 +119,19 @@ def pack_x_table(x, ncols: int):
     return x.reshape(Rp, LANES)
 
 
-def _sell_bin_kernel(k: int, interpret: bool):
-    """Build the per-bin kernel body. K (entries/row) is static per bin."""
+# ---------------------------------------------------------------------------
+# k-major slab-list kernel
+# ---------------------------------------------------------------------------
+
+
+def _kernel_k_major(k: int):
     KB = k * SUBLANES
 
-    def kernel(gid_ref, slab_ref, cnt_ref, x_ref, ja_ref, as_ref, y_ref):
+    def kernel(gid_ref, slab_ref, cnt_ref, x_ref, ja_ref, as_ref, yin_ref, y_ref):
         g = pl.program_id(0)
         ja = ja_ref[:]
-        q = ja // LANES          # (KB,128) slab id per entry
-        m = ja - q * LANES       # lane within slab
-        vals = as_ref[:]
+        q = ja >> 7              # // 128
+        m = ja & (LANES - 1)     # % 128
         nslab = cnt_ref[g]
 
         def body(s, acc):
@@ -126,11 +139,14 @@ def _sell_bin_kernel(k: int, interpret: bool):
             xrow = x_ref[sq, :]
             xb = jnp.broadcast_to(xrow[None, :], (KB, LANES))
             gat = jnp.take_along_axis(xb, m, axis=1)
-            return acc + jnp.where(q == sq, vals * gat, 0)
+            return acc + jnp.where(q == sq, gat, 0)
 
-        acc = jax.lax.fori_loop(
-            0, nslab, body, jnp.zeros((KB, LANES), vals.dtype)
+        # gather first, multiply by values once (each entry matches exactly
+        # one slab, so summing gathers before the multiply is exact)
+        gath = jax.lax.fori_loop(
+            0, nslab, body, jnp.zeros((KB, LANES), as_ref.dtype)
         )
+        acc = as_ref[:] * gath
         # per-row reduction: out[i,j] = sum_k acc[k*8+i, j]
         if k <= _UNROLL_MAX:
             red = acc[0:SUBLANES, :]
@@ -143,10 +159,66 @@ def _sell_bin_kernel(k: int, interpret: bool):
                     acc, (kk * SUBLANES, 0), (SUBLANES, LANES)
                 )
 
-            red = jax.lax.fori_loop(
-                1, k, red_body, acc[0:SUBLANES, :]
-            )
+            red = jax.lax.fori_loop(1, k, red_body, acc[0:SUBLANES, :])
         y_ref[:] = red
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# sb-major range-scan kernel
+# ---------------------------------------------------------------------------
+
+
+def _kernel_sb_major(k: int, span: int):
+    """Range-scan kernel with fully static control flow.
+
+    Per (8,128) chunk: ``span`` unrolled gather passes starting at the
+    host-precomputed, scalar-prefetched slab base ``qb`` (slab_ref doubles as
+    the qbase table for sb-major bins). Over-scan beyond the chunk's true
+    range is masked out by the ``q == sq`` select, so a bin-uniform static
+    span is safe; the multiply by values happens once per chunk, not per
+    pass. When ``span == 1`` every entry's slab equals ``qb`` by
+    construction, so the compare/select drops out entirely.
+    """
+    assert k % CHUNK_K == 0
+    nchunks = k // CHUNK_K
+
+    def kernel(gid_ref, qb_ref, cnt_ref, x_ref, ja_ref, as_ref, yin_ref, y_ref):
+        g = pl.program_id(0)
+        dtype = as_ref.dtype
+        rows = []
+        for sb in range(SUBLANES):  # static: 8 superblocks per group
+
+            def chunk_body(c, acc, _sb=sb):
+                off = pl.multiple_of(_sb * k, CHUNK_K) + c * CHUNK_K
+                tile = ja_ref[pl.ds(off, CHUNK_K), :]
+                vals = as_ref[pl.ds(off, CHUNK_K), :]
+                qb = qb_ref[g, _sb * nchunks + c]
+                if span == 1:
+                    m = tile - qb * LANES  # q == qb for every entry
+                    xrow = x_ref[qb, :]
+                    xb = jnp.broadcast_to(xrow[None, :], (CHUNK_K, LANES))
+                    gath = jnp.take_along_axis(xb, m, axis=1)
+                else:
+                    q = tile >> 7          # // 128
+                    m = tile & (LANES - 1)  # % 128
+                    gath = jnp.zeros((CHUNK_K, LANES), dtype)
+                    for s in range(span):  # static unroll
+                        sq = qb + s
+                        xrow = x_ref[sq, :]
+                        xb = jnp.broadcast_to(xrow[None, :], (CHUNK_K, LANES))
+                        gat = jnp.take_along_axis(xb, m, axis=1)
+                        gath = gath + jnp.where(q == sq, gat, 0)
+                return acc + vals * gath
+
+            # Mosaic fori_loop supports only unroll=1 or full unroll
+            psum = jax.lax.fori_loop(
+                0, nchunks, chunk_body, jnp.zeros((CHUNK_K, LANES), dtype),
+                unroll=nchunks if nchunks <= 8 else 1,
+            )
+            rows.append(jnp.sum(psum, axis=0))
+        y_ref[:] = jnp.stack(rows)
 
     return kernel
 
@@ -180,10 +252,10 @@ def _bin_call(bin_: DeviceSellBin, x_tab, y, num_groups: int, interpret: bool):
         ),
     )
 
-    kernel_body = _sell_bin_kernel(K, interpret)
-
-    def kernel(gid_ref, slab_ref, cnt_ref, x_ref, ja_ref, as_ref, yin_ref, y_ref):
-        kernel_body(gid_ref, slab_ref, cnt_ref, x_ref, ja_ref, as_ref, y_ref)
+    if bin_.layout == "sb-major":
+        kernel = _kernel_sb_major(K, bin_.span)
+    else:
+        kernel = _kernel_k_major(K)
 
     return pl.pallas_call(
         kernel,

@@ -64,9 +64,14 @@ def sell_spmv_xla(dsell, x_tab):
     x_flat = x_tab.reshape(-1)
     for bin_ in dsell.bins:
         ng, K = bin_.n_groups, bin_.k
-        ja = bin_.ja.reshape(ng, K, SUBLANES, LANES)
-        as_ = bin_.as_.reshape(ng, K, SUBLANES, LANES)
-        contrib = jnp.sum(as_ * jnp.take(x_flat, ja), axis=1)  # (ng,8,128)
+        if bin_.layout == "k-major":
+            ja = bin_.ja.reshape(ng, K, SUBLANES, LANES)
+            as_ = bin_.as_.reshape(ng, K, SUBLANES, LANES)
+            contrib = jnp.sum(as_ * jnp.take(x_flat, ja), axis=1)  # (ng,8,128)
+        else:  # sb-major
+            ja = bin_.ja.reshape(ng, SUBLANES, K, LANES)
+            as_ = bin_.as_.reshape(ng, SUBLANES, K, LANES)
+            contrib = jnp.sum(as_ * jnp.take(x_flat, ja), axis=2)  # (ng,8,128)
         rows = bin_.group_ids.astype(jnp.int32)
         y = y.at[
             (rows[:, None] * SUBLANES + jnp.arange(SUBLANES)[None, :]).reshape(-1)

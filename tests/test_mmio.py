@@ -165,3 +165,36 @@ def test_typecode_validation():
         MMTypeCode(object="tensor")
     with pytest.raises(MMIOError):
         MMTypeCode(field="boolean")
+
+
+def test_malformed_big_body_raises_mmio_error(tmp_path):
+    """Large bodies route through the native parser; malformed content must
+    still surface as MMIOError (not a numpy ValueError)."""
+    n = 20000
+    p = tmp_path / "bad_big.mtx"
+    with open(p, "w") as f:
+        f.write("%%MatrixMarket matrix coordinate real general\n")
+        f.write(f"{n} {n} {n}\n")
+        for i in range(1, 10000):
+            f.write(f"{i} {i} 1.0\n")
+        f.write("garbage line here\n")
+    with pytest.raises(MMIOError):
+        read_matrix_market(p)
+
+
+def test_native_parser_number_formats(tmp_path):
+    """Exponent, Fortran-D, and long-mantissa values through the native
+    C++ parser (nnz above its activation threshold)."""
+    n = 20000
+    p = tmp_path / "expo.mtx"
+    with open(p, "w") as f:
+        f.write("%%MatrixMarket matrix coordinate real general\n")
+        f.write(f"{n} {n} {n}\n")
+        for i in range(1, n + 1):
+            v = ["1.5e-3", "2.25E+2", "-7.5d-1", "0.123456789012345678901"][i % 4]
+            f.write(f"{i} {i} {v}\n")
+    nr, nc, r, c, v, tc = read_matrix_market(p)
+    assert np.allclose(v[0::4], 2.25e2, rtol=1e-14)
+    assert np.allclose(v[1::4], -0.75, rtol=1e-14)
+    assert np.allclose(v[2::4], 0.123456789012345678901, rtol=1e-14)
+    assert np.allclose(v[3::4], 1.5e-3, rtol=1e-14)

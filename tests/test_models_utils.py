@@ -1,0 +1,131 @@
+"""Tests for the synthetic matrix families, metric store, scheduler report,
+and timing utilities."""
+
+import numpy as np
+import pytest
+
+from sparsematrixvectormultiplication_tpu.models.synthetic import (
+    banded,
+    dense_rows_mix,
+    diagonal_dominant,
+    power_law,
+    random_general,
+    random_pattern,
+    random_symmetric,
+    road_network,
+    write_suite,
+    SuiteEntry,
+)
+from sparsematrixvectormultiplication_tpu.utils.metrics import (
+    MetricStore,
+    calculate_flops,
+    format_bytes,
+    format_flops,
+)
+from sparsematrixvectormultiplication_tpu.utils.validation import DiffMetrics
+
+
+def test_random_general_density():
+    m = random_general(200, 300, 0.05, seed=1)
+    assert m.shape == (200, 300)
+    assert 0.7 * 3000 <= m.nnz <= 3000  # dedup may reduce slightly
+
+
+def test_random_symmetric_is_symmetric():
+    m = random_symmetric(100, 0.1, seed=2)
+    d = m.to_dense()
+    assert np.allclose(d, d.T)
+
+
+def test_random_pattern_values_one():
+    m = random_pattern(50, 50, 0.1, seed=3)
+    assert np.all(m.val == 1.0)
+
+
+def test_banded_locality():
+    m = banded(1000, 10, 50, seed=4)
+    assert np.all(np.abs(m.row.astype(int) - m.col.astype(int)) <= 50)
+    counts = m.row_counts()
+    assert counts.max() <= 10
+
+
+def test_power_law_degree_skew():
+    m = power_law(10000, 5, seed=5)
+    counts = m.row_counts()
+    assert counts.max() > 10 * max(np.median(counts), 1)  # heavy tail
+
+
+def test_road_network_sparse_rows():
+    m = road_network(5000, seed=6)
+    assert m.row_counts().max() <= 8
+
+
+def test_dense_rows_mix_has_hot_rows():
+    m = dense_rows_mix(10000, seed=7)
+    counts = m.row_counts()
+    assert counts.max() > 20 * max(np.median(counts), 1)
+
+
+def test_diagonal_dominant_shapes():
+    m = diagonal_dominant(2000, 7, seed=8)
+    assert m.shape == (2000, 2000)
+
+
+def test_write_suite_roundtrip(tmp_path):
+    entries = [SuiteEntry("tiny", "t", lambda: random_general(40, 40, 0.1, seed=9))]
+    paths = write_suite(str(tmp_path), entries)
+    assert len(paths) == 1
+    from sparsematrixvectormultiplication_tpu import COOMatrix
+
+    back = COOMatrix.from_mtx(paths[0])
+    orig = random_general(40, 40, 0.1, seed=9)
+    assert np.allclose(back.to_dense(), orig.to_dense())
+
+
+# ---------------- metrics ----------------
+
+def test_metric_store_accumulation():
+    st = MetricStore()
+    for v in [1.0, 2.0, 3.0]:
+        st["stage"].update(v)
+    assert st.mean("stage") == 2.0
+    assert np.isclose(st["stage"].variance, 2.0 / 3.0)
+    assert st["stage"].min == 1.0 and st["stage"].max == 3.0
+    st.reset()
+    assert "stage" not in st
+
+
+def test_metric_store_errors_average():
+    st = MetricStore()
+    st["k"].accumulate_errors(DiffMetrics(mean_abs_err=0.2, mean_rel_err=0.4))
+    st["k"].accumulate_errors(DiffMetrics(mean_abs_err=0.4, mean_rel_err=0.6))
+    avg = st["k"].average_errors()
+    assert np.isclose(avg.mean_abs_err, 0.3)
+    assert np.isclose(avg.mean_rel_err, 0.5)
+    # reference-compatible mode divides by count + skip (performance_calculate.c:62)
+    avg_ref = st["k"].average_errors(extra_skip=2)
+    assert np.isclose(avg_ref.mean_rel_err, 1.0 / 4)
+
+
+def test_flops_helpers():
+    assert calculate_flops(1000, 2.0) == 1000.0
+    assert calculate_flops(1000, 0.0) == 0.0
+    assert format_flops(1234) == "1.234 KFLOPS"
+    assert format_flops(5.3e9).endswith("GFLOPS")
+    assert format_bytes(2048) == "2.00 KiB"
+
+
+def test_timing_force_readback():
+    import jax.numpy as jnp
+
+    from sparsematrixvectormultiplication_tpu.utils.timing import (
+        force_readback,
+        time_device_fn,
+        time_device_fn_batched,
+    )
+
+    assert force_readback(jnp.asarray([3.0, 1.0])) == 3.0
+    times = time_device_fn(lambda a: a * 2, jnp.ones(8), iters=3, skip=1)
+    assert len(times) == 3
+    best, rounds = time_device_fn_batched(lambda a: a * 2, jnp.ones(8), reps=4, rounds=2)
+    assert best > 0 and len(rounds) == 2
