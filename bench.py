@@ -57,13 +57,14 @@ def main():
         iterations=20,
         rounds=2,
         dtype="float32",
-        kernels=("serial_csr", "pallas_sell"),
+        kernels=("serial_csr", "pallas_sell", "pallas_sell_dd"),
         flush_between_stages=False,
     )
     res = run_matrix("banded_fem_250k", coo, cfg, log=log)
 
     s = res.stage("pallas_sell")
     assert s is not None, "pallas_sell stage missing"
+    dd = res.stage("pallas_sell_dd")
     ok = s.diff.significant_diffs == 0 or s.diff.mean_rel_err < 1e-4
     log(f"total bench time: {time.time()-t_all:.0f}s")
     print(
@@ -77,6 +78,9 @@ def main():
                 "mean_rel_err": s.diff.mean_rel_err,
                 "nnz": res.nnz,
                 "time_ms": round(s.seconds * 1e3, 3),
+                "fp64_dd_gflops": round(dd.gflops, 3) if dd else None,
+                "fp64_dd_vs_baseline": round(dd.gflops / BASELINE_GFLOPS, 4) if dd else None,
+                "fp64_dd_max_rel_err": dd.diff.max_rel_err if dd else None,
             }
         ),
         flush=True,

@@ -46,7 +46,7 @@ def build_parser():
     p.add_argument("--rel-tol", type=float, default=1e-4)
     p.add_argument(
         "--kernels",
-        default="serial_csr,serial_hll,xla_csr,xla_ell,pallas_sell",
+        default="serial_csr,serial_hll,xla_csr,xla_ell,pallas_sell,pallas_sell_dd",
         help="comma-separated stage list",
     )
     p.add_argument("--no-validate", action="store_true")

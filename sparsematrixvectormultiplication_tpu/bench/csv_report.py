@@ -153,18 +153,20 @@ CUDA_HEADER = (
     "relative_error_warp_shared_hll,absolute_error_warp_shared_hll"
 ).split(",")
 
-# Stage mapping onto the reference's CUDA kernel roles:
-#   row_csr         <- xla_csr      (thread-per-row analogue: segment sum)
-#   warp_csr        <- pallas_sell  (lane-per-row analogue)
-#   warp_shared_csr <- pallas_sell  (VMEM-resident x ≙ shared-memory cache)
-#   row_hll / warp_hll / warp_shared_hll <- xla_ell / pallas_hll when present
+# Stage mapping onto the reference's CUDA kernel roles (all fp64 there):
+#   row_csr         <- xla_csr        (thread-per-row analogue: segment sum)
+#   warp_csr        <- pallas_sell    (lane-per-row analogue, f32)
+#   warp_shared_csr <- pallas_sell    (VMEM-resident x ≙ shared-memory cache)
+#   row_hll         <- xla_ell        (padded-HLL device kernel)
+#   warp_hll        <- pallas_sell_dd (lane-per-row, fp64-class double-double)
+#   warp_shared_hll <- pallas_sell_dd
 _CUDA_MAP = {
     "row_csr": "xla_csr",
     "warp_csr": "pallas_sell",
     "warp_shared_csr": "pallas_sell",
     "row_hll": "xla_ell",
-    "warp_hll": "pallas_hll",
-    "warp_shared_hll": "pallas_sell",
+    "warp_hll": "pallas_sell_dd",
+    "warp_shared_hll": "pallas_sell_dd",
 }
 
 

@@ -184,17 +184,48 @@ def run_matrix(
         except MemoryError as e:
             log(f"[{name}] xla_ell skipped: {e}")
 
-    if "pallas_sell" in cfg.kernels:
+    sell = None
+    if {"pallas_sell", "pallas_sell_dd"} & set(cfg.kernels):
         t0 = time.perf_counter()
         sell = SellMatrix.from_csr(csr)
         fstats["convert_sell_s"] = time.perf_counter() - t0
         fstats["sell"] = sell.memory_stats()
-        on_tpu = jax.devices()[0].platform != "cpu"
+    on_tpu = jax.devices()[0].platform != "cpu"
+
+    if "pallas_sell" in cfg.kernels and sell is not None:
         dsell = device_put_sell(sell, dtype=dt)
         run_device_stage(
             "pallas_sell",
             lambda xx: sell_spmv_pallas(dsell, xx, interpret=not on_tpu),
             xd,
         )
+
+    if "pallas_sell_dd" in cfg.kernels and sell is not None:
+        # fp64-class double-double kernel (≙ the reference's fp64 kernels);
+        # split/combine host-side so no x64 mode is required on device
+        from ..ops.pallas_sell_dd import device_put_sell_dd, sell_spmv_pallas_dd
+
+        dsell_dd = device_put_sell_dd(sell)
+        xh = np.asarray(x, np.float32)
+        xl = np.asarray(x - xh.astype(np.float64), np.float32)
+        xh_d, xl_d = jnp.asarray(xh), jnp.asarray(xl)
+
+        def dd_fn(xh_d, xl_d):
+            yh, yl = sell_spmv_pallas_dd(dsell_dd, xh_d, xl_d, interpret=not on_tpu)
+            return yh + yl  # timing checksum path; accuracy path combines in f64
+
+        if cfg.flush_between_stages:
+            flush_hbm()
+        yh, yl = sell_spmv_pallas_dd(dsell_dd, xh_d, xl_d, interpret=not on_tpu)
+        y64 = np.asarray(yh, np.float64) + np.asarray(yl, np.float64)
+        dm = validate(y64)
+        sec, _ = time_device_fn_batched(dd_fn, xh_d, xl_d,
+                                        reps=cfg.iterations, rounds=cfg.rounds)
+        stages["pallas_sell_dd"] = StageResult(
+            "pallas_sell_dd", sec, calculate_flops(nnz, sec) / 1e9, dm
+        )
+        log(f"[{name}] pallas_sell_dd: {sec*1e3:.3f} ms = "
+            f"{stages['pallas_sell_dd'].gflops:.3f} GFLOPS (fp64-class), "
+            f"sig_diffs={dm.significant_diffs}, max_rel={dm.max_rel_err:.2e}")
 
     return MatrixResult(name, M, N, nnz, stages, fstats, cfg)

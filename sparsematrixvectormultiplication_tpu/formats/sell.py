@@ -96,13 +96,21 @@ class SellBin:
 
 @dataclass(frozen=True)
 class SellMatrix:
-    """SELL-C-128 matrix: bins + the x-table geometry."""
+    """SELL-C-128 matrix: bins + the x-table geometry.
+
+    With ``sigma_sort`` (SELL-C-sigma, Kreutzer et al.) rows are ordered by
+    descending nnz before grouping, collapsing padding on power-law matrices
+    (the reference's HLL degrades to 0.21 GFLOPS on webbase-1M, BASELINE.md).
+    ``row_perm`` maps kernel-output position -> original row:
+    ``y_natural[row_perm] = y_kernel``; see :meth:`unpermute`.
+    """
 
     nrows: int
     ncols: int
     nnz: int
     bins: list
     num_groups: int
+    row_perm: np.ndarray | None = None  # (nrows,) original row of each output slot
 
     @property
     def shape(self) -> tuple:
@@ -138,6 +146,14 @@ class SellMatrix:
             "bytes_total": byt,
         }
 
+    def unpermute(self, y: np.ndarray) -> np.ndarray:
+        """Map kernel-order y back to natural row order (host-side)."""
+        if self.row_perm is None:
+            return y
+        out = np.empty_like(y)
+        out[self.row_perm] = y
+        return out
+
     @classmethod
     def from_csr(
         cls,
@@ -146,16 +162,36 @@ class SellMatrix:
         k_bins=DEFAULT_K_BINS,
         value_dtype=None,
         layout: str = "auto",
+        sigma_sort: bool = False,
     ) -> "SellMatrix":
         """Convert CSR (column-sorted rows) to binned SELL-C-128.
 
         ``value_dtype`` defaults to the CSR value dtype (fp64 host-exact);
         :func:`..ops.pallas_sell.device_put_sell` casts on upload.
         ``layout``: "auto" picks per bin by cost model; "k-major"/"sb-major"
-        force one.
+        force one. ``sigma_sort`` orders rows by descending nnz first
+        (SELL-C-sigma); the kernel output is then in sorted order — use
+        :meth:`unpermute` / :attr:`row_perm`.
         """
         if value_dtype is None:
             value_dtype = csr.values.dtype
+        row_perm = None
+        if sigma_sort and csr.nrows:
+            nnz_per_row = csr.row_nnz()
+            row_perm = np.argsort(-nnz_per_row, kind="stable").astype(np.int64)
+            starts = csr.row_ptr[:-1][row_perm]
+            lens = nnz_per_row[row_perm].astype(np.int64)
+            new_ptr = np.zeros(csr.nrows + 1, dtype=np.int64)
+            np.cumsum(lens, out=new_ptr[1:])
+            within = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(new_ptr[:-1], lens)
+            src = np.repeat(starts, lens) + within
+            csr = CSRMatrix(
+                nrows=csr.nrows,
+                ncols=csr.ncols,
+                row_ptr=new_ptr,
+                col_idx=csr.col_idx[src],
+                values=csr.values[src],
+            )
         M, N = csr.nrows, csr.ncols
         num_groups = -(-M // GROUP_ROWS) if M else 0
         padded_rows = num_groups * GROUP_ROWS
@@ -308,7 +344,8 @@ class SellMatrix:
             for sv in np.unique(s_q[use_sb]) if np.any(use_sb) else []:
                 emit(use_sb & (s_q == sv), "sb-major", int(sv))
 
-        return cls(nrows=M, ncols=N, nnz=csr.nnz, bins=bins, num_groups=num_groups)
+        return cls(nrows=M, ncols=N, nnz=csr.nnz, bins=bins,
+                   num_groups=num_groups, row_perm=row_perm)
 
     @classmethod
     def from_coo(cls, coo: COOMatrix, **kw) -> "SellMatrix":

@@ -265,6 +265,9 @@ def _bin_call(bin_: DeviceSellBin, x_tab, y, num_groups: int, interpret: bool):
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            # v5e exposes 128 MiB VMEM; the default 16 MiB scoped limit both
+            # rejects large x-tables and OOMs unrolled kernels (measured)
+            vmem_limit_bytes=128 * 1024 * 1024,
         ),
     )(bin_.group_ids, bin_.slab_list, bin_.slab_count, x_tab, bin_.ja, bin_.as_, y)
 

@@ -1,0 +1,292 @@
+"""Double-double Pallas SELL SpMV — fp64-class results on the TPU VPU.
+
+The reference's kernels are all fp64 (C doubles). Mosaic rejects 64-bit
+types, so this kernel family carries every value as an f32 ``(hi, lo)`` pair
+(:mod:`.doubledouble`) and accumulates with error-free transforms: products
+via Dekker two-prod, sums via Knuth two-sum — ~2^-48 relative error,
+validated to < 1e-12 against the numpy fp64 oracle (vs ~1e-7 for the plain
+f32 kernels). This is the framework's answer to SURVEY §7 hard part 1
+("fp64 on TPU ... validation to 1e-9 forces true fp64 accumulation").
+
+Same SELL-C-128 layouts and slab-enumeration strategies as
+:mod:`.pallas_sell`; the value stream doubles (8 B/entry) and each slab pass
+gathers from both x half-tables.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..formats.sell import CHUNK_K, LANES, SUBLANES, SellMatrix
+from .doubledouble import dd_add_dd, split_f64, two_prod, two_sum
+from .pallas_sell import pack_x_table
+
+__all__ = ["DeviceSellDD", "device_put_sell_dd", "sell_spmv_pallas_dd"]
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class DeviceSellBinDD:
+    k: int
+    n_groups: int
+    layout: str
+    span: int
+    group_ids: jax.Array
+    ja: jax.Array
+    as_hi: jax.Array
+    as_lo: jax.Array
+    slab_list: jax.Array
+    slab_count: jax.Array
+
+    def tree_flatten(self):
+        return (
+            (self.group_ids, self.ja, self.as_hi, self.as_lo,
+             self.slab_list, self.slab_count),
+            (self.k, self.n_groups, self.layout, self.span),
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        k, ng, layout, span = aux
+        return cls(k, ng, layout, span, *children)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class DeviceSellDD:
+    nrows: int
+    ncols: int
+    nnz: int
+    num_groups: int
+    bins: list
+
+    def tree_flatten(self):
+        return (tuple(self.bins),), (self.nrows, self.ncols, self.nnz, self.num_groups)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*aux, list(children[0]))
+
+    def spmv(self, x):
+        return sell_spmv_pallas_dd(self, x)
+
+
+def device_put_sell_dd(sell: SellMatrix, device=None) -> DeviceSellDD:
+    """Upload with fp64 values split into f32 (hi, lo) planes."""
+    bins = []
+    for b in sell.bins:
+        hi, lo = split_f64(np.asarray(b.as_, np.float64))
+        bins.append(
+            DeviceSellBinDD(
+                k=int(b.k),
+                n_groups=int(b.n_groups),
+                layout=b.layout,
+                span=int(b.span),
+                group_ids=jax.device_put(jnp.asarray(b.group_ids, jnp.int32), device),
+                ja=jax.device_put(jnp.asarray(b.ja, jnp.int32), device),
+                as_hi=jax.device_put(jnp.asarray(hi), device),
+                as_lo=jax.device_put(jnp.asarray(lo), device),
+                slab_list=jax.device_put(jnp.asarray(b.slab_list, jnp.int32), device),
+                slab_count=jax.device_put(jnp.asarray(b.slab_count, jnp.int32), device),
+            )
+        )
+    return DeviceSellDD(sell.nrows, sell.ncols, sell.nnz, sell.num_groups, bins)
+
+
+def _dd_chunk_accumulate(acc_h, acc_l, vals_h, vals_l, g_h, g_l):
+    """acc += a * g in double-double, elementwise on (CHUNK_K, LANES)."""
+    ph, pe = two_prod(vals_h, g_h)
+    pl_ = pe + (vals_h * g_l + vals_l * g_h)
+    sh, se = two_sum(acc_h, ph)
+    return sh, acc_l + (se + pl_)
+
+
+def _dd_reduce_sublanes(acc_h, acc_l):
+    """DD sum over the sublane axis: (CHUNK_K,128) dd -> (128,) dd."""
+    rh = acc_h[0, :]
+    rl = acc_l[0, :]
+    for i in range(1, CHUNK_K):
+        rh, rl = dd_add_dd(rh, rl, acc_h[i, :], acc_l[i, :])
+    return rh, rl
+
+
+def _kernel_sb_major_dd(k: int, span: int, interpret: bool = False):
+    """interpret=True keeps every loop rolled (unroll=1): the XLA CPU jit that
+    executes interpreted kernels folds the error-free-transform terms when
+    bodies are unrolled (this runtime sets --xla_allow_excess_precision).
+    Mosaic-compiled TPU kernels preserve EFTs with full unrolling (measured
+    8.5e-14 vs fp64 oracle)."""
+    assert k % CHUNK_K == 0
+    nchunks = k // CHUNK_K
+
+    def kernel(gid_ref, qb_ref, cnt_ref, xh_ref, xl_ref, ja_ref, ah_ref, al_ref,
+               yinh_ref, yinl_ref, yh_ref, yl_ref):
+        g = pl.program_id(0)
+        rows_h, rows_l = [], []
+        for sb in range(SUBLANES):
+
+            def chunk_body(c, carry, _sb=sb):
+                acc_h, acc_l = carry
+                off = pl.multiple_of(_sb * k, CHUNK_K) + c * CHUNK_K
+                tile = ja_ref[pl.ds(off, CHUNK_K), :]
+                vh = ah_ref[pl.ds(off, CHUNK_K), :]
+                vl = al_ref[pl.ds(off, CHUNK_K), :]
+                qb = qb_ref[g, _sb * nchunks + c]
+                if span == 1:
+                    m = tile - qb * LANES
+                    xbh = jnp.broadcast_to(xh_ref[qb, :][None, :], (CHUNK_K, LANES))
+                    xbl = jnp.broadcast_to(xl_ref[qb, :][None, :], (CHUNK_K, LANES))
+                    g_h = jnp.take_along_axis(xbh, m, axis=1)
+                    g_l = jnp.take_along_axis(xbl, m, axis=1)
+                else:
+                    q = tile >> 7
+                    m = tile & (LANES - 1)
+                    g_h = jnp.zeros((CHUNK_K, LANES), jnp.float32)
+                    g_l = jnp.zeros((CHUNK_K, LANES), jnp.float32)
+                    for s in range(span):
+                        sq = qb + s
+                        xbh = jnp.broadcast_to(xh_ref[sq, :][None, :], (CHUNK_K, LANES))
+                        xbl = jnp.broadcast_to(xl_ref[sq, :][None, :], (CHUNK_K, LANES))
+                        mask = q == sq
+                        g_h = g_h + jnp.where(mask, jnp.take_along_axis(xbh, m, axis=1), 0)
+                        g_l = g_l + jnp.where(mask, jnp.take_along_axis(xbl, m, axis=1), 0)
+                return _dd_chunk_accumulate(acc_h, acc_l, vh, vl, g_h, g_l)
+
+            zero = jnp.zeros((CHUNK_K, LANES), jnp.float32)
+            acc_h, acc_l = jax.lax.fori_loop(
+                0, nchunks, chunk_body, (zero, zero),
+                unroll=1 if interpret else (nchunks if nchunks <= 8 else 1),
+            )
+            rh, rl = _dd_reduce_sublanes(acc_h, acc_l)
+            rows_h.append(rh)
+            rows_l.append(rl)
+        yh_ref[:] = jnp.stack(rows_h)
+        yl_ref[:] = jnp.stack(rows_l)
+
+    return kernel
+
+
+def _kernel_k_major_dd(k: int, interpret: bool = False):
+    KB = k * SUBLANES
+
+    def kernel(gid_ref, slab_ref, cnt_ref, xh_ref, xl_ref, ja_ref, ah_ref, al_ref,
+               yinh_ref, yinl_ref, yh_ref, yl_ref):
+        g = pl.program_id(0)
+        ja = ja_ref[:]
+        q = ja >> 7
+        m = ja & (LANES - 1)
+        nslab = cnt_ref[g]
+
+        def body(s, carry):
+            g_h, g_l = carry
+            sq = slab_ref[g, s]
+            xbh = jnp.broadcast_to(xh_ref[sq, :][None, :], (KB, LANES))
+            xbl = jnp.broadcast_to(xl_ref[sq, :][None, :], (KB, LANES))
+            mask = q == sq
+            g_h = g_h + jnp.where(mask, jnp.take_along_axis(xbh, m, axis=1), 0)
+            g_l = g_l + jnp.where(mask, jnp.take_along_axis(xbl, m, axis=1), 0)
+            return g_h, g_l
+
+        zero = jnp.zeros((KB, LANES), jnp.float32)
+        g_h, g_l = jax.lax.fori_loop(0, nslab, body, (zero, zero))
+
+        # dd product per entry, then dd reduction over the K slices
+        ph, pe = two_prod(ah_ref[:], g_h)
+        pl_ = pe + (ah_ref[:] * g_l + al_ref[:] * g_h)
+        zero = jnp.zeros((SUBLANES, LANES), jnp.float32)
+        if interpret:
+            # rolled loop: see _kernel_sb_major_dd note on EFT folding
+            def red_body(kk, carry):
+                h, l = carry
+                sh = jax.lax.dynamic_slice(ph, (kk * SUBLANES, 0), (SUBLANES, LANES))
+                sl_ = jax.lax.dynamic_slice(pl_, (kk * SUBLANES, 0), (SUBLANES, LANES))
+                return dd_add_dd(h, l, sh, sl_)
+
+            acc_h, acc_l = jax.lax.fori_loop(0, k, red_body, (zero, zero), unroll=1)
+        else:
+            acc_h, acc_l = zero, zero
+            for kk in range(k):
+                sl = slice(kk * SUBLANES, (kk + 1) * SUBLANES)
+                acc_h, acc_l = dd_add_dd(acc_h, acc_l, ph[sl, :], pl_[sl, :])
+        yh_ref[:] = acc_h
+        yl_ref[:] = acc_l
+
+    return kernel
+
+
+def _bin_call_dd(bin_, xh_tab, xl_tab, yh, yl, num_groups: int, interpret: bool):
+    ng, K = bin_.n_groups, bin_.k
+    KB = K * SUBLANES
+    R = xh_tab.shape[0]
+
+    out_map = lambda g, refs0, refs1, refs2: (refs0[g], 0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(ng,),
+        in_specs=[
+            pl.BlockSpec((R, LANES), lambda g, *r: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, LANES), lambda g, *r: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((KB, LANES), lambda g, *r: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((KB, LANES), lambda g, *r: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((KB, LANES), lambda g, *r: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUBLANES, LANES), out_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUBLANES, LANES), out_map, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((SUBLANES, LANES), out_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUBLANES, LANES), out_map, memory_space=pltpu.VMEM),
+        ),
+    )
+
+    if bin_.layout == "sb-major":
+        kernel = _kernel_sb_major_dd(K, bin_.span, interpret)
+    else:
+        kernel = _kernel_k_major_dd(K, interpret)
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((num_groups * SUBLANES, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((num_groups * SUBLANES, LANES), jnp.float32),
+        ),
+        # inputs: 3 prefetch + xh,xl,ja,ah,al -> yinh at 8, yinl at 9
+        input_output_aliases={8: 0, 9: 1},
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=128 * 1024 * 1024,
+        ),
+    )(bin_.group_ids, bin_.slab_list, bin_.slab_count,
+      xh_tab, xl_tab, bin_.ja, bin_.as_hi, bin_.as_lo, yh, yl)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def sell_spmv_pallas_dd(dsell: DeviceSellDD, xh, xl, *, interpret: bool = False):
+    """fp64-class SpMV; takes x split into (hi, lo) f32; returns (yh, yl).
+
+    Combine with :func:`.doubledouble.combine_f64` (XLA-side, f64) for the
+    final fp64 vector.
+    """
+    xh_tab = pack_x_table(xh, dsell.ncols)
+    xl_tab = pack_x_table(xl, dsell.ncols)
+    yh = jnp.zeros((dsell.num_groups * SUBLANES, LANES), jnp.float32)
+    yl = jnp.zeros_like(yh)
+    for bin_ in dsell.bins:
+        yh, yl = _bin_call_dd(bin_, xh_tab, xl_tab, yh, yl, dsell.num_groups, interpret)
+    return yh.reshape(-1)[: dsell.nrows], yl.reshape(-1)[: dsell.nrows]
+
+
+def sell_spmv_dd_f64(dsell: DeviceSellDD, x64, *, interpret: bool = False):
+    """Convenience wrapper: fp64 in, fp64 out (split/combine in XLA)."""
+    xh = jnp.asarray(x64, jnp.float32)
+    xl = (x64 - xh.astype(x64.dtype)).astype(jnp.float32)
+    yh, yl = sell_spmv_pallas_dd(dsell, xh, xl, interpret=interpret)
+    return yh.astype(x64.dtype) + yl.astype(x64.dtype)

@@ -1,0 +1,141 @@
+"""Autotuner — kernel/layout/bin selection by measurement.
+
+TPU re-design of the reference's launch configuration layer:
+``cudaOccupancyMaxPotentialBlockSize`` picks CUDA block sizes at runtime
+(main_cuda.cu:149,212,293,413,545,613) and the chosen dims are logged to CSV
+(write_block_result_to_csv, cuda_src/utility.cu:236-261). Here the tunables
+are the SELL K-bin ladder, forced layout (k-major / sb-major / auto cost
+model), and the HLL hack size; the tuner measures real device time per
+candidate and returns the winner plus a log for
+:func:`..bench.csv_report.write_tile_config_row`-style reporting.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..formats.csr import CSRMatrix
+from ..formats.hll import HLLMatrix
+from ..formats.sell import DEFAULT_K_BINS, SellMatrix
+from ..ops.pallas_sell import device_put_sell, sell_spmv_pallas
+from ..utils.timing import time_device_fn_batched
+
+__all__ = ["SellCandidate", "TuneResult", "autotune_sell", "autotune_hack_size"]
+
+# K-bin ladders to try: finer ladders cut padding, coarser ladders cut the
+# number of pallas_call launches (127 us each on this runtime).
+DEFAULT_LADDERS = {
+    "default": DEFAULT_K_BINS,
+    "pow2": (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024),
+    "fine": tuple(range(8, 1032, 8)),
+    "coarse": (8, 32, 128, 512, 2048),
+}
+
+
+@dataclass
+class SellCandidate:
+    name: str
+    k_bins: tuple
+    layout: str = "auto"
+
+
+@dataclass
+class TuneResult:
+    best: SellCandidate
+    best_seconds: float
+    table: list = field(default_factory=list)  # (name, seconds, stats) rows
+
+
+def autotune_sell(
+    csr: CSRMatrix,
+    x=None,
+    candidates=None,
+    dtype=jnp.float32,
+    reps: int = 10,
+    log=None,
+) -> TuneResult:
+    """Measure each (ladder, layout) candidate's SpMV time; return the winner.
+
+    On non-TPU backends falls back to the host cost model (conversion-only,
+    no device timing) so tests stay fast.
+    """
+    if candidates is None:
+        candidates = [SellCandidate(n, kb) for n, kb in DEFAULT_LADDERS.items()]
+        candidates += [
+            SellCandidate("default-kmajor", DEFAULT_K_BINS, "k-major"),
+            SellCandidate("default-sbmajor", DEFAULT_K_BINS, "sb-major"),
+        ]
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if x is None:
+        x = np.ones(csr.ncols)
+
+    table = []
+    best = None
+    best_sec = float("inf")
+    for cand in candidates:
+        t0 = time.perf_counter()
+        try:
+            sell = SellMatrix.from_csr(csr, k_bins=cand.k_bins, layout=cand.layout)
+        except Exception as e:
+            table.append((cand.name, float("inf"), {"error": str(e)}))
+            continue
+        conv_s = time.perf_counter() - t0
+        stats = sell.memory_stats()
+        stats["convert_s"] = conv_s
+        if on_tpu:
+            dsell = device_put_sell(sell, dtype=dtype)
+            xd = jnp.asarray(x, dtype)
+            sec, _ = time_device_fn_batched(
+                lambda xx: sell_spmv_pallas(dsell, xx), xd, reps=reps, rounds=2
+            )
+        else:
+            # host cost model: modeled vreg-ops + stream volume
+            passes = sum(b.cost_passes for b in sell.bins)
+            stream = stats["bytes_total"]
+            sec = passes / 1e9 + stream / 100e9 + len(sell.bins) * 127e-6
+        stats["modeled" if not on_tpu else "measured"] = sec
+        table.append((cand.name, sec, stats))
+        if log:
+            log(f"[tune] {cand.name}: {sec*1e3:.3f} ms, pad={stats['padding_ratio']:.2f}, "
+                f"bins={stats['num_bins']}")
+        if sec < best_sec:
+            best, best_sec = cand, sec
+    return TuneResult(best=best, best_seconds=best_sec, table=table)
+
+
+def autotune_hack_size(
+    coo_or_csr,
+    sizes=(8, 16, 32, 64, 128),
+    x=None,
+    log=None,
+):
+    """HLL hack-size sweep (BASELINE.json config 3): returns
+    (best_size, [(size, padded_ratio, host_spmv_seconds), ...]).
+
+    Ranks by padded area (the true ELLPACK work measure the reference's HLL
+    scheduler balances by, SURVEY §2.1) — measured host SpMV time is also
+    recorded.
+    """
+    csr = coo_or_csr if isinstance(coo_or_csr, CSRMatrix) else CSRMatrix.from_coo(coo_or_csr)
+    if x is None:
+        x = np.ones(csr.ncols)
+    rows = []
+    best = None
+    best_area = float("inf")
+    for h in sizes:
+        hll = HLLMatrix.from_csr(csr, hack_size=h)
+        st = hll.memory_stats()
+        t0 = time.perf_counter()
+        hll.spmv(x)
+        sec = time.perf_counter() - t0
+        rows.append((h, st["padding_ratio"], sec))
+        if log:
+            log(f"[tune] hack={h}: pad={st['padding_ratio']:.3f}, host spmv {sec*1e3:.1f} ms")
+        if st["padded_nnz"] < best_area:
+            best, best_area = h, st["padded_nnz"]
+    return best, rows

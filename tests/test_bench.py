@@ -1,0 +1,128 @@
+"""Bench harness + CSV schema tests (CPU; Pallas stages run interpreted)."""
+
+import csv
+import os
+
+import numpy as np
+import pytest
+
+from sparsematrixvectormultiplication_tpu.bench.csv_report import (
+    CUDA_HEADER,
+    NATIVE_HEADER,
+    OPENMP_HEADER,
+    write_cuda_style_row,
+    write_native_row,
+    write_openmp_style_row,
+    write_tile_config_row,
+)
+from sparsematrixvectormultiplication_tpu.bench.harness import BenchConfig, run_matrix
+from sparsematrixvectormultiplication_tpu.models.synthetic import banded
+
+
+@pytest.fixture(scope="module")
+def result():
+    coo = banded(1500, 8, 64, seed=0)
+    cfg = BenchConfig(
+        iterations=2, rounds=1, skip=1,
+        kernels=("serial_csr", "serial_hll", "xla_csr", "xla_ell",
+                 "pallas_sell", "pallas_sell_dd"),
+        flush_between_stages=False,
+    )
+    return run_matrix("tiny_banded", coo, cfg, log=lambda *a, **k: None)
+
+
+def test_all_stages_ran(result):
+    assert set(result.stages) == {
+        "serial_csr", "serial_hll", "xla_csr", "xla_ell",
+        "pallas_sell", "pallas_sell_dd",
+    }
+
+
+def test_all_stages_validated(result):
+    for name, s in result.stages.items():
+        assert s.diff.significant_diffs == 0, (name, s.diff)
+        assert s.seconds > 0
+        assert s.gflops >= 0
+
+
+def test_dd_more_accurate_than_f32(result):
+    assert (result.stages["pallas_sell_dd"].diff.max_rel_err
+            <= result.stages["pallas_sell"].diff.max_rel_err)
+
+
+def test_speedup_computation(result):
+    assert result.speedup("serial_csr") == 1.0
+    assert result.speedup("nonexistent") == 0.0
+
+
+def _read_csv(path):
+    with open(path) as f:
+        return list(csv.reader(f))
+
+
+def test_native_csv(result, tmp_path):
+    p = str(tmp_path / "native.csv")
+    write_native_row(p, result)
+    rows = _read_csv(p)
+    assert rows[0] == NATIVE_HEADER
+    assert len(rows) == 1 + len(result.stages)
+    # appending keeps a single header
+    write_native_row(p, result)
+    rows = _read_csv(p)
+    assert rows[0] == NATIVE_HEADER and len(rows) == 1 + 2 * len(result.stages)
+
+
+def test_openmp_csv_schema(result, tmp_path):
+    p = str(tmp_path / "openmp.csv")
+    write_openmp_style_row(p, result, num_threads=1)
+    rows = _read_csv(p)
+    assert rows[0] == OPENMP_HEADER
+    # reference column count per the reference's *code* (utility.c:114-120);
+    # note: the reference's checked-in result/spmv_results_openmp.csv carries
+    # an older 37-column schema (with stddev/min columns whose producing API
+    # was never defined, performance_calculate.h:59-60) — we match the code.
+    assert len(rows[1]) == 33
+    assert rows[0][:11] == [
+        "matrix_name", "rows", "cols", "nonzeros", "num_threads",
+        "time_serial", "time_serial_hll", "time_parallel", "time_parallel_simd",
+        "time_parallel_hll", "time_parallel_hll_simd",
+    ]
+
+
+def test_cuda_csv_schema(result, tmp_path):
+    p = str(tmp_path / "cuda.csv")
+    write_cuda_style_row(p, result)
+    rows = _read_csv(p)
+    assert rows[0] == CUDA_HEADER
+    assert len(rows[1]) == 32  # reference column count (cuda utility.cu:115-123)
+
+
+def test_tile_csv(result, tmp_path):
+    p = str(tmp_path / "tiles.csv")
+    write_tile_config_row(p, result)
+    rows = _read_csv(p)
+    assert len(rows) >= 2
+
+
+def test_cli_end_to_end(tmp_path):
+    from sparsematrixvectormultiplication_tpu.bench.cli import main
+    from sparsematrixvectormultiplication_tpu.io.mmio import write_matrix_market
+
+    coo = banded(600, 5, 30, seed=1)
+    m = tmp_path / "mats"
+    m.mkdir()
+    write_matrix_market(str(m / "a.mtx"), coo.nrows, coo.ncols, coo.row, coo.col, coo.val)
+    out = tmp_path / "result"
+    rc = main([
+        "--matrix-dir", str(m), "--output-dir", str(out),
+        "--iterations", "2", "--rounds", "1",
+        "--kernels", "serial_csr,xla_csr,pallas_sell",
+    ])
+    assert rc == 0
+    assert (out / "spmv_results.csv").exists()
+    assert (out / "spmv_results_openmp.csv").exists()
+    # resume skips
+    rc = main(["--matrix-dir", str(m), "--output-dir", str(out), "--resume"])
+    assert rc == 0
+    rows = _read_csv(str(out / "spmv_results.csv"))
+    assert len(rows) == 1 + 3  # header + one row per stage, not duplicated

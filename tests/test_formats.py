@@ -168,3 +168,26 @@ def test_memory_stats(make_random_coo):
     assert hst["padded_nnz"] >= hst["nnz"]
     sst = SellMatrix.from_csr(csr).memory_stats()
     assert sst["padded_nnz"] >= sst["nnz"]
+
+
+def test_sell_sigma_sort_powerlaw():
+    """SELL-sigma collapses padding on power-law matrices; output permuted."""
+    import scipy.sparse as sp
+
+    from sparsematrixvectormultiplication_tpu.models.synthetic import power_law
+
+    coo = power_law(20000, 5, seed=11)
+    s = sp.coo_matrix((coo.val, (coo.row, coo.col)), shape=coo.shape).tocsr()
+    plain = SellMatrix.from_coo(coo)
+    sigma = SellMatrix.from_csr(
+        __import__("sparsematrixvectormultiplication_tpu").CSRMatrix.from_coo(coo),
+        sigma_sort=True,
+    )
+    assert sigma.padding_ratio < plain.padding_ratio * 0.7
+    x = np.random.default_rng(0).standard_normal(coo.ncols)
+    y_perm = sigma.spmv(x)
+    y = sigma.unpermute(y_perm)
+    assert np.allclose(y, s @ x, rtol=1e-12, atol=1e-12)
+    # row_perm round trip: kernel slot i holds original row row_perm[i]
+    y_ref = s @ x
+    assert np.allclose(y_perm, y_ref[sigma.row_perm], rtol=1e-12, atol=1e-12)

@@ -1,0 +1,70 @@
+"""Autotuner + HLL-Pallas adapter tests."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sparsematrixvectormultiplication_tpu import CSRMatrix, HLLMatrix, SellMatrix
+from sparsematrixvectormultiplication_tpu.models.synthetic import banded, power_law
+from sparsematrixvectormultiplication_tpu.ops.pallas_hll import (
+    device_put_hll_pallas,
+    hll_spmv_pallas,
+    hll_to_sell,
+)
+from sparsematrixvectormultiplication_tpu.tune.autotune import (
+    SellCandidate,
+    autotune_hack_size,
+    autotune_sell,
+)
+
+
+def test_hll_to_sell_preserves_padding_profile(make_random_coo):
+    coo, s = make_random_coo(2000, 1500, 0.02)
+    hll = HLLMatrix.from_coo(coo, hack_size=32)
+    sell = hll_to_sell(hll)
+    # SELL from HLL carries at least the HLL padded area (bin rounding adds more)
+    assert sell.nnz == hll.padded_nnz
+    x = np.random.default_rng(0).standard_normal(1500)
+    assert np.allclose(sell.spmv(x), s.tocsr() @ x, rtol=1e-12, atol=1e-12)
+
+
+def test_hll_pallas_interpret(make_random_coo):
+    coo, s = make_random_coo(1500, 1200, 0.02)
+    hll = HLLMatrix.from_coo(coo)
+    dhll = device_put_hll_pallas(hll, dtype=jnp.float64)
+    x = np.random.default_rng(1).standard_normal(1200)
+    y = np.asarray(hll_spmv_pallas(dhll, jnp.asarray(x), interpret=True))
+    assert np.allclose(y, s.tocsr() @ x, rtol=1e-11, atol=1e-11)
+
+
+def test_autotune_sell_cost_model(make_random_coo):
+    coo, _ = make_random_coo(3000, 2500, 0.01)
+    csr = CSRMatrix.from_coo(coo)
+    res = autotune_sell(csr, reps=2)
+    assert res.best is not None
+    assert len(res.table) >= 4
+    assert res.best_seconds <= min(sec for _, sec, _ in res.table)
+
+
+def test_autotune_sell_forced_layouts_correct():
+    coo = banded(2048, 10, 100, seed=3)
+    csr = CSRMatrix.from_coo(coo)
+    res = autotune_sell(
+        csr,
+        candidates=[
+            SellCandidate("km", (16,), "k-major"),
+            SellCandidate("sb", (16,), "sb-major"),
+        ],
+        reps=2,
+    )
+    names = [r[0] for r in res.table]
+    assert set(names) == {"km", "sb"}
+
+
+def test_autotune_hack_size():
+    coo = power_law(5000, 4, seed=2)
+    best, rows = autotune_hack_size(coo, sizes=(8, 32, 128))
+    assert best in (8, 32, 128)
+    # power-law: smaller hacks pad less
+    ratios = {h: r for h, r, _ in rows}
+    assert ratios[8] <= ratios[128]
