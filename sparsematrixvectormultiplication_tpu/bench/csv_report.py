@@ -54,8 +54,9 @@ NATIVE_HEADER = [
 
 def write_native_row(path: str, result: MatrixResult):
     """One row per (matrix, stage) — the framework's primary schema."""
-    pad = result.format_stats.get("sell", {}).get("padding_ratio", 1.0)
+    default_pad = result.format_stats.get("sell", {}).get("padding_ratio", 1.0)
     for stage, s in result.stages.items():
+        pad = s.extra.get("padding_ratio", default_pad)
         per_nnz = 12.0 if "csr" in stage else 8.0 * pad
         _append_row(
             path,

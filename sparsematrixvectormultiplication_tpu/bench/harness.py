@@ -200,6 +200,35 @@ def run_matrix(
             xd,
         )
 
+    if "pallas_sell_sigma" in cfg.kernels:
+        # SELL-C-sigma: rows sorted by nnz (padding collapse on power-law);
+        # kernel output is in sorted order — validated against the permuted
+        # oracle, matching SELL-C-sigma benchmarking practice
+        t0 = time.perf_counter()
+        sell_sig = SellMatrix.from_csr(csr, sigma_sort=True)
+        fstats["convert_sell_sigma_s"] = time.perf_counter() - t0
+        fstats["sell_sigma"] = sell_sig.memory_stats()
+        dsig = device_put_sell(sell_sig, dtype=dt)
+        if cfg.flush_between_stages:
+            flush_hbm()
+        y_perm = np.asarray(sell_spmv_pallas(dsig, xd, interpret=not on_tpu))
+        dm = (
+            difference_metrics(y_ref[sell_sig.row_perm], y_perm.astype(np.float64),
+                               cfg.abs_tol, cfg.rel_tol)
+            if cfg.validate else DiffMetrics()
+        )
+        sec, _ = time_device_fn_batched(
+            lambda xx: sell_spmv_pallas(dsig, xx, interpret=not on_tpu),
+            xd, reps=cfg.iterations, rounds=cfg.rounds,
+        )
+        stages["pallas_sell_sigma"] = StageResult(
+            "pallas_sell_sigma", sec, calculate_flops(nnz, sec) / 1e9, dm,
+            extra={"padding_ratio": sell_sig.padding_ratio},
+        )
+        log(f"[{name}] pallas_sell_sigma: {sec*1e3:.3f} ms = "
+            f"{stages['pallas_sell_sigma'].gflops:.3f} GFLOPS, "
+            f"pad={sell_sig.padding_ratio:.2f}, sig_diffs={dm.significant_diffs}")
+
     if "pallas_sell_dd" in cfg.kernels and sell is not None:
         # fp64-class double-double kernel (≙ the reference's fp64 kernels);
         # split/combine host-side so no x64 mode is required on device

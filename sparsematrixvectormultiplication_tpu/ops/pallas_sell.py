@@ -55,17 +55,19 @@ class DeviceSellBin:
     as_: jax.Array         # (ng*k*8, 128) float
     slab_list: jax.Array   # k-major: (ng, s_max) slab ids; sb-major: (ng, 8*k/8) qbase
     slab_count: jax.Array  # (ng,) int32
+    contig_start: int = -1  # first group id when the bin's groups are a
+                            # contiguous range (enables multi-group steps)
 
     def tree_flatten(self):
         return (
             (self.group_ids, self.ja, self.as_, self.slab_list, self.slab_count),
-            (self.k, self.n_groups, self.layout, self.span),
+            (self.k, self.n_groups, self.layout, self.span, self.contig_start),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        k, ng, layout, span = aux
-        return cls(k, ng, layout, span, *children)
+        k, ng, layout, span, contig = aux
+        return cls(k, ng, layout, span, *children, contig_start=contig)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -93,6 +95,12 @@ def device_put_sell(sell: SellMatrix, dtype=jnp.float32, device=None) -> DeviceS
     main_cuda.cu:376-402, flattened into rectangular bins)."""
     bins = []
     for b in sell.bins:
+        gids = np.asarray(b.group_ids, np.int64)
+        contig = (
+            int(gids[0])
+            if gids.size and np.array_equal(gids, gids[0] + np.arange(gids.size))
+            else -1
+        )
         bins.append(
             DeviceSellBin(
                 k=int(b.k),
@@ -104,6 +112,7 @@ def device_put_sell(sell: SellMatrix, dtype=jnp.float32, device=None) -> DeviceS
                 as_=jax.device_put(jnp.asarray(b.as_, dtype), device),
                 slab_list=jax.device_put(jnp.asarray(b.slab_list, jnp.int32), device),
                 slab_count=jax.device_put(jnp.asarray(b.slab_count, jnp.int32), device),
+                contig_start=contig,
             )
         )
     return DeviceSell(sell.nrows, sell.ncols, sell.nnz, sell.num_groups, bins)
@@ -124,43 +133,48 @@ def pack_x_table(x, ncols: int):
 # ---------------------------------------------------------------------------
 
 
-def _kernel_k_major(k: int):
+def _kernel_k_major(k: int, g_per: int = 1):
     KB = k * SUBLANES
 
     def kernel(gid_ref, slab_ref, cnt_ref, x_ref, ja_ref, as_ref, yin_ref, y_ref):
-        g = pl.program_id(0)
-        ja = ja_ref[:]
-        q = ja >> 7              # // 128
-        m = ja & (LANES - 1)     # % 128
-        nslab = cnt_ref[g]
+        step = pl.program_id(0)
+        outs = []
+        for gi in range(g_per):  # static: groups per grid step
+            g = step * g_per + gi
+            base = gi * KB
+            ja = ja_ref[base : base + KB, :]
+            q = ja >> 7              # // 128
+            m = ja & (LANES - 1)     # % 128
+            nslab = cnt_ref[g]
 
-        def body(s, acc):
-            sq = slab_ref[g, s]
-            xrow = x_ref[sq, :]
-            xb = jnp.broadcast_to(xrow[None, :], (KB, LANES))
-            gat = jnp.take_along_axis(xb, m, axis=1)
-            return acc + jnp.where(q == sq, gat, 0)
+            def body(s, acc, _m=m, _q=q, _g=g):
+                sq = slab_ref[_g, s]
+                xrow = x_ref[sq, :]
+                xb = jnp.broadcast_to(xrow[None, :], (KB, LANES))
+                gat = jnp.take_along_axis(xb, _m, axis=1)
+                return acc + jnp.where(_q == sq, gat, 0)
 
-        # gather first, multiply by values once (each entry matches exactly
-        # one slab, so summing gathers before the multiply is exact)
-        gath = jax.lax.fori_loop(
-            0, nslab, body, jnp.zeros((KB, LANES), as_ref.dtype)
-        )
-        acc = as_ref[:] * gath
-        # per-row reduction: out[i,j] = sum_k acc[k*8+i, j]
-        if k <= _UNROLL_MAX:
-            red = acc[0:SUBLANES, :]
-            for kk in range(1, k):
-                red = red + acc[kk * SUBLANES : (kk + 1) * SUBLANES, :]
-        else:
+            # gather first, multiply by values once (each entry matches
+            # exactly one slab, so summing gathers first is exact)
+            gath = jax.lax.fori_loop(
+                0, nslab, body, jnp.zeros((KB, LANES), as_ref.dtype)
+            )
+            acc = as_ref[base : base + KB, :] * gath
+            # per-row reduction: out[i,j] = sum_k acc[k*8+i, j]
+            if k <= _UNROLL_MAX:
+                red = acc[0:SUBLANES, :]
+                for kk in range(1, k):
+                    red = red + acc[kk * SUBLANES : (kk + 1) * SUBLANES, :]
+            else:
 
-            def red_body(kk, r):
-                return r + jax.lax.dynamic_slice(
-                    acc, (kk * SUBLANES, 0), (SUBLANES, LANES)
-                )
+                def red_body(kk, r, _acc=acc):
+                    return r + jax.lax.dynamic_slice(
+                        _acc, (kk * SUBLANES, 0), (SUBLANES, LANES)
+                    )
 
-            red = jax.lax.fori_loop(1, k, red_body, acc[0:SUBLANES, :])
-        y_ref[:] = red
+                red = jax.lax.fori_loop(1, k, red_body, acc[0:SUBLANES, :])
+            outs.append(red)
+        y_ref[:] = outs[0] if g_per == 1 else jnp.concatenate(outs, axis=0)
 
     return kernel
 
@@ -170,7 +184,7 @@ def _kernel_k_major(k: int):
 # ---------------------------------------------------------------------------
 
 
-def _kernel_sb_major(k: int, span: int):
+def _kernel_sb_major(k: int, span: int, g_per: int = 1):
     """Range-scan kernel with fully static control flow.
 
     Per (8,128) chunk: ``span`` unrolled gather passes starting at the
@@ -185,54 +199,88 @@ def _kernel_sb_major(k: int, span: int):
     nchunks = k // CHUNK_K
 
     def kernel(gid_ref, qb_ref, cnt_ref, x_ref, ja_ref, as_ref, yin_ref, y_ref):
-        g = pl.program_id(0)
+        step = pl.program_id(0)
         dtype = as_ref.dtype
         rows = []
-        for sb in range(SUBLANES):  # static: 8 superblocks per group
+        for gi in range(g_per):  # static: groups per grid step
+            g = step * g_per + gi
+            gbase = gi * k * SUBLANES
+            for sb in range(SUBLANES):  # static: 8 superblocks per group
 
-            def chunk_body(c, acc, _sb=sb):
-                off = pl.multiple_of(_sb * k, CHUNK_K) + c * CHUNK_K
-                tile = ja_ref[pl.ds(off, CHUNK_K), :]
-                vals = as_ref[pl.ds(off, CHUNK_K), :]
-                qb = qb_ref[g, _sb * nchunks + c]
-                if span == 1:
-                    m = tile - qb * LANES  # q == qb for every entry
-                    xrow = x_ref[qb, :]
-                    xb = jnp.broadcast_to(xrow[None, :], (CHUNK_K, LANES))
-                    gath = jnp.take_along_axis(xb, m, axis=1)
-                else:
-                    q = tile >> 7          # // 128
-                    m = tile & (LANES - 1)  # % 128
-                    gath = jnp.zeros((CHUNK_K, LANES), dtype)
-                    for s in range(span):  # static unroll
-                        sq = qb + s
-                        xrow = x_ref[sq, :]
+                def chunk_body(c, acc, _sb=sb, _g=g, _gbase=gbase):
+                    off = pl.multiple_of(_gbase + _sb * k, CHUNK_K) + c * CHUNK_K
+                    tile = ja_ref[pl.ds(off, CHUNK_K), :]
+                    vals = as_ref[pl.ds(off, CHUNK_K), :]
+                    qb = qb_ref[_g, _sb * nchunks + c]
+                    if span == 1:
+                        m = tile - qb * LANES  # q == qb for every entry
+                        xrow = x_ref[qb, :]
                         xb = jnp.broadcast_to(xrow[None, :], (CHUNK_K, LANES))
-                        gat = jnp.take_along_axis(xb, m, axis=1)
-                        gath = gath + jnp.where(q == sq, gat, 0)
-                return acc + vals * gath
+                        gath = jnp.take_along_axis(xb, m, axis=1)
+                    else:
+                        q = tile >> 7          # // 128
+                        m = tile & (LANES - 1)  # % 128
+                        gath = jnp.zeros((CHUNK_K, LANES), dtype)
+                        for s in range(span):  # static unroll
+                            sq = qb + s
+                            xrow = x_ref[sq, :]
+                            xb = jnp.broadcast_to(xrow[None, :], (CHUNK_K, LANES))
+                            gat = jnp.take_along_axis(xb, m, axis=1)
+                            gath = gath + jnp.where(q == sq, gat, 0)
+                    return acc + vals * gath
 
-            # Mosaic fori_loop supports only unroll=1 or full unroll
-            psum = jax.lax.fori_loop(
-                0, nchunks, chunk_body, jnp.zeros((CHUNK_K, LANES), dtype),
-                unroll=nchunks if nchunks <= 8 else 1,
-            )
-            rows.append(jnp.sum(psum, axis=0))
+                # Mosaic fori_loop supports only unroll=1 or full unroll
+                psum = jax.lax.fori_loop(
+                    0, nchunks, chunk_body, jnp.zeros((CHUNK_K, LANES), dtype),
+                    unroll=nchunks if nchunks <= 8 else 1,
+                )
+                rows.append(jnp.sum(psum, axis=0))
         y_ref[:] = jnp.stack(rows)
 
     return kernel
 
 
+_MAX_STEP_BYTES = 4 << 20  # target JA+AS bytes per grid step (DMA efficiency)
+
+
+def _pick_g_per(bin_, bytes_per_entry: int = 8) -> int:
+    """Groups per grid step: largest divisor of (ng, contig alignment) that
+    keeps the step's streams near _MAX_STEP_BYTES. Non-contiguous bins use 1
+    (per-group scalar-prefetch output indexing)."""
+    if bin_.contig_start < 0:
+        return 1
+    per_group = bin_.k * SUBLANES * LANES * bytes_per_entry
+    want = max(1, _MAX_STEP_BYTES // per_group)
+    g_per = 1
+    for cand in (16, 8, 4, 2):
+        if (
+            cand <= want
+            and bin_.n_groups % cand == 0
+            and bin_.contig_start % cand == 0
+        ):
+            g_per = cand
+            break
+    return g_per
+
+
 def _bin_call(bin_: DeviceSellBin, x_tab, y, num_groups: int, interpret: bool):
     """One pallas_call for one rectangular bin, writing its groups' (8,128)
-    output tiles in place into the shared y buffer (input_output_aliases)."""
+    output tiles in place into the shared y buffer (input_output_aliases).
+    Contiguous bins process ``g_per`` groups per grid step for DMA
+    efficiency (≙ reference block-size tuning, main_cuda.cu occupancy)."""
     ng, K = bin_.n_groups, bin_.k
-    KB = K * SUBLANES
+    g_per = _pick_g_per(bin_)
+    KB = K * SUBLANES * g_per
     R = x_tab.shape[0]
 
+    if g_per == 1:
+        out_map = lambda g, refs0, refs1, refs2: (refs0[g], 0)
+    else:
+        out_map = lambda g, refs0, refs1, refs2: (refs0[g * g_per] // g_per, 0)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,  # group_ids, slab_list, slab_count
-        grid=(ng,),
+        num_scalar_prefetch=3,  # group_ids, slab_list/qbase, slab_count
+        grid=(ng // g_per,),
         in_specs=[
             pl.BlockSpec((R, LANES), lambda g, *refs: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((KB, LANES), lambda g, *refs: (g, 0), memory_space=pltpu.VMEM),
@@ -240,22 +288,18 @@ def _bin_call(bin_: DeviceSellBin, x_tab, y, num_groups: int, interpret: bool):
             # the aliased y input: same mapping as the output so the revolving
             # window holds the tile we overwrite
             pl.BlockSpec(
-                (SUBLANES, LANES),
-                lambda g, refs0, refs1, refs2: (refs0[g], 0),
-                memory_space=pltpu.VMEM,
+                (SUBLANES * g_per, LANES), out_map, memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
-            (SUBLANES, LANES),
-            lambda g, refs0, refs1, refs2: (refs0[g], 0),
-            memory_space=pltpu.VMEM,
+            (SUBLANES * g_per, LANES), out_map, memory_space=pltpu.VMEM
         ),
     )
 
     if bin_.layout == "sb-major":
-        kernel = _kernel_sb_major(K, bin_.span)
+        kernel = _kernel_sb_major(K, bin_.span, g_per)
     else:
-        kernel = _kernel_k_major(K)
+        kernel = _kernel_k_major(K, g_per)
 
     return pl.pallas_call(
         kernel,

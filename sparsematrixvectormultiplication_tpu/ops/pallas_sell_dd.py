@@ -44,18 +44,19 @@ class DeviceSellBinDD:
     as_lo: jax.Array
     slab_list: jax.Array
     slab_count: jax.Array
+    contig_start: int = -1
 
     def tree_flatten(self):
         return (
             (self.group_ids, self.ja, self.as_hi, self.as_lo,
              self.slab_list, self.slab_count),
-            (self.k, self.n_groups, self.layout, self.span),
+            (self.k, self.n_groups, self.layout, self.span, self.contig_start),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        k, ng, layout, span = aux
-        return cls(k, ng, layout, span, *children)
+        k, ng, layout, span, contig = aux
+        return cls(k, ng, layout, span, *children, contig_start=contig)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -83,8 +84,15 @@ def device_put_sell_dd(sell: SellMatrix, device=None) -> DeviceSellDD:
     bins = []
     for b in sell.bins:
         hi, lo = split_f64(np.asarray(b.as_, np.float64))
+        gids = np.asarray(b.group_ids, np.int64)
+        contig = (
+            int(gids[0])
+            if gids.size and np.array_equal(gids, gids[0] + np.arange(gids.size))
+            else -1
+        )
         bins.append(
             DeviceSellBinDD(
+                contig_start=contig,
                 k=int(b.k),
                 n_groups=int(b.n_groups),
                 layout=b.layout,
@@ -117,7 +125,7 @@ def _dd_reduce_sublanes(acc_h, acc_l):
     return rh, rl
 
 
-def _kernel_sb_major_dd(k: int, span: int, interpret: bool = False):
+def _kernel_sb_major_dd(k: int, span: int, interpret: bool = False, g_per: int = 1):
     """interpret=True keeps every loop rolled (unroll=1): the XLA CPU jit that
     executes interpreted kernels folds the error-free-transform terms when
     bodies are unrolled (this runtime sets --xla_allow_excess_precision).
@@ -128,17 +136,20 @@ def _kernel_sb_major_dd(k: int, span: int, interpret: bool = False):
 
     def kernel(gid_ref, qb_ref, cnt_ref, xh_ref, xl_ref, ja_ref, ah_ref, al_ref,
                yinh_ref, yinl_ref, yh_ref, yl_ref):
-        g = pl.program_id(0)
+        step = pl.program_id(0)
         rows_h, rows_l = [], []
-        for sb in range(SUBLANES):
+        for gi in range(g_per):
+          g = step * g_per + gi
+          gbase = gi * k * SUBLANES
+          for sb in range(SUBLANES):
 
-            def chunk_body(c, carry, _sb=sb):
+            def chunk_body(c, carry, _sb=sb, _g=g, _gbase=gbase):
                 acc_h, acc_l = carry
-                off = pl.multiple_of(_sb * k, CHUNK_K) + c * CHUNK_K
+                off = pl.multiple_of(_gbase + _sb * k, CHUNK_K) + c * CHUNK_K
                 tile = ja_ref[pl.ds(off, CHUNK_K), :]
                 vh = ah_ref[pl.ds(off, CHUNK_K), :]
                 vl = al_ref[pl.ds(off, CHUNK_K), :]
-                qb = qb_ref[g, _sb * nchunks + c]
+                qb = qb_ref[_g, _sb * nchunks + c]
                 if span == 1:
                     m = tile - qb * LANES
                     xbh = jnp.broadcast_to(xh_ref[qb, :][None, :], (CHUNK_K, LANES))
@@ -173,82 +184,97 @@ def _kernel_sb_major_dd(k: int, span: int, interpret: bool = False):
     return kernel
 
 
-def _kernel_k_major_dd(k: int, interpret: bool = False):
+def _kernel_k_major_dd(k: int, interpret: bool = False, g_per: int = 1):
     KB = k * SUBLANES
 
     def kernel(gid_ref, slab_ref, cnt_ref, xh_ref, xl_ref, ja_ref, ah_ref, al_ref,
                yinh_ref, yinl_ref, yh_ref, yl_ref):
-        g = pl.program_id(0)
-        ja = ja_ref[:]
-        q = ja >> 7
-        m = ja & (LANES - 1)
-        nslab = cnt_ref[g]
+        step = pl.program_id(0)
+        outs_h, outs_l = [], []
+        for gi in range(g_per):
+          g = step * g_per + gi
+          base = gi * KB
+          ja = ja_ref[base : base + KB, :]
+          q = ja >> 7
+          m = ja & (LANES - 1)
+          nslab = cnt_ref[g]
 
-        def body(s, carry):
+          def body(s, carry, _q=q, _m=m, _g=g):
             g_h, g_l = carry
-            sq = slab_ref[g, s]
+            sq = slab_ref[_g, s]
             xbh = jnp.broadcast_to(xh_ref[sq, :][None, :], (KB, LANES))
             xbl = jnp.broadcast_to(xl_ref[sq, :][None, :], (KB, LANES))
-            mask = q == sq
-            g_h = g_h + jnp.where(mask, jnp.take_along_axis(xbh, m, axis=1), 0)
-            g_l = g_l + jnp.where(mask, jnp.take_along_axis(xbl, m, axis=1), 0)
+            mask = _q == sq
+            g_h = g_h + jnp.where(mask, jnp.take_along_axis(xbh, _m, axis=1), 0)
+            g_l = g_l + jnp.where(mask, jnp.take_along_axis(xbl, _m, axis=1), 0)
             return g_h, g_l
 
-        zero = jnp.zeros((KB, LANES), jnp.float32)
-        g_h, g_l = jax.lax.fori_loop(0, nslab, body, (zero, zero))
+          zero = jnp.zeros((KB, LANES), jnp.float32)
+          g_h, g_l = jax.lax.fori_loop(0, nslab, body, (zero, zero))
 
-        # dd product per entry, then dd reduction over the K slices
-        ph, pe = two_prod(ah_ref[:], g_h)
-        pl_ = pe + (ah_ref[:] * g_l + al_ref[:] * g_h)
-        zero = jnp.zeros((SUBLANES, LANES), jnp.float32)
-        if interpret:
+          # dd product per entry, then dd reduction over the K slices
+          vh = ah_ref[base : base + KB, :]
+          vl = al_ref[base : base + KB, :]
+          ph, pe = two_prod(vh, g_h)
+          pl_ = pe + (vh * g_l + vl * g_h)
+          zero = jnp.zeros((SUBLANES, LANES), jnp.float32)
+          if interpret:
             # rolled loop: see _kernel_sb_major_dd note on EFT folding
-            def red_body(kk, carry):
+            def red_body(kk, carry, _ph=ph, _pl=pl_):
                 h, l = carry
-                sh = jax.lax.dynamic_slice(ph, (kk * SUBLANES, 0), (SUBLANES, LANES))
-                sl_ = jax.lax.dynamic_slice(pl_, (kk * SUBLANES, 0), (SUBLANES, LANES))
+                sh = jax.lax.dynamic_slice(_ph, (kk * SUBLANES, 0), (SUBLANES, LANES))
+                sl_ = jax.lax.dynamic_slice(_pl, (kk * SUBLANES, 0), (SUBLANES, LANES))
                 return dd_add_dd(h, l, sh, sl_)
 
             acc_h, acc_l = jax.lax.fori_loop(0, k, red_body, (zero, zero), unroll=1)
-        else:
+          else:
             acc_h, acc_l = zero, zero
             for kk in range(k):
                 sl = slice(kk * SUBLANES, (kk + 1) * SUBLANES)
                 acc_h, acc_l = dd_add_dd(acc_h, acc_l, ph[sl, :], pl_[sl, :])
-        yh_ref[:] = acc_h
-        yl_ref[:] = acc_l
+          outs_h.append(acc_h)
+          outs_l.append(acc_l)
+        yh_ref[:] = outs_h[0] if g_per == 1 else jnp.concatenate(outs_h, axis=0)
+        yl_ref[:] = outs_l[0] if g_per == 1 else jnp.concatenate(outs_l, axis=0)
 
     return kernel
 
 
 def _bin_call_dd(bin_, xh_tab, xl_tab, yh, yl, num_groups: int, interpret: bool):
+    from .pallas_sell import _pick_g_per
+
     ng, K = bin_.n_groups, bin_.k
-    KB = K * SUBLANES
+    g_per = _pick_g_per(bin_, bytes_per_entry=12)  # JA i32 + AS hi/lo f32
+    KB = K * SUBLANES * g_per
     R = xh_tab.shape[0]
 
-    out_map = lambda g, refs0, refs1, refs2: (refs0[g], 0)
+    if g_per == 1:
+        out_map = lambda g, refs0, refs1, refs2: (refs0[g], 0)
+    else:
+        out_map = lambda g, refs0, refs1, refs2: (refs0[g * g_per] // g_per, 0)
+    OUTB = SUBLANES * g_per
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(ng,),
+        grid=(ng // g_per,),
         in_specs=[
             pl.BlockSpec((R, LANES), lambda g, *r: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((R, LANES), lambda g, *r: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((KB, LANES), lambda g, *r: (g, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((KB, LANES), lambda g, *r: (g, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((KB, LANES), lambda g, *r: (g, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((SUBLANES, LANES), out_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((SUBLANES, LANES), out_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((OUTB, LANES), out_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((OUTB, LANES), out_map, memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((SUBLANES, LANES), out_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((SUBLANES, LANES), out_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((OUTB, LANES), out_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((OUTB, LANES), out_map, memory_space=pltpu.VMEM),
         ),
     )
 
     if bin_.layout == "sb-major":
-        kernel = _kernel_sb_major_dd(K, bin_.span, interpret)
+        kernel = _kernel_sb_major_dd(K, bin_.span, interpret, g_per)
     else:
-        kernel = _kernel_k_major_dd(K, interpret)
+        kernel = _kernel_k_major_dd(K, interpret, g_per)
 
     return pl.pallas_call(
         kernel,

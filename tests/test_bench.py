@@ -126,3 +126,17 @@ def test_cli_end_to_end(tmp_path):
     assert rc == 0
     rows = _read_csv(str(out / "spmv_results.csv"))
     assert len(rows) == 1 + 3  # header + one row per stage, not duplicated
+
+
+def test_sigma_stage():
+    from sparsematrixvectormultiplication_tpu.models.synthetic import power_law
+
+    coo = power_law(4096, 4, seed=9)
+    cfg = BenchConfig(
+        iterations=2, rounds=1, kernels=("serial_csr", "pallas_sell_sigma"),
+        flush_between_stages=False,
+    )
+    res = run_matrix("pl", coo, cfg, log=lambda *a, **k: None)
+    s = res.stages["pallas_sell_sigma"]
+    assert s.diff.significant_diffs == 0
+    assert s.extra["padding_ratio"] >= 1.0
