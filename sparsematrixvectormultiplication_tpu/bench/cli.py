@@ -52,6 +52,8 @@ def build_parser():
     p.add_argument("--no-validate", action="store_true")
     p.add_argument("--resume", action="store_true",
                    help="skip matrices already present in the checkpoint")
+    p.add_argument("--profile-dir", default=None,
+                   help="emit a jax.profiler trace per matrix into this dir")
     p.add_argument("--json", action="store_true", help="also print per-matrix JSON lines")
     return p
 
@@ -86,6 +88,7 @@ def main(argv=None):
 
     from .csv_report import (
         write_cuda_style_row,
+        write_memory_stats_row,
         write_native_row,
         write_openmp_style_row,
         write_tile_config_row,
@@ -114,6 +117,8 @@ def main(argv=None):
     openmp_csv = os.path.join(args.output_dir, "spmv_results_openmp.csv")
     cuda_csv = os.path.join(args.output_dir, "spmv_results_cuda.csv")
     tiles_csv = os.path.join(args.output_dir, "spmv_tile_config.csv")
+    # ≙ reference result/matrix_memory_stats_csr.csv (csr_matrix.c:28)
+    memstats_csv = os.path.join(args.output_dir, "matrix_memory_stats.csv")
 
     n_ok = n_fail = 0
     for name, coo in iter_matrices(args):
@@ -121,11 +126,19 @@ def main(argv=None):
             print(f"[{name}] skipped (checkpoint)")
             continue
         try:
-            res = run_matrix(name, coo, cfg)
+            from ..utils.profiling import profile_trace
+
+            with profile_trace(
+                os.path.join(args.profile_dir, name) if args.profile_dir else None
+            ):
+                res = run_matrix(name, coo, cfg)
             write_native_row(native_csv, res)
             write_openmp_style_row(openmp_csv, res)
             write_cuda_style_row(cuda_csv, res)
             write_tile_config_row(tiles_csv, res)
+            for fmt in ("csr", "hll", "sell", "sell_sigma"):
+                if fmt in res.format_stats:
+                    write_memory_stats_row(memstats_csv, name, fmt, res.format_stats[fmt])
             if args.json:
                 best = max(
                     (s for s in res.stages.values() if not s.stage.startswith("serial")),

@@ -207,6 +207,29 @@ def write_cuda_style_row(path: str, result: MatrixResult):
     _append_row(path, CUDA_HEADER, row)
 
 
+MEMORY_STATS_HEADER = [
+    "matrix_name", "rows", "cols", "nonzeros", "format",
+    "bytes_total", "bytes_per_nnz", "padded_nnz", "padding_ratio",
+]
+
+
+def write_memory_stats_row(path: str, matrix_name: str, fmt: str, stats: dict):
+    """Per-format memory footprint row (≙ write_memory_stats_to_csv,
+    src/csr_matrix.c:28-61 — which the reference defines but never calls;
+    here it is wired into the sweep)."""
+    _append_row(
+        path,
+        MEMORY_STATS_HEADER,
+        [
+            matrix_name, stats.get("rows"), stats.get("cols"), stats.get("nnz"),
+            fmt, stats.get("bytes_total"),
+            f"{stats.get('bytes_total', 0) / max(stats.get('nnz', 1), 1):.3f}",
+            stats.get("padded_nnz", stats.get("nnz")),
+            f"{stats.get('padding_ratio', 1.0):.6f}",
+        ],
+    )
+
+
 TILE_HEADER = [
     "matrix_name", "nonzeros", "kernel", "bin_k", "n_groups", "s_max",
     "padding_ratio",

@@ -77,3 +77,18 @@ class COOMatrix:
     def row_counts(self) -> np.ndarray:
         """nnz per row (the load measure used by all schedulers)."""
         return np.bincount(self.row, minlength=self.nrows).astype(np.int64)
+
+    def summary(self, full: bool = False) -> str:
+        """Human summary (≙ print_pre_matrix, src/matrix_parser.c:152-177)."""
+        lines = [
+            f"matrix: {self.nrows} x {self.ncols}",
+            f"nonzeros: {self.nnz}",
+        ]
+        if full and self.nrows <= 30:
+            lines.append(f"rows (I): {self.row.tolist()}")
+            lines.append(f"cols (J): {self.col.tolist()}")
+            lines.append(f"values:   {self.val.tolist()}")
+        return "\n".join(lines)
+
+    def __repr__(self) -> str:
+        return f"COOMatrix({self.nrows}x{self.ncols}, nnz={self.nnz})"

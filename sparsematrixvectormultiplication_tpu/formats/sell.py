@@ -57,7 +57,7 @@ __all__ = ["SellBin", "SellMatrix", "GROUP_ROWS", "LANES", "SUBLANES"]
 LANES = 128
 SUBLANES = 8
 GROUP_ROWS = LANES * SUBLANES  # 1024
-CHUNK_K = 8  # entries per (8,128) chunk in sb-major layout
+CHUNK_K = 8  # default entries per (chunk_k,128) chunk in sb-major layout
 
 # Default K bin edges; a group with max row nnz K_g is padded to the smallest
 # edge >= K_g. Autotunable (tune/autotune.py).
@@ -79,6 +79,7 @@ class SellBin:
     slab_count: np.ndarray   # (n_groups,) int32 distinct-slab counts (k-major loop bound)
     real_nnz: int            # un-padded nnz covered by this bin
     span: int = 0            # sb-major: static slabs scanned per chunk
+    chunk_k: int = CHUNK_K   # sb-major: entries per chunk (sublane tile height)
     cost_passes: int = 0     # modeled vreg-ops per element for the chosen kernel
 
     @property
@@ -163,6 +164,7 @@ class SellMatrix:
         value_dtype=None,
         layout: str = "auto",
         sigma_sort: bool = False,
+        chunk_k: int = CHUNK_K,
     ) -> "SellMatrix":
         """Convert CSR (column-sorted rows) to binned SELL-C-128.
 
@@ -264,8 +266,9 @@ class SellMatrix:
             )
 
             # ---- per-group layout + span decision ----
-            Kp = -(-K // CHUNK_K) * CHUNK_K  # sb-major padded width
-            nchunks = Kp // CHUNK_K
+            ck = int(chunk_k)
+            Kp = -(-K // ck) * ck  # sb-major padded width
+            nchunks = Kp // ck
             # sb-major view (ng, 8, Kp, 128) and per-chunk q ranges
             jat = np.transpose(ja, (0, 2, 1, 3))
             if Kp != K:
@@ -275,13 +278,18 @@ class SellMatrix:
                     axis=2,
                 )
             q = jat.astype(np.int64) // LANES
-            qc = q.reshape(ng, SUBLANES, nchunks, CHUNK_K, LANES)
+            qc = q.reshape(ng, SUBLANES, nchunks, ck, LANES)
             qmin = qc.min(axis=(3, 4))                      # (ng, 8, nchunks)
             spans = qc.max(axis=(3, 4)) - qmin + 1
             g_span = spans.max(axis=(1, 2))                 # (ng,) max span per group
-            # quantize spans to pow2 sub-bins
-            s_q = np.maximum(1, 1 << np.ceil(np.log2(np.maximum(g_span, 1))).astype(np.int64))
-            s_q = np.minimum(s_q, max(Rp, 1))
+            # quantize spans: multiples of 4 up to 64 (tight), pow2 beyond
+            # (bounds sub-bin count without the ~60% pow2 over-scan waste)
+            s_q = np.where(
+                g_span <= 64,
+                -(-g_span // 4) * 4,
+                1 << np.ceil(np.log2(np.maximum(g_span, 1))).astype(np.int64),
+            )
+            s_q = np.minimum(np.maximum(s_q, 1), max(Rp, 1))
             # modeled vreg-ops per group (ops on (8,128) registers):
             #   sb-major: per chunk, span gather passes (~5 ops) + 2
             #   k-major : per distinct slab, K tile-vregs x ~5 ops
@@ -322,6 +330,7 @@ class SellMatrix:
                             slab_count=np.full(sub.size, span_val, np.int32),
                             real_nnz=real,
                             span=int(span_val),
+                            chunk_k=ck,
                             cost_passes=int(cost_sb_g[sub].sum()),
                         )
                     )

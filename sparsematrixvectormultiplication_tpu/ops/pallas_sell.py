@@ -57,17 +57,19 @@ class DeviceSellBin:
     slab_count: jax.Array  # (ng,) int32
     contig_start: int = -1  # first group id when the bin's groups are a
                             # contiguous range (enables multi-group steps)
+    chunk_k: int = CHUNK_K  # sb-major chunk sublane height
 
     def tree_flatten(self):
         return (
             (self.group_ids, self.ja, self.as_, self.slab_list, self.slab_count),
-            (self.k, self.n_groups, self.layout, self.span, self.contig_start),
+            (self.k, self.n_groups, self.layout, self.span, self.contig_start,
+             self.chunk_k),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        k, ng, layout, span, contig = aux
-        return cls(k, ng, layout, span, *children, contig_start=contig)
+        k, ng, layout, span, contig, ck = aux
+        return cls(k, ng, layout, span, *children, contig_start=contig, chunk_k=ck)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -113,6 +115,7 @@ def device_put_sell(sell: SellMatrix, dtype=jnp.float32, device=None) -> DeviceS
                 slab_list=jax.device_put(jnp.asarray(b.slab_list, jnp.int32), device),
                 slab_count=jax.device_put(jnp.asarray(b.slab_count, jnp.int32), device),
                 contig_start=contig,
+                chunk_k=int(getattr(b, "chunk_k", 8)),
             )
         )
     return DeviceSell(sell.nrows, sell.ncols, sell.nnz, sell.num_groups, bins)
@@ -184,7 +187,7 @@ def _kernel_k_major(k: int, g_per: int = 1):
 # ---------------------------------------------------------------------------
 
 
-def _kernel_sb_major(k: int, span: int, g_per: int = 1):
+def _kernel_sb_major(k: int, span: int, g_per: int = 1, ck: int = CHUNK_K):
     """Range-scan kernel with fully static control flow.
 
     Per (8,128) chunk: ``span`` unrolled gather passes starting at the
@@ -195,8 +198,8 @@ def _kernel_sb_major(k: int, span: int, g_per: int = 1):
     pass. When ``span == 1`` every entry's slab equals ``qb`` by
     construction, so the compare/select drops out entirely.
     """
-    assert k % CHUNK_K == 0
-    nchunks = k // CHUNK_K
+    assert k % ck == 0
+    nchunks = k // ck
 
     def kernel(gid_ref, qb_ref, cnt_ref, x_ref, ja_ref, as_ref, yin_ref, y_ref):
         step = pl.program_id(0)
@@ -208,30 +211,30 @@ def _kernel_sb_major(k: int, span: int, g_per: int = 1):
             for sb in range(SUBLANES):  # static: 8 superblocks per group
 
                 def chunk_body(c, acc, _sb=sb, _g=g, _gbase=gbase):
-                    off = pl.multiple_of(_gbase + _sb * k, CHUNK_K) + c * CHUNK_K
-                    tile = ja_ref[pl.ds(off, CHUNK_K), :]
-                    vals = as_ref[pl.ds(off, CHUNK_K), :]
+                    off = pl.multiple_of(_gbase + _sb * k, ck) + c * ck
+                    tile = ja_ref[pl.ds(off, ck), :]
+                    vals = as_ref[pl.ds(off, ck), :]
                     qb = qb_ref[_g, _sb * nchunks + c]
                     if span == 1:
                         m = tile - qb * LANES  # q == qb for every entry
                         xrow = x_ref[qb, :]
-                        xb = jnp.broadcast_to(xrow[None, :], (CHUNK_K, LANES))
+                        xb = jnp.broadcast_to(xrow[None, :], (ck, LANES))
                         gath = jnp.take_along_axis(xb, m, axis=1)
                     else:
                         q = tile >> 7          # // 128
                         m = tile & (LANES - 1)  # % 128
-                        gath = jnp.zeros((CHUNK_K, LANES), dtype)
+                        gath = jnp.zeros((ck, LANES), dtype)
                         for s in range(span):  # static unroll
                             sq = qb + s
                             xrow = x_ref[sq, :]
-                            xb = jnp.broadcast_to(xrow[None, :], (CHUNK_K, LANES))
+                            xb = jnp.broadcast_to(xrow[None, :], (ck, LANES))
                             gat = jnp.take_along_axis(xb, m, axis=1)
                             gath = gath + jnp.where(q == sq, gat, 0)
                     return acc + vals * gath
 
                 # Mosaic fori_loop supports only unroll=1 or full unroll
                 psum = jax.lax.fori_loop(
-                    0, nchunks, chunk_body, jnp.zeros((CHUNK_K, LANES), dtype),
+                    0, nchunks, chunk_body, jnp.zeros((ck, LANES), dtype),
                     unroll=nchunks if nchunks <= 8 else 1,
                 )
                 rows.append(jnp.sum(psum, axis=0))
@@ -297,7 +300,7 @@ def _bin_call(bin_: DeviceSellBin, x_tab, y, num_groups: int, interpret: bool):
     )
 
     if bin_.layout == "sb-major":
-        kernel = _kernel_sb_major(K, bin_.span, g_per)
+        kernel = _kernel_sb_major(K, bin_.span, g_per, bin_.chunk_k)
     else:
         kernel = _kernel_k_major(K, g_per)
 

@@ -45,18 +45,20 @@ class DeviceSellBinDD:
     slab_list: jax.Array
     slab_count: jax.Array
     contig_start: int = -1
+    chunk_k: int = CHUNK_K
 
     def tree_flatten(self):
         return (
             (self.group_ids, self.ja, self.as_hi, self.as_lo,
              self.slab_list, self.slab_count),
-            (self.k, self.n_groups, self.layout, self.span, self.contig_start),
+            (self.k, self.n_groups, self.layout, self.span, self.contig_start,
+             self.chunk_k),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        k, ng, layout, span, contig = aux
-        return cls(k, ng, layout, span, *children, contig_start=contig)
+        k, ng, layout, span, contig, ck = aux
+        return cls(k, ng, layout, span, *children, contig_start=contig, chunk_k=ck)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -93,6 +95,7 @@ def device_put_sell_dd(sell: SellMatrix, device=None) -> DeviceSellDD:
         bins.append(
             DeviceSellBinDD(
                 contig_start=contig,
+                chunk_k=int(getattr(b, "chunk_k", 8)),
                 k=int(b.k),
                 n_groups=int(b.n_groups),
                 layout=b.layout,
@@ -109,30 +112,31 @@ def device_put_sell_dd(sell: SellMatrix, device=None) -> DeviceSellDD:
 
 
 def _dd_chunk_accumulate(acc_h, acc_l, vals_h, vals_l, g_h, g_l):
-    """acc += a * g in double-double, elementwise on (CHUNK_K, LANES)."""
+    """acc += a * g in double-double, elementwise on (ck, LANES)."""
     ph, pe = two_prod(vals_h, g_h)
     pl_ = pe + (vals_h * g_l + vals_l * g_h)
     sh, se = two_sum(acc_h, ph)
     return sh, acc_l + (se + pl_)
 
 
-def _dd_reduce_sublanes(acc_h, acc_l):
-    """DD sum over the sublane axis: (CHUNK_K,128) dd -> (128,) dd."""
+def _dd_reduce_sublanes(acc_h, acc_l, ck: int = CHUNK_K):
+    """DD sum over the sublane axis: (ck,128) dd -> (128,) dd."""
     rh = acc_h[0, :]
     rl = acc_l[0, :]
-    for i in range(1, CHUNK_K):
+    for i in range(1, ck):
         rh, rl = dd_add_dd(rh, rl, acc_h[i, :], acc_l[i, :])
     return rh, rl
 
 
-def _kernel_sb_major_dd(k: int, span: int, interpret: bool = False, g_per: int = 1):
+def _kernel_sb_major_dd(k: int, span: int, interpret: bool = False, g_per: int = 1,
+                        ck: int = CHUNK_K):
     """interpret=True keeps every loop rolled (unroll=1): the XLA CPU jit that
     executes interpreted kernels folds the error-free-transform terms when
     bodies are unrolled (this runtime sets --xla_allow_excess_precision).
     Mosaic-compiled TPU kernels preserve EFTs with full unrolling (measured
     8.5e-14 vs fp64 oracle)."""
-    assert k % CHUNK_K == 0
-    nchunks = k // CHUNK_K
+    assert k % ck == 0
+    nchunks = k // ck
 
     def kernel(gid_ref, qb_ref, cnt_ref, xh_ref, xl_ref, ja_ref, ah_ref, al_ref,
                yinh_ref, yinl_ref, yh_ref, yl_ref):
@@ -145,37 +149,37 @@ def _kernel_sb_major_dd(k: int, span: int, interpret: bool = False, g_per: int =
 
             def chunk_body(c, carry, _sb=sb, _g=g, _gbase=gbase):
                 acc_h, acc_l = carry
-                off = pl.multiple_of(_gbase + _sb * k, CHUNK_K) + c * CHUNK_K
-                tile = ja_ref[pl.ds(off, CHUNK_K), :]
-                vh = ah_ref[pl.ds(off, CHUNK_K), :]
-                vl = al_ref[pl.ds(off, CHUNK_K), :]
+                off = pl.multiple_of(_gbase + _sb * k, ck) + c * ck
+                tile = ja_ref[pl.ds(off, ck), :]
+                vh = ah_ref[pl.ds(off, ck), :]
+                vl = al_ref[pl.ds(off, ck), :]
                 qb = qb_ref[_g, _sb * nchunks + c]
                 if span == 1:
                     m = tile - qb * LANES
-                    xbh = jnp.broadcast_to(xh_ref[qb, :][None, :], (CHUNK_K, LANES))
-                    xbl = jnp.broadcast_to(xl_ref[qb, :][None, :], (CHUNK_K, LANES))
+                    xbh = jnp.broadcast_to(xh_ref[qb, :][None, :], (ck, LANES))
+                    xbl = jnp.broadcast_to(xl_ref[qb, :][None, :], (ck, LANES))
                     g_h = jnp.take_along_axis(xbh, m, axis=1)
                     g_l = jnp.take_along_axis(xbl, m, axis=1)
                 else:
                     q = tile >> 7
                     m = tile & (LANES - 1)
-                    g_h = jnp.zeros((CHUNK_K, LANES), jnp.float32)
-                    g_l = jnp.zeros((CHUNK_K, LANES), jnp.float32)
+                    g_h = jnp.zeros((ck, LANES), jnp.float32)
+                    g_l = jnp.zeros((ck, LANES), jnp.float32)
                     for s in range(span):
                         sq = qb + s
-                        xbh = jnp.broadcast_to(xh_ref[sq, :][None, :], (CHUNK_K, LANES))
-                        xbl = jnp.broadcast_to(xl_ref[sq, :][None, :], (CHUNK_K, LANES))
+                        xbh = jnp.broadcast_to(xh_ref[sq, :][None, :], (ck, LANES))
+                        xbl = jnp.broadcast_to(xl_ref[sq, :][None, :], (ck, LANES))
                         mask = q == sq
                         g_h = g_h + jnp.where(mask, jnp.take_along_axis(xbh, m, axis=1), 0)
                         g_l = g_l + jnp.where(mask, jnp.take_along_axis(xbl, m, axis=1), 0)
                 return _dd_chunk_accumulate(acc_h, acc_l, vh, vl, g_h, g_l)
 
-            zero = jnp.zeros((CHUNK_K, LANES), jnp.float32)
+            zero = jnp.zeros((ck, LANES), jnp.float32)
             acc_h, acc_l = jax.lax.fori_loop(
                 0, nchunks, chunk_body, (zero, zero),
                 unroll=1 if interpret else (nchunks if nchunks <= 8 else 1),
             )
-            rh, rl = _dd_reduce_sublanes(acc_h, acc_l)
+            rh, rl = _dd_reduce_sublanes(acc_h, acc_l, ck)
             rows_h.append(rh)
             rows_l.append(rl)
         yh_ref[:] = jnp.stack(rows_h)
@@ -272,7 +276,7 @@ def _bin_call_dd(bin_, xh_tab, xl_tab, yh, yl, num_groups: int, interpret: bool)
     )
 
     if bin_.layout == "sb-major":
-        kernel = _kernel_sb_major_dd(K, bin_.span, interpret, g_per)
+        kernel = _kernel_sb_major_dd(K, bin_.span, interpret, g_per, bin_.chunk_k)
     else:
         kernel = _kernel_k_major_dd(K, interpret, g_per)
 

@@ -140,3 +140,25 @@ def test_sigma_stage():
     s = res.stages["pallas_sell_sigma"]
     assert s.diff.significant_diffs == 0
     assert s.extra["padding_ratio"] >= 1.0
+
+
+def test_memory_stats_csv(result, tmp_path):
+    from sparsematrixvectormultiplication_tpu.bench.csv_report import (
+        MEMORY_STATS_HEADER,
+        write_memory_stats_row,
+    )
+
+    p = str(tmp_path / "mem.csv")
+    write_memory_stats_row(p, result.name, "csr", result.format_stats["csr"])
+    write_memory_stats_row(p, result.name, "sell", result.format_stats["sell"])
+    rows = _read_csv(p)
+    assert rows[0] == MEMORY_STATS_HEADER and len(rows) == 3
+
+
+def test_coo_summary():
+    from sparsematrixvectormultiplication_tpu import COOMatrix
+
+    coo = COOMatrix(3, 3, np.array([0, 2]), np.array([1, 0]), np.array([1.5, -2.0]))
+    s = coo.summary(full=True)
+    assert "3 x 3" in s and "nonzeros: 2" in s and "1.5" in s
+    assert "nnz=2" in repr(coo)
