@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""End-to-end demo: load a .mtx, run every kernel tier, validate, report.
+
+    python examples/demo.py [path/to/matrix.mtx]
+
+Without an argument, generates a banded FEM-class matrix. Runs on whatever
+backend JAX picks (Pallas kernels interpret on CPU).
+"""
+
+import sys
+import os
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import sparsematrixvectormultiplication_tpu as spmv
+    from sparsematrixvectormultiplication_tpu.ops import (
+        device_put_csr,
+        device_put_sell,
+        device_put_sell_dd,
+        sell_spmv_dd_f64,
+        sell_spmv_pallas,
+    )
+    from sparsematrixvectormultiplication_tpu.utils.metrics import format_flops
+    from sparsematrixvectormultiplication_tpu.utils.validation import difference_metrics
+
+    if len(sys.argv) > 1:
+        coo = spmv.COOMatrix.from_mtx(sys.argv[1])
+        name = os.path.basename(sys.argv[1])
+    else:
+        from sparsematrixvectormultiplication_tpu.models.synthetic import banded
+
+        coo = banded(50_000, 24, 500, seed=0)
+        name = "banded_demo(50k x 50k, ~24 nnz/row)"
+
+    print(f"matrix: {name} -> {coo.summary()}")
+    csr = spmv.CSRMatrix.from_coo(coo)
+    sell = spmv.SellMatrix.from_csr(csr)
+    st = sell.memory_stats()
+    print(f"SELL layout: {st['num_bins']} bins {st['bin_ks']} "
+          f"({st['bin_layouts']}), padding {st['padding_ratio']:.2f}x")
+
+    x = np.ones(coo.ncols)
+    y_oracle = csr.spmv(x)  # host fp64 golden reference
+    on_tpu = jax.devices()[0].platform == "tpu"
+    print(f"backend: {jax.devices()[0].device_kind}")
+
+    # f32 Pallas kernel
+    d32 = device_put_sell(sell, dtype=jnp.float32)
+    y32 = np.asarray(sell_spmv_pallas(d32, jnp.asarray(x, jnp.float32),
+                                      interpret=not on_tpu))
+    dm = difference_metrics(y_oracle, y32)
+    print(f"pallas f32:   significant_diffs={dm.significant_diffs} "
+          f"max_rel={dm.max_rel_err:.2e}")
+
+    # fp64-class double-double kernel
+    ddd = device_put_sell_dd(sell)
+    ydd = np.asarray(sell_spmv_dd_f64(ddd, jnp.asarray(x, jnp.float64)
+                                      if jax.config.jax_enable_x64 else jnp.asarray(x),
+                                      interpret=not on_tpu))
+    dm = difference_metrics(y_oracle, ydd)
+    print(f"pallas fp64dd: significant_diffs={dm.significant_diffs} "
+          f"max_rel={dm.max_rel_err:.2e}")
+
+    if on_tpu:
+        from sparsematrixvectormultiplication_tpu.utils.timing import (
+            time_device_fn_batched,
+        )
+
+        sec, _ = time_device_fn_batched(
+            lambda xx: sell_spmv_pallas(d32, xx), jnp.asarray(x, jnp.float32),
+            reps=10, rounds=2,
+        )
+        print(f"pallas f32 time: {sec*1e3:.3f} ms = "
+              f"{format_flops(2 * coo.nnz / sec)}")
+
+
+if __name__ == "__main__":
+    main()

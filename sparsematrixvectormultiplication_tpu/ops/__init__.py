@@ -1,0 +1,36 @@
+"""Device SpMV kernels: XLA oracles, Pallas performance kernels, and the
+double-double fp64-class variants."""
+
+from .xla import (
+    DeviceCSR,
+    DeviceELL,
+    csr_spmv,
+    device_put_csr,
+    device_put_ell,
+    ell_spmv,
+    sell_spmv_xla,
+)
+from .pallas_sell import (
+    DeviceSell,
+    DeviceSellBin,
+    device_put_sell,
+    pack_x_table,
+    sell_spmv_pallas,
+)
+from .pallas_sell_dd import (
+    DeviceSellDD,
+    device_put_sell_dd,
+    sell_spmv_dd_f64,
+    sell_spmv_pallas_dd,
+)
+from .pallas_hll import device_put_hll_pallas, hll_spmv_pallas, hll_to_sell
+
+__all__ = [
+    "DeviceCSR", "DeviceELL", "csr_spmv", "device_put_csr", "device_put_ell",
+    "ell_spmv", "sell_spmv_xla",
+    "DeviceSell", "DeviceSellBin", "device_put_sell", "pack_x_table",
+    "sell_spmv_pallas",
+    "DeviceSellDD", "device_put_sell_dd", "sell_spmv_dd_f64",
+    "sell_spmv_pallas_dd",
+    "device_put_hll_pallas", "hll_spmv_pallas", "hll_to_sell",
+]

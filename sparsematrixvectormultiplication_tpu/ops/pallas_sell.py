@@ -121,10 +121,27 @@ def device_put_sell(sell: SellMatrix, dtype=jnp.float32, device=None) -> DeviceS
     return DeviceSell(sell.nrows, sell.ncols, sell.nnz, sell.num_groups, bins)
 
 
+# v5e VMEM is 128 MiB; the x table plus double-buffered entry tiles must fit.
+_X_TABLE_VMEM_BUDGET = 96 * 1024 * 1024
+
+
 def pack_x_table(x, ncols: int):
-    """Pad x to the (R, 128) slab table consumed by the kernels."""
+    """Pad x to the (R, 128) slab table consumed by the kernels.
+
+    The whole table lives in VMEM (the generalization of the reference's
+    shared-memory x cache, csr_matrix_cuda.cu:198-241). Raises for vectors
+    beyond the VMEM budget (~24M f32 columns) — the column-panel
+    decomposition for larger N is future work (docs/DESIGN.md)."""
     R = -(-ncols // LANES)
     Rp = -(-R // SUBLANES) * SUBLANES  # sublane-aligned table
+    nbytes = Rp * LANES * x.dtype.itemsize
+    if nbytes > _X_TABLE_VMEM_BUDGET:
+        raise ValueError(
+            f"x table ({nbytes/2**20:.0f} MiB for N={ncols}) exceeds the VMEM "
+            f"budget ({_X_TABLE_VMEM_BUDGET/2**20:.0f} MiB); column-panel "
+            "decomposition is not implemented yet — use the XLA kernels "
+            "(ops/xla.py) for N this large"
+        )
     pad = Rp * LANES - x.shape[0]
     if pad:
         x = jnp.concatenate([x, jnp.zeros((pad,), x.dtype)])

@@ -114,3 +114,41 @@ def test_2d_mesh_4x2_vs_2x4(problem):
         sh = shard_ell_2d(hll, mesh)
         y = np.asarray(sharded_spmv_2d(sh, jnp.asarray(x), mesh))
         assert np.allclose(y, y_ref, rtol=1e-12, atol=1e-12), shape
+
+
+def test_multidevice_pallas_spmv(problem):
+    """Manual-DP Pallas dispatch across the 8 CPU devices."""
+    from sparsematrixvectormultiplication_tpu import CSRMatrix
+    from sparsematrixvectormultiplication_tpu.parallel.multidevice import (
+        shard_sell_rows,
+    )
+
+    hll, s, x = problem
+    coo = None
+    csr = CSRMatrix(
+        nrows=s.shape[0], ncols=s.shape[1],
+        row_ptr=s.tocsr().indptr.astype(np.int64),
+        col_idx=s.tocsr().indices.astype(np.int32),
+        values=s.tocsr().data,
+    )
+    md = shard_sell_rows(csr, jax.devices(), dtype=jnp.float64)
+    assert md.num_shards >= 2
+    # every shard really lives on its own device
+    devs = {sh[0] for sh in md.shards}
+    assert len(devs) == md.num_shards
+    y = md.spmv(x, interpret=True)
+    assert np.allclose(y, s.tocsr() @ x, rtol=1e-11, atol=1e-11)
+
+
+def test_multidevice_balances_nnz():
+    from sparsematrixvectormultiplication_tpu import CSRMatrix, COOMatrix
+    from sparsematrixvectormultiplication_tpu.models.synthetic import dense_rows_mix
+    from sparsematrixvectormultiplication_tpu.parallel.multidevice import (
+        shard_sell_rows,
+    )
+
+    coo = dense_rows_mix(20000, seed=3)
+    csr = CSRMatrix.from_coo(coo)
+    md = shard_sell_rows(csr, jax.devices(), dtype=jnp.float64)
+    nnzs = [sh[1].nnz for sh in md.shards]
+    assert max(nnzs) < 3 * (sum(nnzs) / len(nnzs))  # roughly balanced
