@@ -173,14 +173,17 @@ def run_matrix(
         log(f"[{name}] {stage}: {sec*1e3:.3f} ms = {stages[stage].gflops:.3f} GFLOPS, "
             f"sig_diffs={dm.significant_diffs}, max_rel={dm.max_rel_err:.2e}")
 
+    # NOTE: device data is always threaded through as jit ARGUMENTS, never
+    # captured in closures — this runtime ships closure constants inside the
+    # remote-compile request (measured: HTTP 413 at ~1 GB matrices)
     if "xla_csr" in cfg.kernels:
         dcsr = device_put_csr(csr, dtype=dt)
-        run_device_stage("xla_csr", lambda xx: dcsr.spmv(xx)[:M], xd)
+        run_device_stage("xla_csr", lambda d, xx: d.spmv(xx)[:M], dcsr, xd)
 
     if "xla_ell" in cfg.kernels and hll is not None:
         try:
             dell = device_put_ell(hll, dtype=dt, max_elements=cfg.ell_max_elements)
-            run_device_stage("xla_ell", lambda xx: dell.spmv(xx), xd)
+            run_device_stage("xla_ell", lambda d, xx: d.spmv(xx), dell, xd)
         except MemoryError as e:
             log(f"[{name}] xla_ell skipped: {e}")
 
@@ -196,8 +199,8 @@ def run_matrix(
         dsell = device_put_sell(sell, dtype=dt)
         run_device_stage(
             "pallas_sell",
-            lambda xx: sell_spmv_pallas(dsell, xx, interpret=not on_tpu),
-            xd,
+            lambda d, xx: sell_spmv_pallas(d, xx, interpret=not on_tpu),
+            dsell, xd,
         )
 
     if "pallas_sell_sigma" in cfg.kernels:
@@ -218,8 +221,8 @@ def run_matrix(
             if cfg.validate else DiffMetrics()
         )
         sec, _ = time_device_fn_batched(
-            lambda xx: sell_spmv_pallas(dsig, xx, interpret=not on_tpu),
-            xd, reps=cfg.iterations, rounds=cfg.rounds,
+            lambda d, xx: sell_spmv_pallas(d, xx, interpret=not on_tpu),
+            dsig, xd, reps=cfg.iterations, rounds=cfg.rounds,
         )
         stages["pallas_sell_sigma"] = StageResult(
             "pallas_sell_sigma", sec, calculate_flops(nnz, sec) / 1e9, dm,
@@ -239,8 +242,8 @@ def run_matrix(
         xl = np.asarray(x - xh.astype(np.float64), np.float32)
         xh_d, xl_d = jnp.asarray(xh), jnp.asarray(xl)
 
-        def dd_fn(xh_d, xl_d):
-            yh, yl = sell_spmv_pallas_dd(dsell_dd, xh_d, xl_d, interpret=not on_tpu)
+        def dd_fn(d, xh_d, xl_d):
+            yh, yl = sell_spmv_pallas_dd(d, xh_d, xl_d, interpret=not on_tpu)
             return yh + yl  # timing checksum path; accuracy path combines in f64
 
         if cfg.flush_between_stages:
@@ -248,7 +251,7 @@ def run_matrix(
         yh, yl = sell_spmv_pallas_dd(dsell_dd, xh_d, xl_d, interpret=not on_tpu)
         y64 = np.asarray(yh, np.float64) + np.asarray(yl, np.float64)
         dm = validate(y64)
-        sec, _ = time_device_fn_batched(dd_fn, xh_d, xl_d,
+        sec, _ = time_device_fn_batched(dd_fn, dsell_dd, xh_d, xl_d,
                                         reps=cfg.iterations, rounds=cfg.rounds)
         stages["pallas_sell_dd"] = StageResult(
             "pallas_sell_dd", sec, calculate_flops(nnz, sec) / 1e9, dm

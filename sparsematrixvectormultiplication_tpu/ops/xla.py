@@ -85,8 +85,11 @@ def sell_spmv_xla(dsell, x_tab):
 # --------------------------------------------------------------------------
 
 
+@jax.tree_util.register_pytree_node_class
 class DeviceCSR:
-    """CSR arrays resident on device."""
+    """CSR arrays resident on device (a pytree, so it passes through jit as
+    an argument — closure capture would embed the matrix in the compile
+    request on this runtime)."""
 
     def __init__(self, values, col_idx, row_ids, nrows, ncols):
         self.values = values
@@ -102,7 +105,15 @@ class DeviceCSR:
     def spmv(self, x):
         return csr_spmv(self.values, self.col_idx, self.row_ids, x, nrows=self.nrows)
 
+    def tree_flatten(self):
+        return (self.values, self.col_idx, self.row_ids), (self.nrows, self.ncols)
 
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+
+@jax.tree_util.register_pytree_node_class
 class DeviceELL:
     """Rectangular padded ELL arrays resident on device (HLL rect view)."""
 
@@ -115,6 +126,13 @@ class DeviceELL:
 
     def spmv(self, x):
         return ell_spmv(self.ja, self.as_, x)[: self.nrows]
+
+    def tree_flatten(self):
+        return (self.ja, self.as_), (self.nrows, self.ncols, self.nnz)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
 
 
 def device_put_csr(csr, dtype=None, device=None) -> DeviceCSR:

@@ -91,7 +91,7 @@ def autotune_sell(
             dsell = device_put_sell(sell, dtype=dtype)
             xd = jnp.asarray(x, dtype)
             sec, _ = time_device_fn_batched(
-                lambda xx: sell_spmv_pallas(dsell, xx), xd, reps=reps, rounds=2
+                lambda d, xx: sell_spmv_pallas(d, xx), dsell, xd, reps=reps, rounds=2
             )
         else:
             # host cost model: modeled vreg-ops + stream volume
