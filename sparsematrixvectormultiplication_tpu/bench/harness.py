@@ -31,14 +31,13 @@ from ..formats.hll import DEFAULT_HACK_SIZE, HLLMatrix
 from ..formats.sell import SellMatrix
 from ..ops.pallas_sell import device_put_sell, sell_spmv_pallas
 from ..ops.xla import device_put_csr, device_put_ell
-from ..utils.metrics import MetricStat, calculate_flops
-from ..utils.timing import ITERATION_SKIP, time_device_fn, time_device_fn_batched
+from ..utils.metrics import calculate_flops
+from ..utils.timing import ITERATION_SKIP, time_device_fn_batched
 from ..utils.validation import (
     DEFAULT_ABS_TOL,
     DEFAULT_REL_TOL,
     DiffMetrics,
     difference_metrics,
-    difference_metrics_mean,
 )
 
 __all__ = ["BenchConfig", "StageResult", "MatrixResult", "run_matrix", "flush_hbm"]
@@ -145,7 +144,6 @@ def run_matrix(
 
     dt = _dtype(cfg)
     xd = jnp.asarray(x, dt)
-    xd64 = jnp.asarray(x, jnp.float64) if jax.config.jax_enable_x64 else xd
 
     hll = None
     if {"serial_hll", "xla_ell"} & set(cfg.kernels):

@@ -36,7 +36,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..formats.sell import CHUNK_K, GROUP_ROWS, LANES, SUBLANES, SellMatrix
+from ..formats.sell import CHUNK_K, LANES, SUBLANES, SellMatrix
 
 __all__ = ["DeviceSellBin", "DeviceSell", "device_put_sell", "sell_spmv_pallas"]
 
@@ -186,13 +186,19 @@ def _kernel_k_major(k: int, g_per: int = 1):
                 for kk in range(1, k):
                     red = red + acc[kk * SUBLANES : (kk + 1) * SUBLANES, :]
             else:
+                # rolled reduction: Mosaic has no dynamic_slice on arrays,
+                # so stage acc through a scratch ref (refs support pl.ds)
+                def scoped_red(scratch, _acc=acc):
+                    scratch[:] = _acc
 
-                def red_body(kk, r, _acc=acc):
-                    return r + jax.lax.dynamic_slice(
-                        _acc, (kk * SUBLANES, 0), (SUBLANES, LANES)
-                    )
+                    def red_body(kk, r):
+                        return r + scratch[pl.ds(kk * SUBLANES, SUBLANES), :]
 
-                red = jax.lax.fori_loop(1, k, red_body, acc[0:SUBLANES, :])
+                    return jax.lax.fori_loop(1, k, red_body, scratch[0:SUBLANES, :])
+
+                red = pl.run_scoped(
+                    scoped_red, pltpu.VMEM((KB, LANES), acc.dtype)
+                )
             outs.append(red)
         y_ref[:] = outs[0] if g_per == 1 else jnp.concatenate(outs, axis=0)
 
