@@ -24,6 +24,7 @@ __all__ = [
     "random_symmetric",
     "random_pattern",
     "banded",
+    "fem_3d",
     "power_law",
     "road_network",
     "diagonal_dominant",
@@ -85,6 +86,54 @@ def banded(n: int, nnz_per_row: int, bandwidth: int, seed: int = 0) -> COOMatrix
     np.clip(col, 0, n - 1, out=col)
     val = rng.standard_normal(row.size)
     return _dedup(n, n, row.astype(np.int32), col.astype(np.int32), val)
+
+
+def fem_3d(nx: int, ny: int, nz: int, dof: int = 3, seed: int = 0) -> COOMatrix:
+    """Realistic 3-D FEM stiffness pattern (Cube_Coup_dt0 / af_1_k101 class).
+
+    Nodes on an nx x ny x nz grid with ``dof`` unknowns each; every node
+    couples to its 27-neighborhood, so each row holds up to 27 *contiguous
+    runs* of ``dof`` columns — the clustered column structure real FEM
+    matrices have (unlike :func:`banded`, which draws columns uniformly at
+    random inside the band and is an adversarial stress case for any
+    locality-exploiting kernel)."""
+    rng = np.random.default_rng(seed)
+    nn = nx * ny * nz
+    n = nn * dof
+    # neighbor offsets in node space
+    offs = np.array([
+        dx + dy * nx + dz * nx * ny
+        for dz in (-1, 0, 1) for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+    ], dtype=np.int64)
+    node = np.arange(nn, dtype=np.int64)
+    x = node % nx
+    y = (node // nx) % ny
+    z = node // (nx * ny)
+    rows_l, cols_l = [], []
+    for k, (dz, dy, dx) in enumerate(
+        [(dz, dy, dx) for dz in (-1, 0, 1) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    ):
+        ok = (
+            (x + dx >= 0) & (x + dx < nx)
+            & (y + dy >= 0) & (y + dy < ny)
+            & (z + dz >= 0) & (z + dz < nz)
+        )
+        src = node[ok]
+        dst = src + offs[k]
+        rows_l.append(src)
+        cols_l.append(dst)
+    nr = np.concatenate(rows_l)
+    nc = np.concatenate(cols_l)
+    # expand node coupling to dof x dof dense blocks
+    di = np.arange(dof, dtype=np.int64)
+    row, col = np.broadcast_arrays(
+        nr[:, None, None] * dof + di[None, :, None],
+        nc[:, None, None] * dof + di[None, None, :],
+    )
+    row = row.reshape(-1)
+    col = col.reshape(-1)
+    val = rng.standard_normal(row.size)
+    return COOMatrix(n, n, row.astype(np.int32), col.astype(np.int32), val)
 
 
 def power_law(n: int, avg_nnz_per_row: int, alpha: float = 2.1, seed: int = 0,
@@ -152,7 +201,9 @@ class SuiteEntry:
 # The standing bench corpus: one entry per SuiteSparse regime in the
 # reference sweep (names indicate the analogue).
 BENCH_SUITE = [
-    SuiteEntry("banded_fem_large", "banded (Cube_Coup_dt0-class)",
+    SuiteEntry("fem3d_cube", "3-D FEM 27-point x 3 dof (Cube_Coup_dt0-class)",
+               lambda: fem_3d(60, 60, 60, dof=3, seed=1)),
+    SuiteEntry("banded_fem_large", "random-in-band stress (adversarial)",
                lambda: banded(1_500_000, 80, 4000, seed=1)),
     SuiteEntry("banded_fem_medium", "banded (cant-class)",
                lambda: banded(250_000, 64, 1500, seed=2)),

@@ -129,3 +129,21 @@ def test_timing_force_readback():
     assert len(times) == 3
     best, rounds = time_device_fn_batched(lambda a: a * 2, jnp.ones(8), reps=4, rounds=2)
     assert best > 0 and len(rounds) == 2
+
+
+def test_fem_3d_structure():
+    import scipy.sparse as sp
+
+    from sparsematrixvectormultiplication_tpu.models.synthetic import fem_3d
+
+    m = fem_3d(6, 5, 4, dof=2, seed=0)
+    n = 6 * 5 * 4 * 2
+    assert m.shape == (n, n)
+    d = m.to_dense()
+    # structurally symmetric (27-point stencil)
+    assert np.array_equal(d != 0, (d != 0).T)
+    # interior node has full 27-neighborhood * dof
+    counts = m.row_counts()
+    assert counts.max() == 27 * 2
+    # corner node couples to 8 nodes * dof
+    assert counts.min() == 8 * 2
