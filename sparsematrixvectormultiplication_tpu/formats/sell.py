@@ -298,19 +298,49 @@ class SellMatrix:
                 1 << np.ceil(np.log2(np.maximum(g_span, 1))).astype(np.int64),
             )
             s_q = np.minimum(np.maximum(s_q, 1), max(Rp, 1))
+
+            # per-chunk DISTINCT slab lists ("sb-list" hybrid): robust when a
+            # chunk's slab *range* is wide but its distinct count is small
+            # (boundary rows in stencil matrices shift k-alignment: fem3d
+            # chunks span ~85 slabs while touching ~4 distinct ones)
+            chunk_lists, chunk_distinct = _per_chunk_distinct(
+                qc.reshape(ng * SUBLANES * nchunks, ck * LANES)
+            )
+            g_distinct = chunk_distinct.reshape(ng, -1).max(axis=1)
+            d_q = np.minimum(-(-g_distinct // 2) * 2, np.maximum(s_q, 2))
+
             # modeled vreg-ops per group (ops on (8,128) registers):
             #   sb-major: per chunk, span gather passes (~5 ops) + 2
+            #   sb-list : per chunk, distinct gather passes (~6 ops, scalar
+            #             list reads) + 2
             #   k-major : per distinct slab, K tile-vregs x ~5 ops
             cost_sb_g = SUBLANES * nchunks * (5 * s_q + 2)
+            cost_sl_g = SUBLANES * nchunks * (6 * d_q + 2)
             cost_km_g = 5 * slab_count.astype(np.int64) * K + K
             if layout == "sb-major":
-                use_sb = np.ones(ng, dtype=bool)
+                choice = np.full(ng, 1)
             elif layout == "k-major":
-                use_sb = np.zeros(ng, dtype=bool)
+                choice = np.full(ng, 0)
+            elif layout == "sb-list":
+                choice = np.full(ng, 2)
             else:
-                use_sb = cost_sb_g < cost_km_g
+                costs = np.stack([cost_km_g, cost_sb_g, cost_sl_g])
+                choice = np.argmin(costs, axis=0)
 
             group_nnz = row_nnz.reshape(num_groups, GROUP_ROWS).sum(axis=1)
+
+            def _sb_arrays(sub):
+                ast = np.transpose(as_[sub], (0, 2, 1, 3))
+                if Kp != K:
+                    ast = np.concatenate(
+                        [ast, np.zeros((sub.size, SUBLANES, Kp - K, LANES),
+                                       dtype=value_dtype)],
+                        axis=2,
+                    )
+                return (
+                    np.ascontiguousarray(jat[sub]).reshape(-1, LANES),
+                    np.ascontiguousarray(ast).reshape(-1, LANES),
+                )
 
             def emit(mask, lay, span_val):
                 sub = np.flatnonzero(mask)
@@ -320,26 +350,53 @@ class SellMatrix:
                 real = int(group_nnz[gsub].sum())
                 if lay == "sb-major":
                     qb = np.clip(qmin[sub], 0, max(Rp - span_val, 0)).astype(np.int32)
-                    ast = np.transpose(as_[sub], (0, 2, 1, 3))
-                    if Kp != K:
-                        ast = np.concatenate(
-                            [ast, np.zeros((sub.size, SUBLANES, Kp - K, LANES),
-                                           dtype=value_dtype)],
-                            axis=2,
-                        )
+                    ja_b, as_b = _sb_arrays(sub)
                     bins.append(
                         SellBin(
                             k=Kp,
                             layout="sb-major",
                             group_ids=gsub,
-                            ja=np.ascontiguousarray(jat[sub]).reshape(-1, LANES),
-                            as_=np.ascontiguousarray(ast).reshape(-1, LANES),
+                            ja=ja_b,
+                            as_=as_b,
                             slab_list=qb.reshape(sub.size, SUBLANES * nchunks),
                             slab_count=np.full(sub.size, span_val, np.int32),
                             real_nnz=real,
                             span=int(span_val),
                             chunk_k=ck,
                             cost_passes=int(cost_sb_g[sub].sum()),
+                        )
+                    )
+                elif lay == "sb-list":
+                    # per-chunk distinct slab lists padded with -1 (never
+                    # matches; the kernel clamps the x read); the table is
+                    # padded/truncated to exactly span_val per chunk — the
+                    # kernel strides by it
+                    lists = chunk_lists.reshape(ng, SUBLANES * nchunks, -1)[sub]
+                    w = lists.shape[2]
+                    if w < span_val:
+                        lists = np.concatenate(
+                            [lists, np.full((lists.shape[0], lists.shape[1],
+                                             span_val - w), -1, np.int32)],
+                            axis=2,
+                        )
+                    else:
+                        lists = lists[:, :, :span_val]
+                    ja_b, as_b = _sb_arrays(sub)
+                    bins.append(
+                        SellBin(
+                            k=Kp,
+                            layout="sb-list",
+                            group_ids=gsub,
+                            ja=ja_b,
+                            as_=as_b,
+                            slab_list=np.ascontiguousarray(
+                                lists.reshape(sub.size, -1)
+                            ),
+                            slab_count=np.full(sub.size, span_val, np.int32),
+                            real_nnz=real,
+                            span=int(span_val),
+                            chunk_k=ck,
+                            cost_passes=int(cost_sl_g[sub].sum()),
                         )
                     )
                 else:
@@ -357,9 +414,11 @@ class SellMatrix:
                         )
                     )
 
-            emit(~use_sb, "k-major", 0)
-            for sv in np.unique(s_q[use_sb]) if np.any(use_sb) else []:
-                emit(use_sb & (s_q == sv), "sb-major", int(sv))
+            emit(choice == 0, "k-major", 0)
+            for sv in np.unique(s_q[choice == 1]) if np.any(choice == 1) else []:
+                emit((choice == 1) & (s_q == sv), "sb-major", int(sv))
+            for dv in np.unique(d_q[choice == 2]) if np.any(choice == 2) else []:
+                emit((choice == 2) & (d_q == dv), "sb-list", int(dv))
 
         return cls(nrows=M, ncols=N, nnz=csr.nnz, bins=bins,
                    num_groups=num_groups, row_perm=row_perm)
@@ -389,6 +448,23 @@ class SellMatrix:
             )
             y[rows.reshape(-1)] = contrib.reshape(-1)
         return y[: self.nrows]
+
+
+def _per_chunk_distinct(q2d: np.ndarray):
+    """Distinct values per row of ``q2d`` (one row per chunk), returned as a
+    (-1)-padded list table plus counts. One vectorized sort, no Python loops."""
+    s = np.sort(q2d, axis=1)
+    new = np.ones(s.shape, dtype=bool)
+    new[:, 1:] = s[:, 1:] != s[:, :-1]
+    counts = new.sum(axis=1)
+    width = max(int(counts.max()) if counts.size else 1, 1)
+    pos = np.cumsum(new, axis=1) - 1  # index within the distinct list
+    lists = np.full((q2d.shape[0], width), -1, dtype=np.int32)
+    ridx = np.broadcast_to(
+        np.arange(q2d.shape[0])[:, None], q2d.shape
+    )
+    lists[ridx[new], pos[new]] = s[new]
+    return lists, counts.astype(np.int64)
 
 
 def _build_slab_lists_global(rows_of_entries, col_idx, num_groups):

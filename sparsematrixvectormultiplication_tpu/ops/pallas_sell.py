@@ -289,6 +289,50 @@ def _pick_g_per(bin_, bytes_per_entry: int = 8) -> int:
     return g_per
 
 
+def _kernel_sb_list(k: int, span: int, g_per: int = 1, ck: int = CHUNK_K):
+    """Hybrid kernel: sb-major data layout with per-chunk *distinct-slab
+    lists* (scalar-prefetched, padded with -1). Robust when a chunk's slab
+    range is wide but its distinct count is small — e.g. stencil matrices
+    whose boundary rows shift k-alignment across x-slabs. The -1 padding
+    never matches any entry's slab; the x read is clamped to row 0."""
+    assert k % ck == 0
+    nchunks = k // ck
+
+    def kernel(gid_ref, lst_ref, cnt_ref, x_ref, ja_ref, as_ref, yin_ref, y_ref):
+        step = pl.program_id(0)
+        dtype = as_ref.dtype
+        rows = []
+        for gi in range(g_per):
+            g = step * g_per + gi
+            gbase = gi * k * SUBLANES
+            for sb in range(SUBLANES):
+
+                def chunk_body(c, acc, _sb=sb, _g=g, _gbase=gbase):
+                    off = pl.multiple_of(_gbase + _sb * k, ck) + c * ck
+                    tile = ja_ref[pl.ds(off, ck), :]
+                    vals = as_ref[pl.ds(off, ck), :]
+                    q = tile >> 7
+                    m = tile & (LANES - 1)
+                    lbase = (_sb * nchunks + c) * span
+                    gath = jnp.zeros((ck, LANES), dtype)
+                    for s in range(span):  # static unroll
+                        sq = lst_ref[_g, lbase + s]
+                        xrow = x_ref[jnp.maximum(sq, 0), :]
+                        xb = jnp.broadcast_to(xrow[None, :], (ck, LANES))
+                        gat = jnp.take_along_axis(xb, m, axis=1)
+                        gath = gath + jnp.where(q == sq, gat, 0)
+                    return acc + vals * gath
+
+                psum = jax.lax.fori_loop(
+                    0, nchunks, chunk_body, jnp.zeros((ck, LANES), dtype),
+                    unroll=nchunks if nchunks <= 8 else 1,
+                )
+                rows.append(jnp.sum(psum, axis=0))
+        y_ref[:] = jnp.stack(rows)
+
+    return kernel
+
+
 def _bin_call(bin_: DeviceSellBin, x_tab, y, num_groups: int, interpret: bool):
     """One pallas_call for one rectangular bin, writing its groups' (8,128)
     output tiles in place into the shared y buffer (input_output_aliases).
@@ -324,6 +368,8 @@ def _bin_call(bin_: DeviceSellBin, x_tab, y, num_groups: int, interpret: bool):
 
     if bin_.layout == "sb-major":
         kernel = _kernel_sb_major(K, bin_.span, g_per, bin_.chunk_k)
+    elif bin_.layout == "sb-list":
+        kernel = _kernel_sb_list(K, bin_.span, g_per, bin_.chunk_k)
     else:
         kernel = _kernel_k_major(K, g_per)
 

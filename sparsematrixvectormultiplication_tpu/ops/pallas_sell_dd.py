@@ -188,6 +188,56 @@ def _kernel_sb_major_dd(k: int, span: int, interpret: bool = False, g_per: int =
     return kernel
 
 
+def _kernel_sb_list_dd(k: int, span: int, interpret: bool = False, g_per: int = 1,
+                       ck: int = CHUNK_K):
+    """DD twin of the sb-list hybrid (per-chunk distinct-slab lists)."""
+    assert k % ck == 0
+    nchunks = k // ck
+
+    def kernel(gid_ref, lst_ref, cnt_ref, xh_ref, xl_ref, ja_ref, ah_ref, al_ref,
+               yinh_ref, yinl_ref, yh_ref, yl_ref):
+        step = pl.program_id(0)
+        rows_h, rows_l = [], []
+        for gi in range(g_per):
+          g = step * g_per + gi
+          gbase = gi * k * SUBLANES
+          for sb in range(SUBLANES):
+
+            def chunk_body(c, carry, _sb=sb, _g=g, _gbase=gbase):
+                acc_h, acc_l = carry
+                off = pl.multiple_of(_gbase + _sb * k, ck) + c * ck
+                tile = ja_ref[pl.ds(off, ck), :]
+                vh = ah_ref[pl.ds(off, ck), :]
+                vl = al_ref[pl.ds(off, ck), :]
+                q = tile >> 7
+                m = tile & (LANES - 1)
+                lbase = (_sb * nchunks + c) * span
+                g_h = jnp.zeros((ck, LANES), jnp.float32)
+                g_l = jnp.zeros((ck, LANES), jnp.float32)
+                for s in range(span):
+                    sq = lst_ref[_g, lbase + s]
+                    sq_safe = jnp.maximum(sq, 0)
+                    xbh = jnp.broadcast_to(xh_ref[sq_safe, :][None, :], (ck, LANES))
+                    xbl = jnp.broadcast_to(xl_ref[sq_safe, :][None, :], (ck, LANES))
+                    mask = q == sq
+                    g_h = g_h + jnp.where(mask, jnp.take_along_axis(xbh, m, axis=1), 0)
+                    g_l = g_l + jnp.where(mask, jnp.take_along_axis(xbl, m, axis=1), 0)
+                return _dd_chunk_accumulate(acc_h, acc_l, vh, vl, g_h, g_l)
+
+            zero = jnp.zeros((ck, LANES), jnp.float32)
+            acc_h, acc_l = jax.lax.fori_loop(
+                0, nchunks, chunk_body, (zero, zero),
+                unroll=1 if interpret else (nchunks if nchunks <= 8 else 1),
+            )
+            rh, rl = _dd_reduce_sublanes(acc_h, acc_l, ck)
+            rows_h.append(rh)
+            rows_l.append(rl)
+        yh_ref[:] = jnp.stack(rows_h)
+        yl_ref[:] = jnp.stack(rows_l)
+
+    return kernel
+
+
 def _kernel_k_major_dd(k: int, interpret: bool = False, g_per: int = 1):
     KB = k * SUBLANES
 
@@ -277,6 +327,8 @@ def _bin_call_dd(bin_, xh_tab, xl_tab, yh, yl, num_groups: int, interpret: bool)
 
     if bin_.layout == "sb-major":
         kernel = _kernel_sb_major_dd(K, bin_.span, interpret, g_per, bin_.chunk_k)
+    elif bin_.layout == "sb-list":
+        kernel = _kernel_sb_list_dd(K, bin_.span, interpret, g_per, bin_.chunk_k)
     else:
         kernel = _kernel_k_major_dd(K, interpret, g_per)
 

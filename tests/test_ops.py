@@ -147,3 +147,49 @@ def test_validation_identical_is_zero():
     y = np.random.default_rng(0).standard_normal(100)
     dm = difference_metrics(y, y.copy())
     assert dm.significant_diffs == 0 and dm.mean_rel_err == 0.0
+
+
+def test_sb_list_layout_forced(make_random_coo):
+    """sb-list hybrid kernel: per-chunk distinct slab lists."""
+    from sparsematrixvectormultiplication_tpu.models.synthetic import fem_3d
+
+    coo = fem_3d(12, 12, 12, dof=3, seed=0)
+    import scipy.sparse as sp
+
+    s = sp.coo_matrix((coo.val, (coo.row, coo.col)), shape=coo.shape).tocsr()
+    sell = SellMatrix.from_coo(coo, layout="sb-list")
+    assert all(b.layout == "sb-list" for b in sell.bins)
+    x = np.random.default_rng(0).standard_normal(coo.ncols)
+    y = np.asarray(sell_spmv_pallas(
+        device_put_sell(sell, dtype=jnp.float64), jnp.asarray(x), interpret=True))
+    assert np.allclose(y, s @ x, rtol=1e-11, atol=1e-11)
+
+
+def test_sb_list_auto_choice_on_stencil():
+    """The cost model should pick sb-list for stencil matrices whose chunk
+    ranges are wide but distinct counts small."""
+    from sparsematrixvectormultiplication_tpu.models.synthetic import fem_3d
+
+    coo = fem_3d(16, 16, 16, dof=3, seed=0)
+    sell = SellMatrix.from_coo(coo)
+    assert any(b.layout == "sb-list" for b in sell.bins), \
+        [(b.layout, b.k, b.span) for b in sell.bins]
+
+
+def test_sb_list_dd(make_random_coo):
+    from sparsematrixvectormultiplication_tpu.models.synthetic import fem_3d
+    from sparsematrixvectormultiplication_tpu.ops.pallas_sell_dd import (
+        device_put_sell_dd,
+        sell_spmv_dd_f64,
+    )
+    import scipy.sparse as sp
+
+    coo = fem_3d(10, 10, 10, dof=3, seed=1)
+    s = sp.coo_matrix((coo.val, (coo.row, coo.col)), shape=coo.shape).tocsr()
+    sell = SellMatrix.from_coo(coo, layout="sb-list")
+    x = np.random.default_rng(1).standard_normal(coo.ncols)
+    y = np.asarray(sell_spmv_dd_f64(device_put_sell_dd(sell), jnp.asarray(x),
+                                    interpret=True))
+    y_ref = s @ x
+    nz = y_ref != 0
+    assert np.max(np.abs(y - y_ref)[nz] / np.abs(y_ref[nz])) < 1e-10
