@@ -54,18 +54,52 @@ def time_device_fn(fn, *args, iters: int = 10, skip: int = ITERATION_SKIP):
 def time_device_fn_batched(fn, *args, reps: int = 20, rounds: int = 3, checksum=None):
     """Amortized per-call time: ``reps`` chained calls inside one jit.
 
-    ``fn(*args)`` must return an array; a scalar checksum of the last result
-    is read back to force completion. Returns (best_seconds_per_call, rounds'
-    times list).
+    ``fn(*args)`` must return an array (or tuple of arrays); a scalar checksum
+    of the results is read back to force completion. Returns
+    (best_seconds_per_call, rounds' times list).
+
+    Loop-invariant-code-motion guard: a naive ``scan`` whose body ignores the
+    carry lets XLA legally hoist ``fn(*args)`` out of the loop, silently
+    dividing the reported time by ``reps``. Each iteration therefore perturbs
+    one input leaf by a carry that *data-depends on the previous iteration's
+    output* but is zero at runtime: the carry is
+    ``where(bitcast(out[0]) == IMPOSSIBLE_PATTERN, 1, 0)``. XLA cannot fold
+    the comparison (the output bits are unknown at compile time), so the
+    chain is irreducibly sequential, while the perturbation adds exactly
+    ``0.0`` and leaves results bit-identical. Verified by
+    tests/test_bench.py::test_batched_timer_not_hoisted.
     """
+    flat, treedef = jax.tree_util.tree_flatten(args)
+    # perturb the LAST inexact leaf (for (matrix, x) pytrees this is x —
+    # the cheapest stream to touch)
+    chain_idx = None
+    for i in range(len(flat) - 1, -1, -1):
+        leaf = flat[i]
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.inexact):
+            chain_idx = i
+            break
+
+    # a specific NaN payload no kernel produces; the compare is runtime-false
+    _IMPOSSIBLE = jnp.int32(0x7F123457)
 
     @jax.jit
     def chained(*args):
+        flat0, _ = jax.tree_util.tree_flatten(args)
+
         def body(carry, _):
-            out = fn(*args)
-            return carry, jnp.sum(out.reshape(-1)[:1])
-        _, sums = jax.lax.scan(body, 0.0, None, length=reps)
-        return jnp.sum(sums)
+            flat_i = list(flat0)
+            if chain_idx is not None:
+                leaf = flat_i[chain_idx]
+                flat_i[chain_idx] = leaf + carry.astype(leaf.dtype)
+            out = fn(*jax.tree_util.tree_unflatten(treedef, flat_i))
+            out0 = out[0] if isinstance(out, tuple) else out
+            s = out0.reshape(-1)[0]
+            bits = jax.lax.bitcast_convert_type(s.astype(jnp.float32), jnp.int32)
+            c = jnp.where(bits == _IMPOSSIBLE, 1.0, 0.0).astype(jnp.float32)
+            return c, s
+
+        c, sums = jax.lax.scan(body, jnp.float32(0.0), None, length=reps)
+        return jnp.sum(sums) + c
 
     # warm-up (compile)
     force_readback(chained(*args))

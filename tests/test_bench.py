@@ -162,3 +162,56 @@ def test_coo_summary():
     s = coo.summary(full=True)
     assert "3 x 3" in s and "nonzeros: 2" in s and "1.5" in s
     assert "nnz=2" in repr(coo)
+
+
+def test_batched_timer_not_hoisted():
+    """The chained timer must execute fn reps times, not once (LICM guard).
+
+    With the loop-invariant hazard (scan body ignoring the carry), XLA may
+    hoist fn out of the loop and the reps=16 time would match the reps=1
+    time. A heavy matmul chain makes per-call time >> timer overhead so the
+    ratio test is robust on CPU.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from sparsematrixvectormultiplication_tpu.utils.timing import (
+        time_device_fn_batched,
+    )
+
+    a = jnp.asarray(np.random.default_rng(0).standard_normal((512, 512)), jnp.float32)
+
+    def heavy(m):
+        for _ in range(8):
+            m = m @ m / jnp.maximum(jnp.max(jnp.abs(m)), 1.0)
+        return m
+
+    t1, _ = time_device_fn_batched(heavy, a, reps=1, rounds=3)
+    t16, _ = time_device_fn_batched(heavy, a, reps=16, rounds=3)
+    # per-call times must be comparable; a hoisted loop would give
+    # t16 ~= t1/16. Allow wide slack for CPU scheduling noise.
+    assert t16 > t1 / 4, f"per-call time collapsed under chaining: {t1} vs {t16}"
+
+
+def test_batched_timer_zero_perturbation():
+    """The chain perturbation adds exactly 0.0: the chained checksum must be
+    reps * out[0] + 0 for a deterministic fn (verifies results stay
+    bit-identical under chaining), including tuple-returning fns."""
+    import jax.numpy as jnp
+
+    from sparsematrixvectormultiplication_tpu.utils.timing import (
+        time_device_fn_batched,
+    )
+
+    x = jnp.asarray(np.arange(64, dtype=np.float32))
+
+    calls = {"n": 0}
+
+    def fn(v):
+        calls["n"] += 1  # trace-count only
+        return v * 3.0 + 1.0, v  # tuple output path
+
+    t, _ = time_device_fn_batched(fn, x, reps=7, rounds=1)
+    assert t >= 0
+    # fn is traced exactly once (inside one jitted scan), not re-jitted per rep
+    assert calls["n"] <= 2
