@@ -53,8 +53,13 @@ def main():
     coo = banded(250_000, 60, 2500, seed=1)
     log(f"matrix gen: {time.time()-t0:.0f}s nnz={coo.nnz}")
 
+    # reps=256: the tunnel's fixed dispatch+readback cost is ~27 ms per
+    # chained call (measured, probes/bw_probe2.py) — at the reference-style
+    # 20 reps that overhead dominated the ~0.8 ms kernel and understated
+    # throughput ~2.5x. 256 chained, serialized (data-dependent) reps
+    # amortize it below 2%.
     cfg = BenchConfig(
-        iterations=20,
+        iterations=256,
         rounds=2,
         dtype="float32",
         kernels=("serial_csr", "pallas_sell", "pallas_sell_dd"),

@@ -87,16 +87,19 @@ OPENMP_HEADER = (
     "efficiency_parallel,efficiency_simd,efficiency_hll,efficiency_hll_simd"
 ).split(",")
 
-# Stage mapping onto the reference's column roles:
-#   time_parallel        <- pallas_sell   (the parallel CSR-class kernel)
-#   time_parallel_simd   <- xla_csr       (the vectorized CSR kernel)
-#   time_parallel_hll    <- xla_ell       (the parallel HLL kernel)
-#   time_parallel_hll_simd <- pallas_sell (best HLL-layout kernel)
+# Stage mapping onto the reference's column roles (each column a DISTINCT
+# stage — a duplicate mapping would let downstream tooling compare a kernel
+# against itself):
+#   time_parallel          <- pallas_sell (the parallel CSR-class kernel)
+#   time_parallel_simd     <- xla_csr     (the vectorized CSR kernel)
+#   time_parallel_hll      <- xla_ell     (the parallel HLL kernel)
+#   time_parallel_hll_simd <- pallas_hll  (Pallas kernel on the HLL work
+#                                          profile, ops/pallas_hll.py)
 _OPENMP_MAP = {
     "parallel": "pallas_sell",
     "parallel_simd": "xla_csr",
     "parallel_hll": "xla_ell",
-    "parallel_hll_simd": "pallas_sell",
+    "parallel_hll_simd": "pallas_hll",
 }
 
 

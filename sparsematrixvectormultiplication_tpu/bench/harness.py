@@ -146,7 +146,7 @@ def run_matrix(
     xd = jnp.asarray(x, dt)
 
     hll = None
-    if {"serial_hll", "xla_ell"} & set(cfg.kernels):
+    if {"serial_hll", "xla_ell", "pallas_hll"} & set(cfg.kernels):
         t0 = time.perf_counter()
         hll = HLLMatrix.from_csr(csr, cfg.hack_size)
         fstats["convert_hll_s"] = time.perf_counter() - t0
@@ -199,6 +199,19 @@ def run_matrix(
             "pallas_sell",
             lambda d, xx: sell_spmv_pallas(d, xx, interpret=not on_tpu),
             dsell, xd,
+        )
+
+    if "pallas_hll" in cfg.kernels and hll is not None:
+        # HLL work profile on the Pallas machinery (≙ spmv_hll_warp_kernel,
+        # cuda_src/hll_matrix.cu:379-426) — the device-side half of the
+        # reference's CSR-vs-HLL format shootout
+        from ..ops.pallas_hll import device_put_hll_pallas, hll_spmv_pallas
+
+        dhll = device_put_hll_pallas(hll, dtype=dt)
+        run_device_stage(
+            "pallas_hll",
+            lambda d, xx: hll_spmv_pallas(d, xx, interpret=not on_tpu),
+            dhll, xd,
         )
 
     if "pallas_sell_sigma" in cfg.kernels:
