@@ -50,6 +50,19 @@ def build_parser():
         help="comma-separated stage list",
     )
     p.add_argument("--no-validate", action="store_true")
+    p.add_argument("--autotune", action="store_true",
+                   help="pick SELL ladder/layout + HLL hack size by measurement "
+                        "per matrix (≙ cudaOccupancyMaxPotentialBlockSize)")
+    p.add_argument("--scale-sweep", action="store_true",
+                   help="per matrix, also sweep the device-count axis with the "
+                        "SPMD Pallas kernel (openmp-schema rows, num_threads = "
+                        "device count ≙ main.c:18 thread sweep)")
+    p.add_argument("--ladder-sweep", action="store_true",
+                   help="per matrix, also time every K-bin ladder "
+                        "(launch-config axis; native-schema rows)")
+    p.add_argument("--force-cpu-devices", type=int, default=0, metavar="N",
+                   help="force the CPU backend with N virtual devices "
+                        "(for multi-device sweeps without multi-chip hardware)")
     p.add_argument("--resume", action="store_true",
                    help="skip matrices already present in the checkpoint")
     p.add_argument("--profile-dir", default=None,
@@ -86,6 +99,14 @@ def iter_matrices(args):
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
+    if args.force_cpu_devices:
+        # must run before any jax backend initialization (this environment's
+        # TPU plugin ignores the JAX_PLATFORMS env var — CLAUDE.md)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", int(args.force_cpu_devices))
+
     from .csv_report import (
         write_cuda_style_row,
         write_memory_stats_row,
@@ -105,6 +126,7 @@ def main(argv=None):
         hack_size=args.hack_size,
         kernels=tuple(k.strip() for k in args.kernels.split(",") if k.strip()),
         validate=not args.no_validate,
+        autotune=args.autotune,
     )
 
     os.makedirs(args.output_dir, exist_ok=True)
@@ -136,6 +158,26 @@ def main(argv=None):
             write_openmp_style_row(openmp_csv, res)
             write_cuda_style_row(cuda_csv, res)
             write_tile_config_row(tiles_csv, res)
+            if args.scale_sweep or args.ladder_sweep:
+                from ..formats.csr import CSRMatrix
+
+                csr = CSRMatrix.from_coo(coo)
+                if args.scale_sweep:
+                    from .scale import run_device_scale_sweep
+
+                    run_device_scale_sweep(
+                        name, csr,
+                        os.path.join(args.output_dir, "spmv_scale_devices.csv"),
+                        iterations=max(4, args.iterations // 4),
+                    )
+                if args.ladder_sweep:
+                    from .scale import run_ladder_sweep
+
+                    run_ladder_sweep(
+                        name, csr,
+                        os.path.join(args.output_dir, "spmv_scale_ladders.csv"),
+                        iterations=args.iterations,
+                    )
             for fmt in ("csr", "hll", "sell", "sell_sigma"):
                 if fmt in res.format_stats:
                     write_memory_stats_row(memstats_csv, name, fmt, res.format_stats[fmt])

@@ -234,22 +234,29 @@ def write_memory_stats_row(path: str, matrix_name: str, fmt: str, stats: dict):
 
 
 TILE_HEADER = [
-    "matrix_name", "nonzeros", "kernel", "bin_k", "n_groups", "s_max",
-    "padding_ratio",
+    "matrix_name", "nonzeros", "kernel", "bin_k", "layout", "n_groups",
+    "span", "s_max", "chunk_k", "bin_padding_ratio", "padding_ratio",
+    "tuned_ladder", "tuned_hack_size",
 ]
 
 
 def write_tile_config_row(path: str, result: MatrixResult):
     """Chosen tile/bin shapes per kernel (≙ write_block_result_to_csv,
     cuda_src/utility.cu:236-261: the reference logs chosen CUDA block dims;
-    we log chosen SELL bins)."""
-    sell = result.format_stats.get("sell")
-    if not sell:
-        return
-    for k in sell.get("bin_ks", []):
-        _append_row(
-            path,
-            TILE_HEADER,
-            [result.name, result.nnz, "pallas_sell", k, "", "",
-             f"{sell.get('padding_ratio', 1.0):.6f}"],
-        )
+    we log every SELL bin's chosen geometry plus the autotuner's picks)."""
+    tune = result.format_stats.get("tune", {})
+    ladder = tune.get("ladder", "")
+    hack = tune.get("hack_size", "")
+    for fmt, kernel in (("sell", "pallas_sell"), ("sell_sigma", "pallas_sell_sigma")):
+        sell = result.format_stats.get(fmt)
+        if not sell:
+            continue
+        for b in sell.get("bins", []):
+            _append_row(
+                path,
+                TILE_HEADER,
+                [result.name, result.nnz, kernel, b["k"], b["layout"],
+                 b["n_groups"], b["span"], b["s_max"], b["chunk_k"],
+                 f"{b['padding_ratio']:.6f}",
+                 f"{sell.get('padding_ratio', 1.0):.6f}", ladder, hack],
+            )

@@ -56,6 +56,11 @@ class BenchConfig:
     ell_max_elements: int = 1 << 29  # guard for power-law rect blow-up
     flush_between_stages: bool = True
     validate: bool = True
+    autotune: bool = False        # pick SELL ladder/layout + hack size by
+                                  # measurement (≙ cudaOccupancyMaxPotentialBlockSize,
+                                  # main_cuda.cu:149,293,413)
+    sell_k_bins: tuple | None = None   # explicit K-bin ladder override
+    sell_layout: str = "auto"          # "auto" | "k-major" | "sb-major" | "sb-list"
 
 
 @dataclass
@@ -145,6 +150,29 @@ def run_matrix(
     dt = _dtype(cfg)
     xd = jnp.asarray(x, dt)
 
+    sell_kw = {"layout": cfg.sell_layout}
+    if cfg.sell_k_bins:
+        sell_kw["k_bins"] = tuple(cfg.sell_k_bins)
+    if cfg.autotune:
+        # measured launch-config selection (≙ the reference's occupancy API
+        # calls + block-dim CSV, main_cuda.cu:149,293,413 / utility.cu:236-261)
+        from ..tune.autotune import autotune_hack_size, autotune_sell
+
+        tr = autotune_sell(csr, x=x, dtype=dt, log=log)
+        if tr.best is not None:
+            sell_kw = {"layout": tr.best.layout, "k_bins": tr.best.k_bins}
+        best_hack, hack_rows = autotune_hack_size(csr, log=log)
+        cfg.hack_size = best_hack or cfg.hack_size
+        fstats["tune"] = {
+            "ladder": tr.best.name if tr.best else "",
+            "layout": tr.best.layout if tr.best else "",
+            "hack_size": best_hack,
+            "table": [(n, s) for n, s, _ in tr.table],
+            "hack_table": hack_rows,
+        }
+        log(f"[{name}] autotune: ladder={fstats['tune']['ladder']} "
+            f"layout={fstats['tune']['layout']} hack={best_hack}")
+
     hll = None
     if {"serial_hll", "xla_ell", "pallas_hll"} & set(cfg.kernels):
         t0 = time.perf_counter()
@@ -188,7 +216,7 @@ def run_matrix(
     sell = None
     if {"pallas_sell", "pallas_sell_dd"} & set(cfg.kernels):
         t0 = time.perf_counter()
-        sell = SellMatrix.from_csr(csr)
+        sell = SellMatrix.from_csr(csr, **sell_kw)
         fstats["convert_sell_s"] = time.perf_counter() - t0
         fstats["sell"] = sell.memory_stats()
     on_tpu = jax.devices()[0].platform != "cpu"

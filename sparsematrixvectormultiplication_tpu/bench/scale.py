@@ -1,0 +1,158 @@
+"""Scaling-axis sweeps — the reference's thread-count dimension, TPU-native.
+
+The reference sweeps OpenMP thread counts {2,4,8,16,32,40} per matrix and
+reports speedup/efficiency columns (main.c:18,172-459; 33-column CSV
+src/utility.c:114-120). A TPU chip has no thread-count axis; the analogous
+scaling axes here are:
+
+* **device count** — the SPMD Pallas kernel (parallel/spmd_pallas.py) over
+  meshes of 1..N devices; speedup/efficiency vs the 1-device time. Run on
+  real multi-chip hardware when available, or the virtual CPU mesh
+  (tests / committed CSVs).
+* **K-bin ladder** — the launch-configuration axis (finer bins = less
+  padding, more kernel launches); one row per ladder on the real chip.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+from ..formats.csr import CSRMatrix
+from ..utils.metrics import calculate_flops
+from ..utils.timing import time_device_fn_batched
+from ..utils.validation import DEFAULT_ABS_TOL, DEFAULT_REL_TOL, difference_metrics
+from .csv_report import OPENMP_HEADER, _append_row, _fmt
+
+__all__ = ["run_device_scale_sweep", "run_ladder_sweep"]
+
+
+def run_device_scale_sweep(
+    name: str,
+    csr: CSRMatrix,
+    out_csv: str,
+    *,
+    device_counts=None,
+    dtype=None,
+    iterations: int = 16,
+    rounds: int = 2,
+    x: np.ndarray | None = None,
+    log=print,
+):
+    """Time the SPMD Pallas SpMV at 1..N devices; write one openmp-schema row
+    per device count (num_threads column = device count — the documented
+    column mapping for the device axis)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.sharding import make_mesh
+    from ..parallel.spmd_pallas import _spmd_run, build_spmd_sell, sell_spmv_spmd
+
+    dtype = dtype or jnp.float32
+    ndev = len(jax.devices())
+    on_tpu = jax.devices()[0].platform == "tpu"
+    counts = device_counts or [n for n in (1, 2, 4, 8, 16, 32) if n <= ndev]
+    if x is None:
+        x = np.ones(csr.ncols, dtype=np.float64)
+    y_ref = csr.spmv(x)
+
+    results = []
+    for n in counts:
+        mesh = make_mesh(n)
+        t0 = time.perf_counter()
+        spmd = build_spmd_sell(csr, n, mesh=mesh, dtype=dtype)
+        conv_s = time.perf_counter() - t0
+        xd = jnp.asarray(x, dtype)
+        y = sell_spmv_spmd(spmd, xd, mesh, interpret=not on_tpu)
+        dm = difference_metrics(y_ref, np.asarray(y, np.float64),
+                                DEFAULT_ABS_TOL, DEFAULT_REL_TOL)
+        xr = jax.device_put(xd, NamedSharding(mesh, P()))
+        sec, _ = time_device_fn_batched(
+            lambda st, xx: _spmd_run(st, xx, mesh=mesh, axis=spmd.axis,
+                                     interpret=not on_tpu),
+            spmd.stacked, xr, reps=iterations, rounds=rounds,
+        )
+        gf = calculate_flops(csr.nnz, sec) / 1e9
+        log(f"[{name}] spmd_pallas x{n} dev: {sec*1e3:.3f} ms = {gf:.3f} GFLOPS, "
+            f"sig_diffs={dm.significant_diffs} (convert {conv_s:.1f}s)")
+        results.append((n, sec, gf, dm))
+
+    t1 = results[0][1] if results else 0.0
+    for n, sec, gf, dm in results:
+        sp = t1 / sec if sec > 0 else 0.0
+        row = [
+            name, csr.nrows, csr.ncols, csr.nnz, n,
+            _fmt(t1), _fmt(0.0), _fmt(sec), _fmt(0.0), _fmt(0.0), _fmt(0.0),
+            _fmt(dm.mean_rel_err), _fmt(dm.mean_abs_err),
+            _fmt(0.0), _fmt(0.0), _fmt(0.0), _fmt(0.0), _fmt(0.0), _fmt(0.0),
+            _fmt(calculate_flops(csr.nnz, t1) if t1 > 0 else 0.0), _fmt(0.0),
+            _fmt(gf * 1e9), _fmt(0.0), _fmt(0.0), _fmt(0.0),
+            _fmt(sp), _fmt(0.0), _fmt(0.0), _fmt(0.0),
+            _fmt(sp / n), _fmt(0.0), _fmt(0.0), _fmt(0.0),
+        ]
+        _append_row(out_csv, OPENMP_HEADER, row)
+    return results
+
+
+def run_ladder_sweep(
+    name: str,
+    csr: CSRMatrix,
+    out_csv: str,
+    *,
+    dtype=None,
+    iterations: int = 32,
+    rounds: int = 2,
+    x: np.ndarray | None = None,
+    log=print,
+):
+    """Time the flagship kernel under each K-bin ladder (tune/autotune.py
+    DEFAULT_LADDERS); write one native-schema row per ladder with
+    stage = ``pallas_sell@<ladder>``. The launch-config scaling axis
+    (≙ the reference's logged block-size choices, cuda_src/utility.cu:236)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..formats.sell import SellMatrix
+    from ..ops.pallas_sell import device_put_sell, sell_spmv_pallas
+    from ..tune.autotune import DEFAULT_LADDERS
+    from .csv_report import NATIVE_HEADER
+
+    dtype = dtype or jnp.float32
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if x is None:
+        x = np.ones(csr.ncols, dtype=np.float64)
+    y_ref = csr.spmv(x)
+    xd = jnp.asarray(x, dtype)
+
+    out = []
+    for ladder, k_bins in DEFAULT_LADDERS.items():
+        t0 = time.perf_counter()
+        try:
+            sell = SellMatrix.from_csr(csr, k_bins=k_bins)
+        except Exception as e:  # noqa: BLE001
+            log(f"[{name}] ladder {ladder}: conversion failed: {e}")
+            continue
+        conv_s = time.perf_counter() - t0
+        dsell = device_put_sell(sell, dtype=dtype)
+        fn = lambda d, xx: sell_spmv_pallas(d, xx, interpret=not on_tpu)
+        y = np.asarray(fn(dsell, xd), np.float64)
+        dm = difference_metrics(y_ref, y[: csr.nrows],
+                                DEFAULT_ABS_TOL, DEFAULT_REL_TOL)
+        sec, _ = time_device_fn_batched(fn, dsell, xd, reps=iterations,
+                                        rounds=rounds)
+        gf = calculate_flops(csr.nnz, sec) / 1e9
+        log(f"[{name}] pallas_sell@{ladder}: {sec*1e3:.3f} ms = {gf:.3f} GFLOPS "
+            f"(pad {sell.padding_ratio:.2f}, {len(sell.bins)} bins, "
+            f"sig_diffs={dm.significant_diffs})")
+        _append_row(
+            out_csv, NATIVE_HEADER,
+            [name, csr.nrows, csr.ncols, csr.nnz, f"pallas_sell@{ladder}",
+             str(jnp.dtype(dtype)), _fmt(sec), f"{gf:.6f}", "",
+             f"{dm.mean_rel_err:.15e}", dm.significant_diffs,
+             f"{dm.max_abs_err:.15e}", f"{dm.max_rel_err:.15e}",
+             f"{sell.padding_ratio:.6f}", f"{8.0 * sell.padding_ratio:.2f}"],
+        )
+        out.append((ladder, sec, gf, dm))
+    return out

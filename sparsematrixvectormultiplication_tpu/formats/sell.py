@@ -52,7 +52,7 @@ import numpy as np
 from .coo import COOMatrix
 from .csr import CSRMatrix
 
-__all__ = ["SellBin", "SellMatrix", "GROUP_ROWS", "LANES", "SUBLANES"]
+__all__ = ["SellBin", "SellMatrix", "PanelSellMatrix", "GROUP_ROWS", "LANES", "SUBLANES"]
 
 LANES = 128
 SUBLANES = 8
@@ -144,6 +144,21 @@ class SellMatrix:
             "num_bins": len(self.bins),
             "bin_ks": [b.k for b in self.bins],
             "bin_layouts": [b.layout for b in self.bins],
+            "bins": [
+                # chosen launch geometry per bin (≙ the reference's logged
+                # CUDA block dims, cuda_src/utility.cu:236-261)
+                {
+                    "k": b.k,
+                    "layout": b.layout,
+                    "n_groups": b.n_groups,
+                    "span": b.span,
+                    "s_max": b.s_max,
+                    "chunk_k": b.chunk_k,
+                    "real_nnz": b.real_nnz,
+                    "padding_ratio": b.padded_nnz / max(b.real_nnz, 1),
+                }
+                for b in self.bins
+            ],
             "bytes_total": byt,
         }
 
@@ -165,6 +180,7 @@ class SellMatrix:
         layout: str = "auto",
         sigma_sort: bool = False,
         chunk_k: int = CHUNK_K,
+        skip_empty: bool = False,
     ) -> "SellMatrix":
         """Convert CSR (column-sorted rows) to binned SELL-C-128.
 
@@ -173,7 +189,10 @@ class SellMatrix:
         ``layout``: "auto" picks per bin by cost model; "k-major"/"sb-major"
         force one. ``sigma_sort`` orders rows by descending nnz first
         (SELL-C-sigma); the kernel output is then in sorted order — use
-        :meth:`unpermute` / :attr:`row_perm`.
+        :meth:`unpermute` / :attr:`row_perm`. ``skip_empty`` drops groups
+        with zero entries from all bins (their y tiles are never written —
+        used by the column-panel decomposition where most panels touch only
+        a row subset).
         """
         if value_dtype is None:
             value_dtype = csr.values.dtype
@@ -211,6 +230,9 @@ class SellMatrix:
                 extra.append(extra[-1] * 2)
             edges = np.unique(np.concatenate([edges, np.asarray(extra[1:], np.int64)]))
         bin_of_group = np.searchsorted(edges, kg, side="left")
+        if skip_empty and num_groups:
+            group_nnz_all = row_nnz.reshape(num_groups, GROUP_ROWS).sum(axis=1)
+            bin_of_group = np.where(group_nnz_all > 0, bin_of_group, -1)
 
         # pad-column per padded row (reference hll_matrix.c:241-246 semantics;
         # empty rows use the superblock's min real column to keep sb-major
@@ -243,6 +265,8 @@ class SellMatrix:
 
         bins = []
         for b_id in np.unique(bin_of_group) if num_groups else []:
+            if b_id < 0:
+                continue  # skip_empty: groups with no entries get no bin
             K = int(edges[b_id])
             gids_all = np.flatnonzero(bin_of_group == b_id).astype(np.int32)
             ginv = np.full(num_groups, -1, dtype=np.int64)
@@ -448,6 +472,131 @@ class SellMatrix:
             )
             y[rows.reshape(-1)] = contrib.reshape(-1)
         return y[: self.nrows]
+
+
+@dataclass(frozen=True)
+class PanelSellMatrix:
+    """Column-panel decomposition of SELL-C-128 for x beyond the VMEM budget.
+
+    The reference's kernels read x straight from global memory at any N
+    (src/csr_matrix.c:130-139; the CUDA shared-memory variant caches only a
+    1024-entry prefix, cuda_src/csr_matrix_cuda.cu:228-232). On TPU the
+    x-table must live in VMEM, so large N is handled by splitting columns
+    into slab-aligned panels: each panel is an independent SELL conversion
+    over the column range (entries stay row-major, column indices rebased),
+    empty groups skipped, and the kernels accumulate y across panels.
+    """
+
+    nrows: int
+    ncols: int
+    nnz: int
+    num_groups: int
+    bounds: tuple            # (P+1,) column panel edges, multiples of 128
+    panels: list             # list[SellMatrix], one per panel
+    row_perm: np.ndarray | None = None
+
+    @property
+    def shape(self) -> tuple:
+        return (self.nrows, self.ncols)
+
+    @property
+    def padded_nnz(self) -> int:
+        return sum(p.padded_nnz for p in self.panels)
+
+    @property
+    def padding_ratio(self) -> float:
+        return self.padded_nnz / max(self.nnz, 1)
+
+    def memory_stats(self) -> dict:
+        per = [p.memory_stats() for p in self.panels]
+        return {
+            "rows": self.nrows,
+            "cols": self.ncols,
+            "nnz": self.nnz,
+            "padded_nnz": self.padded_nnz,
+            "padding_ratio": self.padding_ratio,
+            "num_panels": len(self.panels),
+            "num_bins": sum(s["num_bins"] for s in per),
+            "bin_ks": [k for s in per for k in s["bin_ks"]],
+            "bin_layouts": [l for s in per for l in s["bin_layouts"]],
+            "bins": [b for s in per for b in s["bins"]],
+            "bytes_total": sum(s["bytes_total"] for s in per),
+        }
+
+    def unpermute(self, y: np.ndarray) -> np.ndarray:
+        if self.row_perm is None:
+            return y
+        out = np.empty_like(y)
+        out[self.row_perm] = y
+        return out
+
+    @classmethod
+    def from_csr(
+        cls,
+        csr: CSRMatrix,
+        max_panel_cols: int,
+        *,
+        sigma_sort: bool = False,
+        **sell_kw,
+    ) -> "PanelSellMatrix":
+        """Split ``csr`` into ceil(N / max_panel_cols) column panels and
+        convert each to SELL independently. ``max_panel_cols`` is rounded
+        down to a multiple of 128 (slab alignment)."""
+        W = max(LANES, (int(max_panel_cols) // LANES) * LANES)
+        M, N = csr.nrows, csr.ncols
+        n_panels = max(1, -(-N // W))
+        bounds = tuple(min(p * W, N) for p in range(n_panels + 1))
+
+        row_perm = None
+        if sigma_sort and M:
+            # apply the sigma permutation once, globally, then panel-split
+            nnz_per_row = csr.row_nnz()
+            row_perm = np.argsort(-nnz_per_row, kind="stable").astype(np.int64)
+            perm = row_perm
+            starts = csr.row_ptr[:-1][perm]
+            lens = nnz_per_row[perm].astype(np.int64)
+            new_ptr = np.zeros(M + 1, dtype=np.int64)
+            np.cumsum(lens, out=new_ptr[1:])
+            within = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(
+                new_ptr[:-1], lens
+            )
+            src = np.repeat(starts, lens) + within
+            csr = CSRMatrix(
+                nrows=M, ncols=N, row_ptr=new_ptr,
+                col_idx=csr.col_idx[src], values=csr.values[src],
+            )
+
+        rows = csr.row_ids().astype(np.int64)
+        panels = []
+        for p in range(n_panels):
+            c0, c1 = bounds[p], bounds[p + 1]
+            mask = (csr.col_idx >= c0) & (csr.col_idx < c1)
+            sub_rows = rows[mask]
+            counts = np.bincount(sub_rows, minlength=M).astype(np.int64)
+            ptr = np.zeros(M + 1, dtype=np.int64)
+            np.cumsum(counts, out=ptr[1:])
+            sub = CSRMatrix(
+                nrows=M,
+                ncols=c1 - c0,
+                row_ptr=ptr,
+                col_idx=(csr.col_idx[mask] - c0).astype(csr.col_idx.dtype),
+                values=csr.values[mask],
+            )
+            panels.append(SellMatrix.from_csr(sub, skip_empty=True, **sell_kw))
+
+        return cls(
+            nrows=M, ncols=N, nnz=csr.nnz,
+            num_groups=-(-M // GROUP_ROWS) if M else 0,
+            bounds=bounds, panels=panels, row_perm=row_perm,
+        )
+
+    def spmv(self, x: np.ndarray) -> np.ndarray:
+        """Host fp64 oracle: sum of per-panel oracle SpMVs."""
+        x = np.asarray(x, dtype=np.float64)
+        y = np.zeros(self.nrows, dtype=np.float64)
+        for p, panel in enumerate(self.panels):
+            y += panel.spmv(x[self.bounds[p] : self.bounds[p + 1]])
+        return y
 
 
 def _per_chunk_distinct(q2d: np.ndarray):

@@ -38,7 +38,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..formats.sell import CHUNK_K, LANES, SUBLANES, SellMatrix
 
-__all__ = ["DeviceSellBin", "DeviceSell", "device_put_sell", "sell_spmv_pallas"]
+__all__ = [
+    "DeviceSellBin", "DeviceSell", "DevicePanelSell",
+    "device_put_sell", "device_put_panel_sell", "max_x_table_cols",
+    "sell_spmv_pallas",
+]
 
 _UNROLL_MAX = 64  # unroll the K-reduction up to this many slices
 
@@ -92,9 +96,12 @@ class DeviceSell:
         return sell_spmv_pallas(self, x)
 
 
-def device_put_sell(sell: SellMatrix, dtype=jnp.float32, device=None) -> DeviceSell:
+def device_put_sell(sell, dtype=jnp.float32, device=None):
     """Upload a host SellMatrix (≙ the HLL per-block device upload of
-    main_cuda.cu:376-402, flattened into rectangular bins)."""
+    main_cuda.cu:376-402, flattened into rectangular bins). PanelSellMatrix
+    inputs route to :func:`device_put_panel_sell`."""
+    if hasattr(sell, "panels"):
+        return device_put_panel_sell(sell, dtype=dtype, device=device)
     bins = []
     for b in sell.bins:
         gids = np.asarray(b.group_ids, np.int64)
@@ -153,7 +160,7 @@ def pack_x_table(x, ncols: int):
 # ---------------------------------------------------------------------------
 
 
-def _kernel_k_major(k: int, g_per: int = 1):
+def _kernel_k_major(k: int, g_per: int = 1, accumulate: bool = False):
     KB = k * SUBLANES
 
     def kernel(gid_ref, slab_ref, cnt_ref, x_ref, ja_ref, as_ref, yin_ref, y_ref):
@@ -200,7 +207,9 @@ def _kernel_k_major(k: int, g_per: int = 1):
                     scoped_red, pltpu.VMEM((KB, LANES), acc.dtype)
                 )
             outs.append(red)
-        y_ref[:] = outs[0] if g_per == 1 else jnp.concatenate(outs, axis=0)
+        out = outs[0] if g_per == 1 else jnp.concatenate(outs, axis=0)
+        # column-panel accumulation: later panels add onto the aliased y tile
+        y_ref[:] = (yin_ref[:] + out) if accumulate else out
 
     return kernel
 
@@ -210,7 +219,8 @@ def _kernel_k_major(k: int, g_per: int = 1):
 # ---------------------------------------------------------------------------
 
 
-def _kernel_sb_major(k: int, span: int, g_per: int = 1, ck: int = CHUNK_K):
+def _kernel_sb_major(k: int, span: int, g_per: int = 1, ck: int = CHUNK_K,
+                     accumulate: bool = False):
     """Range-scan kernel with fully static control flow.
 
     Per (8,128) chunk: ``span`` unrolled gather passes starting at the
@@ -261,7 +271,8 @@ def _kernel_sb_major(k: int, span: int, g_per: int = 1, ck: int = CHUNK_K):
                     unroll=nchunks if nchunks <= 8 else 1,
                 )
                 rows.append(jnp.sum(psum, axis=0))
-        y_ref[:] = jnp.stack(rows)
+        out = jnp.stack(rows)
+        y_ref[:] = (yin_ref[:] + out) if accumulate else out
 
     return kernel
 
@@ -289,7 +300,8 @@ def _pick_g_per(bin_, bytes_per_entry: int = 8) -> int:
     return g_per
 
 
-def _kernel_sb_list(k: int, span: int, g_per: int = 1, ck: int = CHUNK_K):
+def _kernel_sb_list(k: int, span: int, g_per: int = 1, ck: int = CHUNK_K,
+                    accumulate: bool = False):
     """Hybrid kernel: sb-major data layout with per-chunk *distinct-slab
     lists* (scalar-prefetched, padded with -1). Robust when a chunk's slab
     range is wide but its distinct count is small — e.g. stencil matrices
@@ -328,12 +340,14 @@ def _kernel_sb_list(k: int, span: int, g_per: int = 1, ck: int = CHUNK_K):
                     unroll=nchunks if nchunks <= 8 else 1,
                 )
                 rows.append(jnp.sum(psum, axis=0))
-        y_ref[:] = jnp.stack(rows)
+        out = jnp.stack(rows)
+        y_ref[:] = (yin_ref[:] + out) if accumulate else out
 
     return kernel
 
 
-def _bin_call(bin_: DeviceSellBin, x_tab, y, num_groups: int, interpret: bool):
+def _bin_call(bin_: DeviceSellBin, x_tab, y, num_groups: int, interpret: bool,
+              accumulate: bool = False):
     """One pallas_call for one rectangular bin, writing its groups' (8,128)
     output tiles in place into the shared y buffer (input_output_aliases).
     Contiguous bins process ``g_per`` groups per grid step for DMA
@@ -367,11 +381,11 @@ def _bin_call(bin_: DeviceSellBin, x_tab, y, num_groups: int, interpret: bool):
     )
 
     if bin_.layout == "sb-major":
-        kernel = _kernel_sb_major(K, bin_.span, g_per, bin_.chunk_k)
+        kernel = _kernel_sb_major(K, bin_.span, g_per, bin_.chunk_k, accumulate)
     elif bin_.layout == "sb-list":
-        kernel = _kernel_sb_list(K, bin_.span, g_per, bin_.chunk_k)
+        kernel = _kernel_sb_list(K, bin_.span, g_per, bin_.chunk_k, accumulate)
     else:
-        kernel = _kernel_k_major(K, g_per)
+        kernel = _kernel_k_major(K, g_per, accumulate)
 
     return pl.pallas_call(
         kernel,
@@ -389,10 +403,79 @@ def _bin_call(bin_: DeviceSellBin, x_tab, y, num_groups: int, interpret: bool):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def sell_spmv_pallas(dsell: DeviceSell, x, *, interpret: bool = False):
-    """SpMV over the binned SELL layout; returns y[:nrows] in natural order."""
+def sell_spmv_pallas(dsell, x, *, interpret: bool = False):
+    """SpMV over the binned SELL layout; returns y[:nrows] in natural order.
+
+    Accepts a :class:`DeviceSell` (single x-table in VMEM) or a
+    :class:`DevicePanelSell` (column panels for N beyond the VMEM budget —
+    parity with the reference's unbounded-N kernels, src/csr_matrix.c:130-139).
+    """
+    if isinstance(dsell, DevicePanelSell):
+        return _panel_spmv(dsell, x, interpret)
     x_tab = pack_x_table(x, dsell.ncols)
     y = jnp.zeros((dsell.num_groups * SUBLANES, LANES), dtype=x_tab.dtype)
     for bin_ in dsell.bins:
         y = _bin_call(bin_, x_tab, y, dsell.num_groups, interpret)
     return y.reshape(-1)[: dsell.nrows]
+
+
+# ---------------------------------------------------------------------------
+# column panels: x beyond the VMEM budget
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class DevicePanelSell:
+    """Per-column-panel DeviceSell structures sharing one y buffer."""
+
+    nrows: int
+    ncols: int
+    nnz: int
+    num_groups: int
+    bounds: tuple          # (P+1,) static column edges
+    panels: list           # list[DeviceSell]
+
+    def tree_flatten(self):
+        return (tuple(self.panels),), (
+            self.nrows, self.ncols, self.nnz, self.num_groups, self.bounds,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*aux, list(children[0]))
+
+    def spmv(self, x):
+        return sell_spmv_pallas(self, x)
+
+
+def max_x_table_cols(dtype=jnp.float32) -> int:
+    """Largest N whose x-table fits the VMEM budget (slab-aligned)."""
+    itemsize = jnp.dtype(dtype).itemsize
+    rows = _X_TABLE_VMEM_BUDGET // (LANES * itemsize)
+    rows = (rows // SUBLANES) * SUBLANES
+    return rows * LANES
+
+
+def device_put_panel_sell(psell, dtype=jnp.float32, device=None) -> DevicePanelSell:
+    """Upload a host PanelSellMatrix (formats/sell.py)."""
+    return DevicePanelSell(
+        nrows=psell.nrows,
+        ncols=psell.ncols,
+        nnz=psell.nnz,
+        num_groups=psell.num_groups,
+        bounds=tuple(int(b) for b in psell.bounds),
+        panels=[device_put_sell(p, dtype=dtype, device=device) for p in psell.panels],
+    )
+
+
+def _panel_spmv(dps: DevicePanelSell, x, interpret: bool):
+    y = jnp.zeros((dps.num_groups * SUBLANES, LANES), dtype=x.dtype)
+    for p, dsell in enumerate(dps.panels):
+        c0, c1 = dps.bounds[p], dps.bounds[p + 1]
+        x_tab = pack_x_table(x[c0:c1], c1 - c0)
+        for bin_ in dsell.bins:
+            # always accumulate: panels may write the same group tiles
+            y = _bin_call(bin_, x_tab, y, dps.num_groups, interpret,
+                          accumulate=True)
+    return y.reshape(-1)[: dps.nrows]
