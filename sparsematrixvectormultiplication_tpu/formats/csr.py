@@ -37,9 +37,34 @@ class CSRMatrix:
     def shape(self) -> tuple:
         return (self.nrows, self.ncols)
 
+    # nnz above which the native counting-sort converter beats np.lexsort
+    _NATIVE_MIN_NNZ = 2_000_000
+
     @classmethod
-    def from_coo(cls, coo: COOMatrix, *, sort_columns: bool = True) -> "CSRMatrix":
-        """Build CSR (vectorized; ≙ reference convert_in_csr, csr_matrix.c:63)."""
+    def from_coo(cls, coo: COOMatrix, *, sort_columns: bool = True,
+                 native: bool | None = None) -> "CSRMatrix":
+        """Build CSR (≙ reference convert_in_csr, csr_matrix.c:63).
+
+        Large matrices route through the native C++ counting-sort converter
+        (native/fast_csr.cpp, O(nnz) vs lexsort's O(nnz log nnz)); small ones
+        and non-f64 values use the vectorized numpy path. ``native`` forces
+        the choice."""
+        use_native = (
+            sort_columns
+            and coo.nnz >= cls._NATIVE_MIN_NNZ
+            and coo.val.dtype == np.float64
+            and coo.ncols < 2**31
+            if native is None
+            else native
+        )
+        if use_native:
+            from ..native.build import coo_to_csr_native
+
+            out = coo_to_csr_native(coo.row, coo.col, coo.val, coo.nrows)
+            if out is not None:
+                row_ptr, col_idx, values = out
+                return cls(coo.nrows, coo.ncols, row_ptr, col_idx, values)
+
         if sort_columns:
             order = np.lexsort((coo.col, coo.row))
         else:

@@ -19,26 +19,38 @@ import threading
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "fast_mmio.cpp")
 _LIB = os.path.join(_DIR, "libfastmmio.so")
+_CSR_SRC = os.path.join(_DIR, "fast_csr.cpp")
+_CSR_LIB = os.path.join(_DIR, "libfastcsr.so")
 
 _lock = threading.Lock()
 _lib = None
 _tried = False
+_csr_lib = None
+_csr_tried = False
 
 
-def build(force: bool = False) -> str | None:
-    """Compile the shared library; returns its path or None on failure."""
-    if not force and os.path.exists(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
-        return _LIB
+def _compile(src: str, lib: str, what: str, force: bool = False) -> str | None:
+    """Compile one shared library; returns its path or None on failure."""
+    if not force and os.path.exists(lib) and os.path.getmtime(lib) >= os.path.getmtime(src):
+        return lib
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        "-pthread", _SRC, "-o", _LIB,
+        "-pthread", src, "-o", lib,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=300)
-        return _LIB
+        return lib
     except Exception as e:  # toolchain missing / compile error -> numpy fallback
-        sys.stderr.write(f"fast_mmio native build failed ({e}); using numpy parser\n")
+        sys.stderr.write(f"{what} native build failed ({e}); using numpy path\n")
         return None
+
+
+def build(force: bool = False) -> str | None:
+    return _compile(_SRC, _LIB, "fast_mmio", force)
+
+
+def build_csr(force: bool = False) -> str | None:
+    return _compile(_CSR_SRC, _CSR_LIB, "fast_csr", force)
 
 
 def load_fast_mmio():
@@ -98,6 +110,69 @@ def parse_body_native(body: bytes, nnz: int, per_line: int, num_threads: int = 0
     return rows, cols, vals
 
 
+def load_fast_csr():
+    """Return the ctypes-wrapped COO→CSR converter, or None."""
+    global _csr_lib, _csr_tried
+    with _lock:
+        if _csr_lib is not None or _csr_tried:
+            return _csr_lib
+        _csr_tried = True
+        path = build_csr()
+        if path is None:
+            return None
+        try:
+            lib = ctypes.CDLL(path)
+            fn = lib.fast_coo_to_csr
+            fn.restype = ctypes.c_int64
+            fn.argtypes = [
+                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_double),
+            ]
+            _csr_lib = fn
+        except OSError as e:
+            sys.stderr.write(f"fast_csr load failed ({e}); using numpy path\n")
+            _csr_lib = None
+        return _csr_lib
+
+
+def coo_to_csr_native(row, col, val, nrows: int, num_threads: int = 0):
+    """Native COO→CSR (≙ reference convert_in_csr, src/csr_matrix.c:63-126,
+    counting sort + per-row column sort). Returns (row_ptr, col_idx, values)
+    or None when the native path is unavailable or dtypes don't match."""
+    import numpy as np
+
+    fn = load_fast_csr()
+    if fn is None:
+        return None
+    row = np.ascontiguousarray(row, dtype=np.int32)
+    col = np.ascontiguousarray(col, dtype=np.int32)
+    val = np.ascontiguousarray(val, dtype=np.float64)
+    nnz = int(row.size)
+    if num_threads <= 0:
+        num_threads = min(os.cpu_count() or 1, 16)
+    row_ptr = np.empty(nrows + 1, dtype=np.int64)
+    col_out = np.empty(nnz, dtype=np.int32)
+    val_out = np.empty(nnz, dtype=np.float64)
+    rc = fn(
+        row.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        col.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        val.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        nnz, int(nrows), num_threads,
+        row_ptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        col_out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        val_out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    if rc != 0:
+        return None
+    return row_ptr, col_out, val_out
+
+
 if __name__ == "__main__":
     out = build(force=True)
-    print(f"built: {out}" if out else "build FAILED")
+    out_csr = build_csr(force=True)
+    print(f"built: {out}" if out else "fast_mmio build FAILED")
+    print(f"built: {out_csr}" if out_csr else "fast_csr build FAILED")
