@@ -28,7 +28,8 @@ from ..formats.sell import CHUNK_K, LANES, SUBLANES, SellMatrix
 from .doubledouble import dd_add_dd, split_f64, two_prod, two_sum
 from .pallas_sell import pack_x_table
 
-__all__ = ["DeviceSellDD", "device_put_sell_dd", "sell_spmv_pallas_dd"]
+__all__ = ["DeviceSellDD", "DevicePanelSellDD", "device_put_sell_dd",
+           "device_put_panel_sell_dd", "sell_spmv_pallas_dd"]
 
 
 @jax.tree_util.register_pytree_node_class
@@ -81,8 +82,11 @@ class DeviceSellDD:
         return sell_spmv_pallas_dd(self, x)
 
 
-def device_put_sell_dd(sell: SellMatrix, device=None) -> DeviceSellDD:
-    """Upload with fp64 values split into f32 (hi, lo) planes."""
+def device_put_sell_dd(sell, device=None):
+    """Upload with fp64 values split into f32 (hi, lo) planes.
+    PanelSellMatrix inputs route to :func:`device_put_panel_sell_dd`."""
+    if hasattr(sell, "panels"):
+        return device_put_panel_sell_dd(sell, device=device)
     bins = []
     for b in sell.bins:
         hi, lo = split_f64(np.asarray(b.as_, np.float64))
@@ -129,7 +133,7 @@ def _dd_reduce_sublanes(acc_h, acc_l, ck: int = CHUNK_K):
 
 
 def _kernel_sb_major_dd(k: int, span: int, interpret: bool = False, g_per: int = 1,
-                        ck: int = CHUNK_K):
+                        ck: int = CHUNK_K, accumulate: bool = False):
     """interpret=True keeps every loop rolled (unroll=1): the XLA CPU jit that
     executes interpreted kernels folds the error-free-transform terms when
     bodies are unrolled (this runtime sets --xla_allow_excess_precision).
@@ -182,14 +186,17 @@ def _kernel_sb_major_dd(k: int, span: int, interpret: bool = False, g_per: int =
             rh, rl = _dd_reduce_sublanes(acc_h, acc_l, ck)
             rows_h.append(rh)
             rows_l.append(rl)
-        yh_ref[:] = jnp.stack(rows_h)
-        yl_ref[:] = jnp.stack(rows_l)
+        oh, ol = jnp.stack(rows_h), jnp.stack(rows_l)
+        if accumulate:  # column panels: dd-add onto the aliased y tiles
+            oh, ol = dd_add_dd(yinh_ref[:], yinl_ref[:], oh, ol)
+        yh_ref[:] = oh
+        yl_ref[:] = ol
 
     return kernel
 
 
 def _kernel_sb_list_dd(k: int, span: int, interpret: bool = False, g_per: int = 1,
-                       ck: int = CHUNK_K):
+                       ck: int = CHUNK_K, accumulate: bool = False):
     """DD twin of the sb-list hybrid (per-chunk distinct-slab lists)."""
     assert k % ck == 0
     nchunks = k // ck
@@ -232,13 +239,17 @@ def _kernel_sb_list_dd(k: int, span: int, interpret: bool = False, g_per: int = 
             rh, rl = _dd_reduce_sublanes(acc_h, acc_l, ck)
             rows_h.append(rh)
             rows_l.append(rl)
-        yh_ref[:] = jnp.stack(rows_h)
-        yl_ref[:] = jnp.stack(rows_l)
+        oh, ol = jnp.stack(rows_h), jnp.stack(rows_l)
+        if accumulate:  # column panels: dd-add onto the aliased y tiles
+            oh, ol = dd_add_dd(yinh_ref[:], yinl_ref[:], oh, ol)
+        yh_ref[:] = oh
+        yl_ref[:] = ol
 
     return kernel
 
 
-def _kernel_k_major_dd(k: int, interpret: bool = False, g_per: int = 1):
+def _kernel_k_major_dd(k: int, interpret: bool = False, g_per: int = 1,
+                       accumulate: bool = False):
     KB = k * SUBLANES
 
     def kernel(gid_ref, slab_ref, cnt_ref, xh_ref, xl_ref, ja_ref, ah_ref, al_ref,
@@ -288,13 +299,18 @@ def _kernel_k_major_dd(k: int, interpret: bool = False, g_per: int = 1):
                 acc_h, acc_l = dd_add_dd(acc_h, acc_l, ph[sl, :], pl_[sl, :])
           outs_h.append(acc_h)
           outs_l.append(acc_l)
-        yh_ref[:] = outs_h[0] if g_per == 1 else jnp.concatenate(outs_h, axis=0)
-        yl_ref[:] = outs_l[0] if g_per == 1 else jnp.concatenate(outs_l, axis=0)
+        oh = outs_h[0] if g_per == 1 else jnp.concatenate(outs_h, axis=0)
+        ol = outs_l[0] if g_per == 1 else jnp.concatenate(outs_l, axis=0)
+        if accumulate:
+            oh, ol = dd_add_dd(yinh_ref[:], yinl_ref[:], oh, ol)
+        yh_ref[:] = oh
+        yl_ref[:] = ol
 
     return kernel
 
 
-def _bin_call_dd(bin_, xh_tab, xl_tab, yh, yl, num_groups: int, interpret: bool):
+def _bin_call_dd(bin_, xh_tab, xl_tab, yh, yl, num_groups: int, interpret: bool,
+                 accumulate: bool = False):
     from .pallas_sell import _pick_g_per
 
     ng, K = bin_.n_groups, bin_.k
@@ -326,11 +342,13 @@ def _bin_call_dd(bin_, xh_tab, xl_tab, yh, yl, num_groups: int, interpret: bool)
     )
 
     if bin_.layout == "sb-major":
-        kernel = _kernel_sb_major_dd(K, bin_.span, interpret, g_per, bin_.chunk_k)
+        kernel = _kernel_sb_major_dd(K, bin_.span, interpret, g_per, bin_.chunk_k,
+                                     accumulate)
     elif bin_.layout == "sb-list":
-        kernel = _kernel_sb_list_dd(K, bin_.span, interpret, g_per, bin_.chunk_k)
+        kernel = _kernel_sb_list_dd(K, bin_.span, interpret, g_per, bin_.chunk_k,
+                                    accumulate)
     else:
-        kernel = _kernel_k_major_dd(K, interpret, g_per)
+        kernel = _kernel_k_major_dd(K, interpret, g_per, accumulate)
 
     return pl.pallas_call(
         kernel,
@@ -350,13 +368,61 @@ def _bin_call_dd(bin_, xh_tab, xl_tab, yh, yl, num_groups: int, interpret: bool)
       xh_tab, xl_tab, bin_.ja, bin_.as_hi, bin_.as_lo, yh, yl)
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class DevicePanelSellDD:
+    """Column-panelled dd SELL (x beyond the VMEM budget; see
+    formats/sell.py PanelSellMatrix)."""
+
+    nrows: int
+    ncols: int
+    nnz: int
+    num_groups: int
+    bounds: tuple
+    panels: list  # list[DeviceSellDD]
+
+    def tree_flatten(self):
+        return (tuple(self.panels),), (
+            self.nrows, self.ncols, self.nnz, self.num_groups, self.bounds,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*aux, list(children[0]))
+
+
+def device_put_panel_sell_dd(psell, device=None) -> DevicePanelSellDD:
+    return DevicePanelSellDD(
+        nrows=psell.nrows,
+        ncols=psell.ncols,
+        nnz=psell.nnz,
+        num_groups=psell.num_groups,
+        bounds=tuple(int(b) for b in psell.bounds),
+        panels=[device_put_sell_dd(p, device=device) for p in psell.panels],
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def sell_spmv_pallas_dd(dsell: DeviceSellDD, xh, xl, *, interpret: bool = False):
+def sell_spmv_pallas_dd(dsell, xh, xl, *, interpret: bool = False):
     """fp64-class SpMV; takes x split into (hi, lo) f32; returns (yh, yl).
 
     Combine with :func:`.doubledouble.combine_f64` (XLA-side, f64) for the
-    final fp64 vector.
+    final fp64 vector. Accepts DeviceSellDD or DevicePanelSellDD (column
+    panels, dd-accumulated across panels).
     """
+    yh = None
+    if isinstance(dsell, DevicePanelSellDD):
+        yh = jnp.zeros((dsell.num_groups * SUBLANES, LANES), jnp.float32)
+        yl = jnp.zeros_like(yh)
+        for p, panel in enumerate(dsell.panels):
+            c0, c1 = dsell.bounds[p], dsell.bounds[p + 1]
+            xh_tab = pack_x_table(xh[c0:c1], c1 - c0)
+            xl_tab = pack_x_table(xl[c0:c1], c1 - c0)
+            for bin_ in panel.bins:
+                yh, yl = _bin_call_dd(bin_, xh_tab, xl_tab, yh, yl,
+                                      dsell.num_groups, interpret,
+                                      accumulate=True)
+        return yh.reshape(-1)[: dsell.nrows], yl.reshape(-1)[: dsell.nrows]
     xh_tab = pack_x_table(xh, dsell.ncols)
     xl_tab = pack_x_table(xl, dsell.ncols)
     yh = jnp.zeros((dsell.num_groups * SUBLANES, LANES), jnp.float32)

@@ -110,3 +110,27 @@ def test_max_x_table_cols():
     n = max_x_table_cols(jnp.float32)
     assert n > 20_000_000  # ~24M f32 columns fit the 96 MiB budget
     assert n % 1024 == 0
+
+
+def test_panel_dd_matches_oracle(wide_csr):
+    """fp64-class dd kernel through column panels."""
+    import numpy as np
+
+    from sparsematrixvectormultiplication_tpu.ops.pallas_sell_dd import (
+        device_put_panel_sell_dd,
+        sell_spmv_pallas_dd,
+    )
+
+    csr, s = wide_csr
+    psell = PanelSellMatrix.from_csr(csr, max_panel_cols=2048)
+    dps = device_put_panel_sell_dd(psell)
+    x = np.random.default_rng(7).standard_normal(csr.ncols)
+    xh = np.asarray(x, np.float32)
+    xl = np.asarray(x - xh.astype(np.float64), np.float32)
+    yh, yl = sell_spmv_pallas_dd(dps, jnp.asarray(xh), jnp.asarray(xl),
+                                 interpret=True)
+    y = np.asarray(yh, np.float64) + np.asarray(yl, np.float64)
+    y_ref = s.tocsr() @ x
+    rel = np.abs(y - y_ref) / np.maximum(np.abs(y_ref), 1e-300)
+    ok = (np.abs(y - y_ref) < 1e-9) | (rel < 1e-9)
+    assert ok.all(), f"max rel {rel.max():.2e}"
