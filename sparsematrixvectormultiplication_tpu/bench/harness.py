@@ -213,10 +213,26 @@ def run_matrix(
         except MemoryError as e:
             log(f"[{name}] xla_ell skipped: {e}")
 
+    def build_sell(**kw):
+        """SELL conversion, transparently column-panelled when x exceeds the
+        VMEM budget (dd needs two half-tables, so the dd-safe width is used
+        whenever the dd stage runs too)."""
+        from ..formats.sell import PanelSellMatrix
+        from ..ops.pallas_sell import max_x_table_cols
+
+        limit = max_x_table_cols(dt)
+        if "pallas_sell_dd" in cfg.kernels:
+            limit //= 2
+        if N > limit:
+            sigma = kw.pop("sigma_sort", False)
+            return PanelSellMatrix.from_csr(csr, max_panel_cols=limit,
+                                            sigma_sort=sigma, **kw)
+        return SellMatrix.from_csr(csr, **kw)
+
     sell = None
     if {"pallas_sell", "pallas_sell_dd"} & set(cfg.kernels):
         t0 = time.perf_counter()
-        sell = SellMatrix.from_csr(csr, **sell_kw)
+        sell = build_sell(**sell_kw)
         fstats["convert_sell_s"] = time.perf_counter() - t0
         fstats["sell"] = sell.memory_stats()
     on_tpu = jax.devices()[0].platform != "cpu"
@@ -247,7 +263,7 @@ def run_matrix(
         # kernel output is in sorted order — validated against the permuted
         # oracle, matching SELL-C-sigma benchmarking practice
         t0 = time.perf_counter()
-        sell_sig = SellMatrix.from_csr(csr, sigma_sort=True)
+        sell_sig = build_sell(sigma_sort=True)
         fstats["convert_sell_sigma_s"] = time.perf_counter() - t0
         fstats["sell_sigma"] = sell_sig.memory_stats()
         dsig = device_put_sell(sell_sig, dtype=dt)

@@ -134,3 +134,23 @@ def test_panel_dd_matches_oracle(wide_csr):
     rel = np.abs(y - y_ref) / np.maximum(np.abs(y_ref), 1e-300)
     ok = (np.abs(y - y_ref) < 1e-9) | (rel < 1e-9)
     assert ok.all(), f"max rel {rel.max():.2e}"
+
+
+def test_harness_auto_panels(monkeypatch, make_random_coo):
+    """run_matrix transparently panels when N exceeds the VMEM budget."""
+    import sparsematrixvectormultiplication_tpu.bench.harness as harness
+    import sparsematrixvectormultiplication_tpu.ops.pallas_sell as ps
+
+    # shrink the budget so a 9000-column matrix needs panels
+    # (f64 limit = 64 slabs * 128 = 8192 cols, halved to 4096 for dd)
+    monkeypatch.setattr(ps, "_X_TABLE_VMEM_BUDGET", 64 * 128 * 8)
+    coo, s = make_random_coo(2000, 9000, density=0.002)
+    cfg = harness.BenchConfig(
+        iterations=2, rounds=1, dtype="float64",
+        kernels=("serial_csr", "pallas_sell", "pallas_sell_dd"),
+        flush_between_stages=False,
+    )
+    res = harness.run_matrix("auto_panel", coo, cfg, log=lambda *a: None)
+    assert res.format_stats["sell"].get("num_panels", 1) > 1
+    assert res.stage("pallas_sell").diff.significant_diffs == 0
+    assert res.stage("pallas_sell_dd").diff.significant_diffs == 0
