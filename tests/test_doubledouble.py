@@ -23,6 +23,9 @@ from sparsematrixvectormultiplication_tpu.ops.pallas_sell_dd import (
 )
 
 
+pytestmark = pytest.mark.slow
+
+
 def test_split_combine_roundtrip(rng):
     x = rng.standard_normal(1000) * np.exp(rng.uniform(-20, 20, 1000))
     hi, lo = split_f64(x)

@@ -35,6 +35,7 @@ def test_panel_host_oracle(wide_csr):
     assert np.allclose(psell.spmv(x), s.tocsr() @ x, rtol=1e-12, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_panel_device_matches_oracle(wide_csr):
     csr, s = wide_csr
     psell = PanelSellMatrix.from_csr(csr, max_panel_cols=2048)
@@ -44,6 +45,7 @@ def test_panel_device_matches_oracle(wide_csr):
     assert np.allclose(y, s.tocsr() @ x, rtol=1e-11, atol=1e-11)
 
 
+@pytest.mark.slow
 def test_panel_matches_single_table(wide_csr):
     """Panelled result must be identical to the single-table kernel path."""
     csr, s = wide_csr
@@ -112,6 +114,7 @@ def test_max_x_table_cols():
     assert n % 1024 == 0
 
 
+@pytest.mark.slow
 def test_panel_dd_matches_oracle(wide_csr):
     """fp64-class dd kernel through column panels."""
     import numpy as np
@@ -136,6 +139,7 @@ def test_panel_dd_matches_oracle(wide_csr):
     assert ok.all(), f"max rel {rel.max():.2e}"
 
 
+@pytest.mark.slow
 def test_harness_auto_panels(monkeypatch, make_random_coo):
     """run_matrix transparently panels when N exceeds the VMEM budget."""
     import sparsematrixvectormultiplication_tpu.bench.harness as harness

@@ -116,6 +116,7 @@ def test_2d_mesh_4x2_vs_2x4(problem):
         assert np.allclose(y, y_ref, rtol=1e-12, atol=1e-12), shape
 
 
+@pytest.mark.slow
 def test_multidevice_pallas_spmv(problem):
     """Manual-DP Pallas dispatch across the 8 CPU devices."""
     from sparsematrixvectormultiplication_tpu import CSRMatrix
@@ -154,6 +155,7 @@ def test_multidevice_balances_nnz():
     assert max(nnzs) < 3 * (sum(nnzs) / len(nnzs))  # roughly balanced
 
 
+@pytest.mark.slow
 def test_spmd_pallas_shard_map(problem):
     """Flagship Pallas kernel under shard_map on the 8-device CPU mesh."""
     from sparsematrixvectormultiplication_tpu import CSRMatrix
@@ -181,6 +183,7 @@ def test_spmd_pallas_shard_map(problem):
     assert np.allclose(y, sc @ x, rtol=1e-11, atol=1e-11)
 
 
+@pytest.mark.slow
 def test_spmd_pallas_unbalanced_shards():
     """Shards with heterogeneous bin structures harmonize correctly."""
     from sparsematrixvectormultiplication_tpu import CSRMatrix

@@ -18,6 +18,9 @@ from sparsematrixvectormultiplication_tpu.tune.autotune import (
 )
 
 
+pytestmark = pytest.mark.slow
+
+
 def test_hll_to_sell_preserves_padding_profile(make_random_coo):
     coo, s = make_random_coo(2000, 1500, 0.02)
     hll = HLLMatrix.from_coo(coo, hack_size=32)
