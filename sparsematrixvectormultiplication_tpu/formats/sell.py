@@ -63,6 +63,18 @@ CHUNK_K = 8  # default entries per (chunk_k,128) chunk in sb-major layout
 # edge >= K_g. Autotunable (tune/autotune.py).
 DEFAULT_K_BINS = (1, 2, 4, 8, 16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512, 768, 1024)
 
+# Measured runtime model for call-count minimization (probes/kernel_probe*,
+# TPU v5e via the axon tunnel): aggregate streaming BW through a Pallas grid,
+# fixed overhead per pallas_call, and the cost of one (8,128) vector op.
+# Every bin is one pallas_call, so the converter merges bins while the extra
+# padding/span work streams cheaper than a launch.
+_PALLAS_BW = 300e9
+_LAUNCH_S = 1.5e-4
+_VREG_OP_S = 3.5e-10
+_LAUNCH_BYTES = int(_LAUNCH_S * _PALLAS_BW)  # padding bytes worth one launch
+_SMEM_LIST_BYTES = 512 * 1024  # scalar-prefetch table budget per bin
+_MAX_STATIC_SPAN = 40  # widest unrolled gather-pass count for sb kernels
+
 
 @dataclass(frozen=True)
 class SellBin:
@@ -181,6 +193,7 @@ class SellMatrix:
         sigma_sort: bool = False,
         chunk_k: int = CHUNK_K,
         skip_empty: bool = False,
+        merge_bins: bool = True,
     ) -> "SellMatrix":
         """Convert CSR (column-sorted rows) to binned SELL-C-128.
 
@@ -233,6 +246,36 @@ class SellMatrix:
         if skip_empty and num_groups:
             group_nnz_all = row_nnz.reshape(num_groups, GROUP_ROWS).sum(axis=1)
             bin_of_group = np.where(group_nnz_all > 0, bin_of_group, -1)
+
+        # ---- ladder coarsening (stage A of call-count minimization) ----
+        # Every bin is (at least) one pallas_call, and a call costs ~LAUNCH_S
+        # of fixed overhead on this runtime (measured: probes/kernel_probe4 —
+        # the r1 bench kernel spent ~50% of its wall time on 3 launches).
+        # Greedily merge a K-bin into the next one while the extra padding
+        # bytes stream cheaper than the saved launch.
+        used = np.unique(bin_of_group[bin_of_group >= 0]) if num_groups else []
+        if merge_bins and len(used) > 1:
+            counts = {int(b): int((bin_of_group == b).sum()) for b in used}
+            merged_into = {}
+            blist = sorted(counts)
+            i = 0
+            while i < len(blist) - 1:
+                b_lo, b_hi = blist[i], blist[i + 1]
+                extra_bytes = counts[b_lo] * (int(edges[b_hi]) - int(edges[b_lo])) \
+                    * GROUP_ROWS * 8
+                lo_bytes = counts[b_lo] * int(edges[b_lo]) * GROUP_ROWS * 8
+                # only absorb SMALL bins (few groups or sub-launch-cost
+                # bytes): merging populous tiny-K bins upward (power-law
+                # ladders) cascades K inflation that re-prices every kernel
+                # choice downstream, not just the stream volume
+                if extra_bytes < _LAUNCH_BYTES and (
+                    counts[b_lo] <= 4 or extra_bytes < max(2 << 20, lo_bytes // 2)
+                ):
+                    bin_of_group = np.where(bin_of_group == b_lo, b_hi, bin_of_group)
+                    counts[b_hi] += counts.pop(b_lo)
+                    blist.pop(i)
+                else:
+                    i += 1
 
         # pad-column per padded row (reference hll_matrix.c:241-246 semantics;
         # empty rows use the superblock's min real column to keep sb-major
@@ -348,8 +391,17 @@ class SellMatrix:
             elif layout == "sb-list":
                 choice = np.full(ng, 2)
             else:
-                costs = np.stack([cost_km_g, cost_sb_g, cost_sl_g])
+                # static-span kernels unroll `span` gather passes per chunk:
+                # beyond _MAX_STATIC_SPAN the bodies blow up compile time and
+                # execute mostly-masked passes — the rolled dynamic k-major
+                # loop (actual distinct count only) is the scattered-matrix
+                # tool (webbase/road regimes)
+                big = np.iinfo(np.int64).max
+                cost_sb_c = np.where(s_q > _MAX_STATIC_SPAN, big, cost_sb_g)
+                cost_sl_c = np.where(d_q > _MAX_STATIC_SPAN, big, cost_sl_g)
+                costs = np.stack([cost_km_g, cost_sb_c, cost_sl_c])
                 choice = np.argmin(costs, axis=0)
+            forced = layout != "auto"
 
             group_nnz = row_nnz.reshape(num_groups, GROUP_ROWS).sum(axis=1)
 
@@ -438,11 +490,74 @@ class SellMatrix:
                         )
                     )
 
-            emit(choice == 0, "k-major", 0)
+            # ---- cluster merging (stage B/C of call-count minimization) ----
+            # Each emitted bin is one pallas_call (~_LAUNCH_S fixed). Greedily
+            # merge span sub-bins / layout classes while the modeled cost
+            # (max of DMA and vector-op time, which overlap) of the merged
+            # call beats the two separate launches. Mixed-layout merges land
+            # on sb-list (the most general layout: per-chunk distinct lists
+            # are valid for any group, and distinct <= range always).
+            clusters = []  # (lay, span, local-idx array)
+            if np.any(choice == 0):
+                clusters.append(("k-major", 0, np.flatnonzero(choice == 0)))
             for sv in np.unique(s_q[choice == 1]) if np.any(choice == 1) else []:
-                emit((choice == 1) & (s_q == sv), "sb-major", int(sv))
+                clusters.append(
+                    ("sb-major", int(sv), np.flatnonzero((choice == 1) & (s_q == sv))))
             for dv in np.unique(d_q[choice == 2]) if np.any(choice == 2) else []:
-                emit((choice == 2) & (d_q == dv), "sb-list", int(dv))
+                clusters.append(
+                    ("sb-list", int(dv), np.flatnonzero((choice == 2) & (d_q == dv))))
+
+            def _vregs(lay, span, idx):
+                if lay == "k-major":
+                    return float(cost_km_g[idx].sum())
+                per_chunk = (5 if lay == "sb-major" else 6) * span + 2
+                return float(SUBLANES * nchunks * per_chunk * idx.size)
+
+            def _cost(lay, span, idx):
+                bpe_rows = (K if lay == "k-major" else Kp) * GROUP_ROWS * 8
+                dma = bpe_rows * idx.size / _PALLAS_BW
+                return max(dma, _vregs(lay, span, idx) * _VREG_OP_S) + _LAUNCH_S
+
+            def _merged(c1, c2):
+                """Merge candidate of two clusters, or None if incompatible."""
+                (l1, s1, i1), (l2, s2, i2) = c1, c2
+                idx = np.concatenate([i1, i2])
+                if l1 == l2 and l1 != "k-major":
+                    span = max(s1, s2)
+                    lay = l1
+                else:
+                    lay = "sb-list"
+                    span = int(d_q[idx].max())
+                if span > _MAX_STATIC_SPAN:
+                    return None
+                # scalar-prefetch list table must stay SMEM-resident
+                if lay == "sb-list" and idx.size * SUBLANES * nchunks * span * 4 \
+                        > _SMEM_LIST_BYTES:
+                    return None
+                return (lay, span, idx)
+
+            improved = merge_bins and not forced and len(clusters) > 1
+            while improved:
+                improved = False
+                best = None
+                for a in range(len(clusters)):
+                    for b in range(a + 1, len(clusters)):
+                        cand = _merged(clusters[a], clusters[b])
+                        if cand is None:
+                            continue
+                        delta = _cost(*cand) - _cost(*clusters[a]) - _cost(*clusters[b])
+                        if delta < 0 and (best is None or delta < best[0]):
+                            best = (delta, a, b, cand)
+                if best is not None:
+                    _, a, b, cand = best
+                    clusters = [c for i, c in enumerate(clusters) if i not in (a, b)]
+                    clusters.append(cand)
+                    improved = len(clusters) > 1
+
+            for lay, span, idx in clusters:
+                mask = np.zeros(ng, dtype=bool)
+                mask[idx] = True
+                emit(mask, lay, int(span))
 
         return cls(nrows=M, ncols=N, nnz=csr.nnz, bins=bins,
                    num_groups=num_groups, row_perm=row_perm)

@@ -71,13 +71,21 @@ def time_device_fn_batched(fn, *args, reps: int = 20, rounds: int = 3, checksum=
     """
     flat, treedef = jax.tree_util.tree_flatten(args)
     # perturb the LAST inexact leaf (for (matrix, x) pytrees this is x —
-    # the cheapest stream to touch)
+    # the cheapest stream to touch); fall back to any numeric leaf (adding a
+    # zero int is just as exact) so all-integer argument lists are still
+    # LICM-chained rather than silently hoisted
     chain_idx = None
     for i in range(len(flat) - 1, -1, -1):
         leaf = flat[i]
         if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.inexact):
             chain_idx = i
             break
+    if chain_idx is None:
+        for i in range(len(flat) - 1, -1, -1):
+            leaf = flat[i]
+            if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.number):
+                chain_idx = i
+                break
 
     # a specific NaN payload no kernel produces; the compare is runtime-false
     _IMPOSSIBLE = jnp.int32(0x7F123457)

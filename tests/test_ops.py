@@ -111,12 +111,19 @@ def test_pallas_multi_bin(make_random_coo):
     from sparsematrixvectormultiplication_tpu import COOMatrix
 
     coo = COOMatrix(M, N, s.row, s.col, s.data)
-    sell = SellMatrix.from_coo(coo)
-    assert len(sell.bins) >= 3
     x = rng.standard_normal(N)
+    # un-merged: several K bins, exercises the multi-pallas_call path
+    sell = SellMatrix.from_coo(coo, merge_bins=False)
+    assert len(sell.bins) >= 3
     dsell = device_put_sell(sell, dtype=jnp.float64)
     y = np.asarray(sell_spmv_pallas(dsell, jnp.asarray(x), interpret=True))
     assert np.allclose(y, s.tocsr() @ x, rtol=1e-11, atol=1e-11)
+    # default: the cost model merges this small matrix into fewer launches
+    merged = SellMatrix.from_coo(coo)
+    assert len(merged.bins) < len(sell.bins)
+    dm = device_put_sell(merged, dtype=jnp.float64)
+    ym = np.asarray(sell_spmv_pallas(dm, jnp.asarray(x), interpret=True))
+    assert np.allclose(ym, s.tocsr() @ x, rtol=1e-11, atol=1e-11)
 
 
 def test_empty_matrix():
