@@ -190,11 +190,20 @@ def run_matrix(
         log(f"[{name}] serial_hll: {sec*1e3:.3f} ms, sig_diffs={stages['serial_hll'].diff.significant_diffs}")
 
     def run_device_stage(stage, fn, *args):
-        if cfg.flush_between_stages:
-            flush_hbm()
-        y = np.asarray(fn(*args))  # correctness pass (also compiles)
-        dm = validate(y)
-        sec, _ = time_device_fn_batched(fn, *args, reps=cfg.iterations, rounds=cfg.rounds)
+        # per-STAGE failure tolerance: one kernel failing (e.g. a prefetch
+        # table exceeding SMEM on an adversarial matrix) must not lose the
+        # other stages' rows (finer-grained than the reference's per-matrix
+        # recovery, main.c:54-75)
+        try:
+            if cfg.flush_between_stages:
+                flush_hbm()
+            y = np.asarray(fn(*args))  # correctness pass (also compiles)
+            dm = validate(y)
+            sec, _ = time_device_fn_batched(fn, *args, reps=cfg.iterations,
+                                            rounds=cfg.rounds)
+        except Exception as e:  # noqa: BLE001
+            log(f"[{name}] {stage} FAILED: {type(e).__name__}: {str(e)[:300]}")
+            return
         stages[stage] = StageResult(stage, sec, calculate_flops(nnz, sec) / 1e9, dm)
         log(f"[{name}] {stage}: {sec*1e3:.3f} ms = {stages[stage].gflops:.3f} GFLOPS, "
             f"sig_diffs={dm.significant_diffs}, max_rel={dm.max_rel_err:.2e}")
@@ -259,9 +268,10 @@ def run_matrix(
         )
 
     if "pallas_sell_sigma" in cfg.kernels:
-        # SELL-C-sigma: rows sorted by nnz (padding collapse on power-law);
-        # kernel output is in sorted order — validated against the permuted
-        # oracle, matching SELL-C-sigma benchmarking practice
+      # SELL-C-sigma: rows sorted by nnz (padding collapse on power-law);
+      # kernel output is in sorted order — validated against the permuted
+      # oracle, matching SELL-C-sigma benchmarking practice
+      try:
         t0 = time.perf_counter()
         sell_sig = build_sell(sigma_sort=True)
         fstats["convert_sell_sigma_s"] = time.perf_counter() - t0
@@ -286,10 +296,13 @@ def run_matrix(
         log(f"[{name}] pallas_sell_sigma: {sec*1e3:.3f} ms = "
             f"{stages['pallas_sell_sigma'].gflops:.3f} GFLOPS, "
             f"pad={sell_sig.padding_ratio:.2f}, sig_diffs={dm.significant_diffs}")
+      except Exception as e:  # noqa: BLE001
+        log(f"[{name}] pallas_sell_sigma FAILED: {type(e).__name__}: {str(e)[:300]}")
 
     if "pallas_sell_dd" in cfg.kernels and sell is not None:
-        # fp64-class double-double kernel (≙ the reference's fp64 kernels);
-        # split/combine host-side so no x64 mode is required on device
+      # fp64-class double-double kernel (≙ the reference's fp64 kernels);
+      # split/combine host-side so no x64 mode is required on device
+      try:
         from ..ops.pallas_sell_dd import device_put_sell_dd, sell_spmv_pallas_dd
 
         dsell_dd = device_put_sell_dd(sell)
@@ -314,5 +327,7 @@ def run_matrix(
         log(f"[{name}] pallas_sell_dd: {sec*1e3:.3f} ms = "
             f"{stages['pallas_sell_dd'].gflops:.3f} GFLOPS (fp64-class), "
             f"sig_diffs={dm.significant_diffs}, max_rel={dm.max_rel_err:.2e}")
+      except Exception as e:  # noqa: BLE001
+        log(f"[{name}] pallas_sell_dd FAILED: {type(e).__name__}: {str(e)[:300]}")
 
     return MatrixResult(name, M, N, nnz, stages, fstats, cfg)

@@ -69,8 +69,12 @@ DEFAULT_K_BINS = (1, 2, 4, 8, 16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512, 7
 # Every bin is one pallas_call, so the converter merges bins while the extra
 # padding/span work streams cheaper than a launch.
 _PALLAS_BW = 300e9
-_LAUNCH_S = 1.5e-4
-_VREG_OP_S = 3.5e-10
+# Within one jit, an extra pallas_call costs only ~20-30 us (the ~0.15 ms
+# measured in probes/kernel_probe4 is per chained-timer ITERATION, not per
+# call — r2 bench A/B: merging the 3-bin bench config into one span-24 bin
+# LOST 46 us to span inflation). Merge only near-free bins.
+_LAUNCH_S = 3e-5
+_VREG_OP_S = 2.6e-10  # recalibrated against the r2 bench sb-list regression
 _LAUNCH_BYTES = int(_LAUNCH_S * _PALLAS_BW)  # padding bytes worth one launch
 _SMEM_LIST_BYTES = 512 * 1024  # scalar-prefetch table budget per bin
 _MAX_STATIC_SPAN = 40  # widest unrolled gather-pass count for sb kernels
@@ -376,13 +380,15 @@ class SellMatrix:
             g_distinct = chunk_distinct.reshape(ng, -1).max(axis=1)
             d_q = np.minimum(-(-g_distinct // 2) * 2, np.maximum(s_q, 2))
 
-            # modeled vreg-ops per group (ops on (8,128) registers):
+            # modeled vreg-op-equivalents per group (ops on (8,128) registers):
             #   sb-major: per chunk, span gather passes (~5 ops) + 2
-            #   sb-list : per chunk, distinct gather passes (~6 ops, scalar
-            #             list reads) + 2
+            #   sb-list : per chunk, distinct gather passes — ~2.1x a
+            #             sb-major pass (measured r2: the per-pass SMEM list
+            #             read stalls the pipeline; bench regression 33->26.7
+            #             GF when everything merged onto sb-list)
             #   k-major : per distinct slab, K tile-vregs x ~5 ops
             cost_sb_g = SUBLANES * nchunks * (5 * s_q + 2)
-            cost_sl_g = SUBLANES * nchunks * (6 * d_q + 2)
+            cost_sl_g = SUBLANES * nchunks * (11 * d_q + 2)
             cost_km_g = 5 * slab_count.astype(np.int64) * K + K
             if layout == "sb-major":
                 choice = np.full(ng, 1)
@@ -510,7 +516,7 @@ class SellMatrix:
             def _vregs(lay, span, idx):
                 if lay == "k-major":
                     return float(cost_km_g[idx].sum())
-                per_chunk = (5 if lay == "sb-major" else 6) * span + 2
+                per_chunk = (5 if lay == "sb-major" else 11) * span + 2
                 return float(SUBLANES * nchunks * per_chunk * idx.size)
 
             def _cost(lay, span, idx):
@@ -518,23 +524,31 @@ class SellMatrix:
                 dma = bpe_rows * idx.size / _PALLAS_BW
                 return max(dma, _vregs(lay, span, idx) * _VREG_OP_S) + _LAUNCH_S
 
-            def _merged(c1, c2):
-                """Merge candidate of two clusters, or None if incompatible."""
-                (l1, s1, i1), (l2, s2, i2) = c1, c2
-                idx = np.concatenate([i1, i2])
-                if l1 == l2 and l1 != "k-major":
-                    span = max(s1, s2)
-                    lay = l1
-                else:
-                    lay = "sb-list"
-                    span = int(d_q[idx].max())
+            def _valid(lay, span, idx):
                 if span > _MAX_STATIC_SPAN:
-                    return None
+                    return False
                 # scalar-prefetch list table must stay SMEM-resident
                 if lay == "sb-list" and idx.size * SUBLANES * nchunks * span * 4 \
                         > _SMEM_LIST_BYTES:
+                    return False
+                return True
+
+            def _merged(c1, c2):
+                """Cheapest valid merge candidate of two clusters, or None."""
+                (l1, s1, i1), (l2, s2, i2) = c1, c2
+                idx = np.concatenate([i1, i2])
+                cands = []
+                # sb-major covers any group via its slab RANGE (s_q);
+                # sb-list covers any group via its DISTINCT count (d_q)
+                span_sb = int(s_q[idx].max())
+                if _valid("sb-major", span_sb, idx):
+                    cands.append(("sb-major", span_sb, idx))
+                span_sl = int(d_q[idx].max())
+                if _valid("sb-list", span_sl, idx):
+                    cands.append(("sb-list", span_sl, idx))
+                if not cands:
                     return None
-                return (lay, span, idx)
+                return min(cands, key=lambda c: _cost(*c))
 
             improved = merge_bins and not forced and len(clusters) > 1
             while improved:

@@ -402,20 +402,35 @@ def _bin_call(bin_: DeviceSellBin, x_tab, y, num_groups: int, interpret: bool,
     )(bin_.group_ids, bin_.slab_list, bin_.slab_count, x_tab, bin_.ja, bin_.as_, y)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def sell_spmv_pallas(dsell, x, *, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "assembly"))
+def sell_spmv_pallas(dsell, x, *, interpret: bool = False, assembly: str = "chain"):
     """SpMV over the binned SELL layout; returns y[:nrows] in natural order.
 
     Accepts a :class:`DeviceSell` (single x-table in VMEM) or a
     :class:`DevicePanelSell` (column panels for N beyond the VMEM budget —
     parity with the reference's unbounded-N kernels, src/csr_matrix.c:130-139).
+
+    ``assembly``: bins write disjoint (8,128) y tiles. ``"sum"`` gives each
+    bin its own zero y buffer and adds them — the calls are data-independent,
+    so the runtime can overlap their DMA/compute (measured: two independent
+    pallas_calls stream 2.15 GB in the wall time of one, probes/kernel_probe4).
+    ``"chain"`` threads one aliased buffer through every call (serial; the
+    r1 behavior).
     """
     if isinstance(dsell, DevicePanelSell):
         return _panel_spmv(dsell, x, interpret)
     x_tab = pack_x_table(x, dsell.ncols)
     y = jnp.zeros((dsell.num_groups * SUBLANES, LANES), dtype=x_tab.dtype)
-    for bin_ in dsell.bins:
-        y = _bin_call(bin_, x_tab, y, dsell.num_groups, interpret)
+    if assembly == "sum" and len(dsell.bins) > 1:
+        ys = [
+            _bin_call(bin_, x_tab, jnp.zeros_like(y), dsell.num_groups, interpret)
+            for bin_ in dsell.bins
+        ]
+        for yb in ys:
+            y = y + yb
+    else:
+        for bin_ in dsell.bins:
+            y = _bin_call(bin_, x_tab, y, dsell.num_groups, interpret)
     return y.reshape(-1)[: dsell.nrows]
 
 
