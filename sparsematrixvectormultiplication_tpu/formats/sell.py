@@ -302,7 +302,7 @@ class SellMatrix:
         # x-table row count exactly as pack_x_table builds it (sublane-aligned);
         # qbase clamping keeps every scanned slab index inside the table.
         R = -(-N // LANES)
-        Rp = -(-R // SUBLANES) * SUBLANES
+        Rp = (R // SUBLANES + 1) * SUBLANES  # must match pack_x_table
 
         # global slab lists, computed ONCE over all groups (a per-bin rebuild
         # re-sorts the full entry array per bin — measured 54 s at 32M nnz)
@@ -454,11 +454,12 @@ class SellMatrix:
                     # padded/truncated to exactly span_val per chunk — the
                     # kernel strides by it
                     lists = chunk_lists.reshape(ng, SUBLANES * nchunks, -1)[sub]
+                    lists = np.where(lists < 0, np.int32(Rp - 1), lists)
                     w = lists.shape[2]
                     if w < span_val:
                         lists = np.concatenate(
                             [lists, np.full((lists.shape[0], lists.shape[1],
-                                             span_val - w), -1, np.int32)],
+                                             span_val - w), Rp - 1, np.int32)],
                             axis=2,
                         )
                     else:

@@ -140,7 +140,10 @@ def pack_x_table(x, ncols: int):
     beyond the VMEM budget (~24M f32 columns) — the column-panel
     decomposition for larger N is future work (docs/DESIGN.md)."""
     R = -(-ncols // LANES)
-    Rp = -(-R // SUBLANES) * SUBLANES  # sublane-aligned table
+    # sublane-aligned PLUS at least one spare all-zero slab row: sb-list bins
+    # pad their slab lists with Rp-1 (guaranteed unused), letting the kernel
+    # drop the per-pass index clamp
+    Rp = (R // SUBLANES + 1) * SUBLANES
     nbytes = Rp * LANES * x.dtype.itemsize
     if nbytes > _X_TABLE_VMEM_BUDGET:
         raise ValueError(
@@ -303,10 +306,11 @@ def _pick_g_per(bin_, bytes_per_entry: int = 8) -> int:
 def _kernel_sb_list(k: int, span: int, g_per: int = 1, ck: int = CHUNK_K,
                     accumulate: bool = False):
     """Hybrid kernel: sb-major data layout with per-chunk *distinct-slab
-    lists* (scalar-prefetched, padded with -1). Robust when a chunk's slab
-    range is wide but its distinct count is small — e.g. stencil matrices
-    whose boundary rows shift k-alignment across x-slabs. The -1 padding
-    never matches any entry's slab; the x read is clamped to row 0."""
+    lists* (scalar-prefetched, padded with the spare zero slab Rp-1).
+    Robust when a chunk's slab range is wide but its distinct count is small
+    — e.g. stencil matrices whose boundary rows shift k-alignment across
+    x-slabs. The pad slab is in-range but referenced by no entry, so the
+    mask never matches and no per-pass clamp is needed."""
     assert k % ck == 0
     nchunks = k // ck
 
@@ -329,7 +333,7 @@ def _kernel_sb_list(k: int, span: int, g_per: int = 1, ck: int = CHUNK_K,
                     gath = jnp.zeros((ck, LANES), dtype)
                     for s in range(span):  # static unroll
                         sq = lst_ref[_g, lbase + s]
-                        xrow = x_ref[jnp.maximum(sq, 0), :]
+                        xrow = x_ref[sq, :]  # pads point at the spare zero slab
                         xb = jnp.broadcast_to(xrow[None, :], (ck, LANES))
                         gat = jnp.take_along_axis(xb, m, axis=1)
                         gath = gath + jnp.where(q == sq, gat, 0)

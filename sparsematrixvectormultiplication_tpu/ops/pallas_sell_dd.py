@@ -223,9 +223,8 @@ def _kernel_sb_list_dd(k: int, span: int, interpret: bool = False, g_per: int = 
                 g_l = jnp.zeros((ck, LANES), jnp.float32)
                 for s in range(span):
                     sq = lst_ref[_g, lbase + s]
-                    sq_safe = jnp.maximum(sq, 0)
-                    xbh = jnp.broadcast_to(xh_ref[sq_safe, :][None, :], (ck, LANES))
-                    xbl = jnp.broadcast_to(xl_ref[sq_safe, :][None, :], (ck, LANES))
+                    xbh = jnp.broadcast_to(xh_ref[sq, :][None, :], (ck, LANES))
+                    xbl = jnp.broadcast_to(xl_ref[sq, :][None, :], (ck, LANES))
                     mask = q == sq
                     g_h = g_h + jnp.where(mask, jnp.take_along_axis(xbh, m, axis=1), 0)
                     g_l = g_l + jnp.where(mask, jnp.take_along_axis(xbl, m, axis=1), 0)

@@ -162,9 +162,7 @@ def build_spmd_sell(
                 if sl.ndim == 1:
                     sl = sl.reshape(ng, -1)
                 if sl.shape[1] < w:
-                    fillv = _SENTINEL if layout == "k-major" else (
-                        np.int32(-1) if layout == "sb-list" else np.int32(0)
-                    )
+                    fillv = _SENTINEL if layout == "k-major" else np.int32(0)
                     sl = np.concatenate(
                         [sl, np.full((ng, w - sl.shape[1]), fillv, np.int32)], axis=1
                     )
@@ -172,7 +170,7 @@ def build_spmd_sell(
             else:
                 sl = np.zeros((0, w), np.int32)
                 cnt = np.zeros(0, np.int32)
-            pad_list_fill = np.int32(0) if layout != "sb-list" else np.int32(-1)
+            pad_list_fill = np.int32(0)  # in-range; pad groups' values are 0
             sl = np.concatenate([sl, np.full((pad_g, w), pad_list_fill, np.int32)])
             # pad slab_count: k-major loop bound 0 => no work; sb kernels use
             # the static span, count is informational
