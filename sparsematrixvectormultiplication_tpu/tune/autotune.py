@@ -42,6 +42,7 @@ class SellCandidate:
     name: str
     k_bins: tuple
     layout: str = "auto"
+    merge_bins: bool = True
 
 
 @dataclass
@@ -69,6 +70,8 @@ def autotune_sell(
         candidates += [
             SellCandidate("default-kmajor", DEFAULT_K_BINS, "k-major"),
             SellCandidate("default-sbmajor", DEFAULT_K_BINS, "sb-major"),
+            SellCandidate("default-sblist", DEFAULT_K_BINS, "sb-list"),
+            SellCandidate("default-nomerge", DEFAULT_K_BINS, merge_bins=False),
         ]
     on_tpu = jax.devices()[0].platform == "tpu"
     if x is None:
@@ -80,7 +83,8 @@ def autotune_sell(
     for cand in candidates:
         t0 = time.perf_counter()
         try:
-            sell = SellMatrix.from_csr(csr, k_bins=cand.k_bins, layout=cand.layout)
+            sell = SellMatrix.from_csr(csr, k_bins=cand.k_bins, layout=cand.layout,
+                                       merge_bins=cand.merge_bins)
         except Exception as e:
             table.append((cand.name, float("inf"), {"error": str(e)}))
             continue
@@ -94,10 +98,14 @@ def autotune_sell(
                 lambda d, xx: sell_spmv_pallas(d, xx), dsell, xd, reps=reps, rounds=2
             )
         else:
-            # host cost model: modeled vreg-ops + stream volume
+            # host cost model: same constants the converter's merge policy
+            # uses (formats/sell.py, measured on TPU v5e)
+            from ..formats.sell import _LAUNCH_S, _PALLAS_BW, _VREG_OP_S
+
             passes = sum(b.cost_passes for b in sell.bins)
             stream = stats["bytes_total"]
-            sec = passes / 1e9 + stream / 100e9 + len(sell.bins) * 127e-6
+            sec = max(passes * _VREG_OP_S, stream / _PALLAS_BW) \
+                + len(sell.bins) * _LAUNCH_S
         stats["modeled" if not on_tpu else "measured"] = sec
         table.append((cand.name, sec, stats))
         if log:
