@@ -198,3 +198,30 @@ def test_native_parser_number_formats(tmp_path):
     assert np.allclose(v[1::4], -0.75, rtol=1e-14)
     assert np.allclose(v[2::4], 0.123456789012345678901, rtol=1e-14)
     assert np.allclose(v[3::4], 1.5e-3, rtol=1e-14)
+
+
+def test_write_read_roundtrip_large(tmp_path):
+    """Writer -> native/numpy parser round-trip at a nontrivial size."""
+    import numpy as np
+
+    from sparsematrixvectormultiplication_tpu import COOMatrix
+    from sparsematrixvectormultiplication_tpu.io.mmio import write_matrix_market
+
+    rng = np.random.default_rng(42)
+    n = 200_000
+    M = N = 50_000
+    row = rng.integers(0, M, n).astype(np.int32)
+    col = rng.integers(0, N, n).astype(np.int32)
+    key = row.astype(np.int64) * N + col
+    _, idx = np.unique(key, return_index=True)
+    row, col = row[idx], col[idx]
+    val = rng.standard_normal(row.size)
+    p = tmp_path / "big.mtx"
+    write_matrix_market(str(p), M, N, row, col, val)
+    coo = COOMatrix.from_mtx(str(p))
+    assert coo.nnz == row.size
+    order = np.lexsort((col, row))
+    got = np.lexsort((coo.col, coo.row))
+    assert np.array_equal(coo.row[got], row[order])
+    assert np.array_equal(coo.col[got], col[order])
+    assert np.allclose(coo.val[got], val[order], rtol=1e-15)
