@@ -72,28 +72,32 @@ def build_parser():
 
 
 def iter_matrices(args):
+    """Yield (name, builder) pairs — matrices are built LAZILY so resumed
+    sweeps skip completed entries without regenerating them."""
     from ..formats.coo import COOMatrix
 
     if args.suite:
-        from ..models.synthetic import BENCH_SUITE, generate_suite
+        from ..models.synthetic import BENCH_SUITE
 
         entries = BENCH_SUITE[:4] if args.suite == "quick" else BENCH_SUITE
-        for name, family, coo in generate_suite(entries):
-            yield name, coo
+        for e in entries:
+            yield e.name, e.builder
     elif args.matrix:
         for path in args.matrix:
-            yield os.path.splitext(os.path.basename(path))[0], COOMatrix.from_mtx(path)
+            yield (os.path.splitext(os.path.basename(path))[0],
+                   lambda p=path: COOMatrix.from_mtx(p))
     elif args.matrix_dir:
         files = sorted(glob.glob(os.path.join(args.matrix_dir, "*.mtx")))
         if not files:
             print(f"no .mtx files in {args.matrix_dir}", file=sys.stderr)
         for path in files:
-            yield os.path.splitext(os.path.basename(path))[0], COOMatrix.from_mtx(path)
+            yield (os.path.splitext(os.path.basename(path))[0],
+                   lambda p=path: COOMatrix.from_mtx(p))
     else:
-        from ..models.synthetic import BENCH_SUITE, generate_suite
+        from ..models.synthetic import BENCH_SUITE
 
-        for name, family, coo in generate_suite(BENCH_SUITE[:2]):
-            yield name, coo
+        for e in BENCH_SUITE[:2]:
+            yield e.name, e.builder
 
 
 def main(argv=None):
@@ -143,11 +147,12 @@ def main(argv=None):
     memstats_csv = os.path.join(args.output_dir, "matrix_memory_stats.csv")
 
     n_ok = n_fail = 0
-    for name, coo in iter_matrices(args):
+    for name, build in iter_matrices(args):
         if name in done:
             print(f"[{name}] skipped (checkpoint)")
             continue
         try:
+            coo = build()
             from ..utils.profiling import profile_trace
 
             with profile_trace(
