@@ -78,6 +78,10 @@ _VREG_OP_S = 2.6e-10  # recalibrated against the r2 bench sb-list regression
 _LAUNCH_BYTES = int(_LAUNCH_S * _PALLAS_BW)  # padding bytes worth one launch
 _SMEM_LIST_BYTES = 512 * 1024  # scalar-prefetch table budget per bin
 _MAX_STATIC_SPAN = 40  # widest unrolled gather-pass count for sb kernels
+_WL_WIN_VREGS = 28     # modeled cost of building one 8-row W table (wl layout)
+_WL_MAX_NW = 16        # wl guards: windows per row-block / layers / unroll
+_WL_MAX_L = 16
+_WL_MAX_TILES = 48
 
 
 @dataclass(frozen=True)
@@ -310,6 +314,15 @@ class SellMatrix:
             rows_of_entries, csr.col_idx, num_groups
         )
 
+        # window-layered (wl) profile, also computed once (clustered-matrix
+        # layout: one gather per layer tile; see _wl_profile)
+        wl_rb, wl_w, wl_s, wl_layer, wl_nwin_g, wl_L_g = _wl_profile(
+            rows_of_entries, csr.col_idx, num_groups, Rp
+        )
+        wl_kw_g = 8 * wl_nwin_g * wl_L_g          # wl slots per row
+        group_nnz_all = row_nnz.reshape(num_groups, GROUP_ROWS).sum(axis=1) \
+            if num_groups else np.zeros(0, np.int64)
+
         bins = []
         for b_id in np.unique(bin_of_group) if num_groups else []:
             if b_id < 0:
@@ -382,30 +395,49 @@ class SellMatrix:
 
             # modeled vreg-op-equivalents per group (ops on (8,128) registers):
             #   sb-major: per chunk, span gather passes (~5 ops) + 2
-            #   sb-list : per chunk, distinct gather passes — ~2.1x a
-            #             sb-major pass (measured r2: the per-pass SMEM list
-            #             read stalls the pipeline; bench regression 33->26.7
-            #             GF when everything merged onto sb-list)
+            #   sb-list : per chunk, distinct gather passes (~6 ops —
+            #             probe5: ≈ a sb-major pass when chunk loops unroll;
+            #             the earlier 2x penalty was SMEM-table pressure from
+            #             an over-merged 1.4 MB prefetch list, now guarded)
             #   k-major : per distinct slab, K tile-vregs x ~5 ops
             cost_sb_g = SUBLANES * nchunks * (5 * s_q + 2)
-            cost_sl_g = SUBLANES * nchunks * (11 * d_q + 2)
+            cost_sl_g = SUBLANES * nchunks * (6 * d_q + 2)
             cost_km_g = 5 * slab_count.astype(np.int64) * K + K
+            #   wl      : per row-block, NW windows x (W build + L gathers)
+            nw_b = wl_nwin_g[gids_all]
+            L_b = wl_L_g[gids_all]
+            cost_wl_g = SUBLANES * nw_b * (_WL_WIN_VREGS + 4 * L_b)
+            wl_ok = (
+                (nw_b <= _WL_MAX_NW) & (L_b <= _WL_MAX_L)
+                & (nw_b * L_b <= _WL_MAX_TILES) & (nw_b > 0)
+            )
+            # compare as SECONDS: layouts stream different volumes (wl slots
+            # per row = 8*NW*L, independent of K)
+            bpr = GROUP_ROWS * 8  # bytes per padded entry-row of 1024 slots
+            big = np.float64(1e30)
+            sec_km = np.maximum(K * bpr / _PALLAS_BW, cost_km_g * _VREG_OP_S)
+            sec_sb = np.maximum(Kp * bpr / _PALLAS_BW, cost_sb_g * _VREG_OP_S)
+            sec_sl = np.maximum(Kp * bpr / _PALLAS_BW, cost_sl_g * _VREG_OP_S)
+            sec_wl = np.maximum(wl_kw_g[gids_all] * bpr / _PALLAS_BW,
+                                cost_wl_g * _VREG_OP_S)
             if layout == "sb-major":
                 choice = np.full(ng, 1)
             elif layout == "k-major":
                 choice = np.full(ng, 0)
             elif layout == "sb-list":
                 choice = np.full(ng, 2)
+            elif layout == "wl":
+                choice = np.where(wl_ok, 3, 0)
             else:
                 # static-span kernels unroll `span` gather passes per chunk:
                 # beyond _MAX_STATIC_SPAN the bodies blow up compile time and
                 # execute mostly-masked passes — the rolled dynamic k-major
                 # loop (actual distinct count only) is the scattered-matrix
                 # tool (webbase/road regimes)
-                big = np.iinfo(np.int64).max
-                cost_sb_c = np.where(s_q > _MAX_STATIC_SPAN, big, cost_sb_g)
-                cost_sl_c = np.where(d_q > _MAX_STATIC_SPAN, big, cost_sl_g)
-                costs = np.stack([cost_km_g, cost_sb_c, cost_sl_c])
+                sec_sb_c = np.where(s_q > _MAX_STATIC_SPAN, big, sec_sb)
+                sec_sl_c = np.where(d_q > _MAX_STATIC_SPAN, big, sec_sl)
+                sec_wl_c = np.where(wl_ok, sec_wl, big)
+                costs = np.stack([sec_km, sec_sb_c, sec_sl_c, sec_wl_c])
                 choice = np.argmin(costs, axis=0)
             forced = layout != "auto"
 
@@ -424,13 +456,37 @@ class SellMatrix:
                     np.ascontiguousarray(ast).reshape(-1, LANES),
                 )
 
-            def emit(mask, lay, span_val):
+            def emit(mask, lay, span_val, nw_val=0):
                 sub = np.flatnonzero(mask)
                 if sub.size == 0:
                     return
                 gsub = gids_all[sub]
                 real = int(group_nnz[gsub].sum())
-                if lay == "sb-major":
+                if lay == "wl":
+                    ginv_c = np.full(num_groups, -1, dtype=np.int64)
+                    ginv_c[gsub] = np.arange(gsub.size)
+                    ja_b, as_b, slabs = _emit_wl_bin(
+                        csr, rows_of_entries, csr.col_idx, gsub, ginv_c,
+                        wl_rb, wl_w, wl_s, wl_layer,
+                        int(nw_val), int(span_val), Rp, value_dtype, Rp,
+                    )
+                    bins.append(
+                        SellBin(
+                            k=8 * int(nw_val) * int(span_val),
+                            layout="wl",
+                            group_ids=gsub,
+                            ja=ja_b,
+                            as_=as_b,
+                            slab_list=slabs,
+                            slab_count=(wl_nwin_g[gsub] * wl_L_g[gsub] * 8
+                                        ).astype(np.int32),
+                            real_nnz=real,
+                            span=int(span_val),   # wl: layers per window
+                            chunk_k=int(nw_val),  # wl: windows per row-block
+                            cost_passes=int(cost_wl_g[sub].sum()),
+                        )
+                    )
+                elif lay == "sb-major":
                     qb = np.clip(qmin[sub], 0, max(Rp - span_val, 0)).astype(np.int32)
                     ja_b, as_b = _sb_arrays(sub)
                     bins.append(
@@ -504,28 +560,51 @@ class SellMatrix:
             # call beats the two separate launches. Mixed-layout merges land
             # on sb-list (the most general layout: per-chunk distinct lists
             # are valid for any group, and distinct <= range always).
-            clusters = []  # (lay, span, local-idx array)
+            clusters = []  # (lay, span, nw, local-idx array)
             if np.any(choice == 0):
-                clusters.append(("k-major", 0, np.flatnonzero(choice == 0)))
+                clusters.append(("k-major", 0, 0, np.flatnonzero(choice == 0)))
             for sv in np.unique(s_q[choice == 1]) if np.any(choice == 1) else []:
                 clusters.append(
-                    ("sb-major", int(sv), np.flatnonzero((choice == 1) & (s_q == sv))))
+                    ("sb-major", int(sv), 0,
+                     np.flatnonzero((choice == 1) & (s_q == sv))))
             for dv in np.unique(d_q[choice == 2]) if np.any(choice == 2) else []:
                 clusters.append(
-                    ("sb-list", int(dv), np.flatnonzero((choice == 2) & (d_q == dv))))
+                    ("sb-list", int(dv), 0,
+                     np.flatnonzero((choice == 2) & (d_q == dv))))
+            if np.any(choice == 3):
+                wsel = choice == 3
+                for nwv in np.unique(nw_b[wsel]):
+                    for lv in np.unique(L_b[wsel & (nw_b == nwv)]):
+                        clusters.append(
+                            ("wl", int(lv), int(nwv),
+                             np.flatnonzero(wsel & (nw_b == nwv) & (L_b == lv))))
 
-            def _vregs(lay, span, idx):
+            def _vregs(lay, span, nw, idx):
                 if lay == "k-major":
                     return float(cost_km_g[idx].sum())
-                per_chunk = (5 if lay == "sb-major" else 11) * span + 2
+                if lay == "wl":
+                    return float(SUBLANES * nw * (_WL_WIN_VREGS + 4 * span)
+                                 * idx.size)
+                per_chunk = (5 if lay == "sb-major" else 6) * span + 2
                 return float(SUBLANES * nchunks * per_chunk * idx.size)
 
-            def _cost(lay, span, idx):
-                bpe_rows = (K if lay == "k-major" else Kp) * GROUP_ROWS * 8
-                dma = bpe_rows * idx.size / _PALLAS_BW
-                return max(dma, _vregs(lay, span, idx) * _VREG_OP_S) + _LAUNCH_S
+            def _cost(lay, span, nw, idx):
+                if lay == "k-major":
+                    width = K
+                elif lay == "wl":
+                    width = 8 * nw * span
+                else:
+                    width = Kp
+                dma = width * GROUP_ROWS * 8 * idx.size / _PALLAS_BW
+                return max(dma, _vregs(lay, span, nw, idx) * _VREG_OP_S) \
+                    + _LAUNCH_S
 
-            def _valid(lay, span, idx):
+            def _valid(lay, span, nw, idx):
+                if lay == "wl":
+                    return (nw <= _WL_MAX_NW and span <= _WL_MAX_L
+                            and nw * span <= _WL_MAX_TILES
+                            and idx.size * SUBLANES * nw * 8 * 4
+                            <= _SMEM_LIST_BYTES)
                 if span > _MAX_STATIC_SPAN:
                     return False
                 # scalar-prefetch list table must stay SMEM-resident
@@ -536,17 +615,24 @@ class SellMatrix:
 
             def _merged(c1, c2):
                 """Cheapest valid merge candidate of two clusters, or None."""
-                (l1, s1, i1), (l2, s2, i2) = c1, c2
+                (l1, s1, n1, i1), (l2, s2, n2, i2) = c1, c2
                 idx = np.concatenate([i1, i2])
                 cands = []
+                if l1 == "wl" or l2 == "wl":
+                    # wl merges only with wl (different data interleave)
+                    if l1 == "wl" and l2 == "wl":
+                        cand = ("wl", max(s1, s2), max(n1, n2), idx)
+                        if _valid(*cand):
+                            cands.append(cand)
+                    return min(cands, key=lambda c: _cost(*c)) if cands else None
                 # sb-major covers any group via its slab RANGE (s_q);
                 # sb-list covers any group via its DISTINCT count (d_q)
                 span_sb = int(s_q[idx].max())
-                if _valid("sb-major", span_sb, idx):
-                    cands.append(("sb-major", span_sb, idx))
+                if _valid("sb-major", span_sb, 0, idx):
+                    cands.append(("sb-major", span_sb, 0, idx))
                 span_sl = int(d_q[idx].max())
-                if _valid("sb-list", span_sl, idx):
-                    cands.append(("sb-list", span_sl, idx))
+                if _valid("sb-list", span_sl, 0, idx):
+                    cands.append(("sb-list", span_sl, 0, idx))
                 if not cands:
                     return None
                 return min(cands, key=lambda c: _cost(*c))
@@ -569,10 +655,10 @@ class SellMatrix:
                     clusters.append(cand)
                     improved = len(clusters) > 1
 
-            for lay, span, idx in clusters:
+            for lay, span, nw, idx in clusters:
                 mask = np.zeros(ng, dtype=bool)
                 mask[idx] = True
-                emit(mask, lay, int(span))
+                emit(mask, lay, int(span), nw)
 
         return cls(nrows=M, ncols=N, nnz=csr.nnz, bins=bins,
                    num_groups=num_groups, row_perm=row_perm)
@@ -591,6 +677,20 @@ class SellMatrix:
                 ja = bin_.ja.reshape(ng, K, SUBLANES, LANES)
                 as_ = bin_.as_.reshape(ng, K, SUBLANES, LANES)
                 contrib = (as_.astype(np.float64) * x[ja]).sum(axis=1)  # (ng,8,128)
+            elif bin_.layout == "wl":
+                # ja holds lane offsets m; columns reconstruct from the
+                # per-(row-block, window, slot) slab table
+                NW, L = bin_.chunk_k, bin_.span
+                m = bin_.ja.reshape(ng, SUBLANES, NW, L, 8, LANES)
+                as_ = bin_.as_.reshape(ng, SUBLANES, NW, L, 8, LANES)
+                slabs = bin_.slab_list.reshape(ng, SUBLANES, NW, 8)
+                xp = np.concatenate([x, np.zeros(
+                    max(0, (int(slabs.max()) + 1) * LANES - x.size))])
+                cols = slabs[:, :, :, None, :, None].astype(np.int64) * LANES \
+                    + m
+                contrib = (as_.astype(np.float64) * xp[cols]).sum(axis=(2, 3, 4))
+                # contrib: (ng, 8 row-blocks, 128 lanes) — matches the row
+                # mapping (row = group*1024 + rb*128 + lane)
             else:
                 ja = bin_.ja.reshape(ng, SUBLANES, K, LANES)
                 as_ = bin_.as_.reshape(ng, SUBLANES, K, LANES)
@@ -727,6 +827,131 @@ class PanelSellMatrix:
         for p, panel in enumerate(self.panels):
             y += panel.spmv(x[self.bounds[p] : self.bounds[p + 1]])
         return y
+
+
+def _wl_profile(rows_of_entries, col_idx, num_groups, nslab_bound,
+                cand_L=(1, 2, 3, 4, 6, 8)):
+    """Per-entry window-layered coordinates + per-group (NW, L) profile.
+
+    WL layout ("window-layered"): per 128-row block, the block's slabs are
+    expanded into SLOTS — a slab occupies ``ceil(max_per_row_count / L)``
+    consecutive slots, so deep (row, slab) piles (FEM dof-blocks put many
+    entries of a row in the near-diagonal slab) spread across slots instead
+    of inflating the layer depth. Slots are grouped into windows of 8; an
+    entry sits at sublane = its slot within the window, lane = row, in the
+    ``occ % L``-th layer tile of the window. The kernel builds one 8-row W
+    table per window (8 scalar-driven x reads) and needs a single
+    ``take_along_axis`` per layer tile — no masked span passes. Wins on
+    clustered matrices (FEM stencils: few distinct slabs, wide ranges).
+
+    ``L`` is chosen per group from ``cand_L`` by the converter's cost model
+    (bytes vs vector ops). Returns (rb, w, s, layer, nwin_g, L_g); entries
+    must be in CSR order (row-major, column-sorted).
+    """
+    nnz = rows_of_entries.size
+    rb = rows_of_entries >> 7                     # 128-row block id
+    n_rb = num_groups * SUBLANES
+    if nnz == 0 or num_groups == 0:
+        z = np.zeros(0, np.int64)
+        ones = np.ones(num_groups, np.int64)
+        return z, z, z, z, ones, ones
+    q = (col_idx >> 7).astype(np.int64)
+
+    key = rb * np.int64(nslab_bound) + q
+    uniq, inv = np.unique(key, return_inverse=True)
+    u_rb = uniq // nslab_bound
+
+    # occurrence index within (row, slab) runs (consecutive in CSR order)
+    change = np.ones(nnz, dtype=bool)
+    change[1:] = (rows_of_entries[1:] != rows_of_entries[:-1]) | (q[1:] != q[:-1])
+    run_start = np.maximum.accumulate(np.where(change, np.arange(nnz), 0))
+    occ = np.arange(nnz) - run_start
+
+    # deepest per-row pile for each (rb, slab)
+    maxocc_u = np.zeros(uniq.size, np.int64)
+    np.maximum.at(maxocc_u, inv, occ + 1)
+    grp_u = u_rb >> 3
+
+    # choose L per group: minimize max(DMA of 8*NW*L slots, window vreg work)
+    best_sec = np.full(num_groups, np.inf)
+    L_g = np.ones(num_groups, np.int64)
+    NW_g = np.ones(num_groups, np.int64)
+    bpr = GROUP_ROWS * 8
+    for L in cand_L:
+        slots_u = -(-maxocc_u // L)
+        nslots_rb = np.bincount(u_rb, weights=slots_u.astype(np.float64),
+                                minlength=n_rb).astype(np.int64)
+        nw_rb = -(-nslots_rb // 8)
+        nw_g = np.maximum(
+            nw_rb.reshape(num_groups, SUBLANES).max(axis=1), 1)
+        sec = np.maximum(
+            8 * nw_g * L * bpr / _PALLAS_BW,
+            SUBLANES * nw_g * (_WL_WIN_VREGS + 4 * L) * _VREG_OP_S,
+        )
+        # only legal (NW, L) combinations compete (kernel unroll guards)
+        sec = np.where(
+            (nw_g > _WL_MAX_NW) | (nw_g * L > _WL_MAX_TILES), np.inf, sec)
+        better = sec < best_sec
+        best_sec = np.where(better, sec, best_sec)
+        L_g = np.where(better, L, L_g)
+        NW_g = np.where(better, nw_g, NW_g)
+
+    # slot bases at each (rb, slab) under the chosen L of its group
+    Lu = L_g[grp_u]
+    slots_u = -(-maxocc_u // Lu)
+    cs = np.cumsum(slots_u)
+    base_u = cs - slots_u
+    # rebase to each rb's first slot
+    first = np.searchsorted(u_rb, np.arange(n_rb + 1))
+    rb_base = np.zeros(n_rb, np.int64)
+    has = first[:-1] < first[1:]
+    rb_base[has] = base_u[first[:-1][has]]
+    base_u = base_u - rb_base[u_rb]
+
+    Le = L_g[rb >> 3]
+    slot = base_u[inv] + occ // Le
+    w = slot >> 3
+    s = slot & 7
+    layer = occ % Le
+
+    # NW from the FINAL mapping (always consistent with w, even for groups
+    # where no candidate L was legal — downstream guards then reject them)
+    nslots_rb = np.bincount(u_rb, weights=slots_u.astype(np.float64),
+                            minlength=n_rb).astype(np.int64)
+    NW_g = np.maximum(
+        (-(-nslots_rb // 8)).reshape(num_groups, SUBLANES).max(axis=1), 1)
+    return rb, w, s, layer, NW_g, L_g
+
+
+def _emit_wl_bin(csr, rows_of_entries, col_idx, gids, ginv, rb, w, s, layer,
+                 NW, L, Rp, value_dtype, nslab_bound):
+    """Build one WL bin's (ja_m, as_, slabs) arrays for the groups ``gids``.
+
+    Array shape matches the SellBin convention with k = 8*NW*L: data rows =
+    ng * k * SUBLANES, entry at flat row ((rb8*NW + w)*L + layer)*8 + s.
+    ``slabs`` is the scalar-prefetch table (ng, SUBLANES*NW*8) of window slab
+    ids (pad = Rp-1, the spare zero slab)."""
+    k = 8 * NW * L
+    ng = gids.size
+    ja_m = np.zeros((ng, k * SUBLANES, LANES), dtype=np.int32)
+    as_ = np.zeros((ng, k * SUBLANES, LANES), dtype=value_dtype)
+    slabs = np.full((ng, SUBLANES * NW * 8), Rp - 1, dtype=np.int32)
+
+    g_all = (rows_of_entries >> 7) >> 3
+    sel = ginv[g_all] >= 0
+    if np.any(sel):
+        gl = ginv[g_all[sel]]
+        rb8 = (rows_of_entries[sel] >> 7) & 7
+        lane = rows_of_entries[sel] & 127
+        ww, ss, ll = w[sel], s[sel], layer[sel]
+        flat_row = (((rb8 * NW + ww) * L + ll) * 8 + ss).astype(np.int64)
+        ja_m[gl, flat_row, lane] = (col_idx[sel] & (LANES - 1)).astype(np.int32)
+        as_[gl, flat_row, lane] = csr.values[sel].astype(value_dtype)
+        # window slab table (dedup via direct assignment — all entries of a
+        # (rb, w, s) cell share one slab)
+        slabs[gl, (rb8 * NW + ww) * 8 + ss] = (col_idx[sel] >> 7).astype(np.int32)
+
+    return ja_m.reshape(-1, LANES), as_.reshape(-1, LANES), slabs
 
 
 def _per_chunk_distinct(q2d: np.ndarray):

@@ -271,7 +271,7 @@ def _kernel_sb_major(k: int, span: int, g_per: int = 1, ck: int = CHUNK_K,
                 # Mosaic fori_loop supports only unroll=1 or full unroll
                 psum = jax.lax.fori_loop(
                     0, nchunks, chunk_body, jnp.zeros((ck, LANES), dtype),
-                    unroll=nchunks if nchunks <= 8 else 1,
+                    unroll=nchunks if nchunks <= 16 else 1,
                 )
                 rows.append(jnp.sum(psum, axis=0))
         out = jnp.stack(rows)
@@ -341,9 +341,51 @@ def _kernel_sb_list(k: int, span: int, g_per: int = 1, ck: int = CHUNK_K,
 
                 psum = jax.lax.fori_loop(
                     0, nchunks, chunk_body, jnp.zeros((ck, LANES), dtype),
-                    unroll=nchunks if nchunks <= 8 else 1,
+                    unroll=nchunks if nchunks <= 16 else 1,
                 )
                 rows.append(jnp.sum(psum, axis=0))
+        out = jnp.stack(rows)
+        y_ref[:] = (yin_ref[:] + out) if accumulate else out
+
+    return kernel
+
+
+def _kernel_wl(k: int, L: int, NW: int, g_per: int = 1,
+               accumulate: bool = False):
+    """Window-layered kernel (clustered matrices: FEM stencils).
+
+    Data layout (formats/sell.py _wl_profile / _emit_wl_bin): per 128-row
+    block, per window of 8 distinct slabs, ``L`` layer tiles of (8,128)
+    where sublane = the slab's slot in the window and lane = row. The kernel
+    builds one 8-row W table per window (8 scalar-prefetch-driven x reads)
+    and then needs a SINGLE ``take_along_axis`` per layer tile — replacing
+    the sb kernels' per-slab masked passes (probe2: one gather per tile runs
+    at the streaming floor). ``ja`` stores lane offsets m directly.
+    """
+    assert k == 8 * NW * L
+
+    def kernel(gid_ref, slabs_ref, cnt_ref, x_ref, ja_ref, as_ref, yin_ref,
+               y_ref):
+        step = pl.program_id(0)
+        dtype = as_ref.dtype
+        rows = []
+        for gi in range(g_per):
+            g = step * g_per + gi
+            gbase = gi * k * SUBLANES
+            for rb in range(SUBLANES):
+                acc = jnp.zeros((8, LANES), dtype)
+                for w in range(NW):
+                    sbase = (rb * NW + w) * 8
+                    W = jnp.stack(
+                        [x_ref[slabs_ref[g, sbase + s], :] for s in range(8)]
+                    )
+                    for l in range(L):
+                        t = (rb * NW + w) * L + l
+                        off = pl.multiple_of(gbase + t * 8, 8)
+                        m = ja_ref[pl.ds(off, 8), :]
+                        vals = as_ref[pl.ds(off, 8), :]
+                        acc = acc + vals * jnp.take_along_axis(W, m, axis=1)
+                rows.append(jnp.sum(acc, axis=0))
         out = jnp.stack(rows)
         y_ref[:] = (yin_ref[:] + out) if accumulate else out
 
@@ -388,6 +430,8 @@ def _bin_call(bin_: DeviceSellBin, x_tab, y, num_groups: int, interpret: bool,
         kernel = _kernel_sb_major(K, bin_.span, g_per, bin_.chunk_k, accumulate)
     elif bin_.layout == "sb-list":
         kernel = _kernel_sb_list(K, bin_.span, g_per, bin_.chunk_k, accumulate)
+    elif bin_.layout == "wl":
+        kernel = _kernel_wl(K, bin_.span, bin_.chunk_k, g_per, accumulate)
     else:
         kernel = _kernel_k_major(K, g_per, accumulate)
 

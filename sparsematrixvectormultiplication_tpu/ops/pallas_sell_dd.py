@@ -181,7 +181,7 @@ def _kernel_sb_major_dd(k: int, span: int, interpret: bool = False, g_per: int =
             zero = jnp.zeros((ck, LANES), jnp.float32)
             acc_h, acc_l = jax.lax.fori_loop(
                 0, nchunks, chunk_body, (zero, zero),
-                unroll=1 if interpret else (nchunks if nchunks <= 8 else 1),
+                unroll=1 if interpret else (nchunks if nchunks <= 16 else 1),
             )
             rh, rl = _dd_reduce_sublanes(acc_h, acc_l, ck)
             rows_h.append(rh)
@@ -233,7 +233,7 @@ def _kernel_sb_list_dd(k: int, span: int, interpret: bool = False, g_per: int = 
             zero = jnp.zeros((ck, LANES), jnp.float32)
             acc_h, acc_l = jax.lax.fori_loop(
                 0, nchunks, chunk_body, (zero, zero),
-                unroll=1 if interpret else (nchunks if nchunks <= 8 else 1),
+                unroll=1 if interpret else (nchunks if nchunks <= 16 else 1),
             )
             rh, rl = _dd_reduce_sublanes(acc_h, acc_l, ck)
             rows_h.append(rh)
