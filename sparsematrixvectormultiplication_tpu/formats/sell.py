@@ -78,7 +78,14 @@ _VREG_OP_S = 2.6e-10  # recalibrated against the r2 bench sb-list regression
 _LAUNCH_BYTES = int(_LAUNCH_S * _PALLAS_BW)  # padding bytes worth one launch
 _SMEM_LIST_BYTES = 512 * 1024  # scalar-prefetch table budget per bin
 _MAX_STATIC_SPAN = 40  # widest unrolled gather-pass count for sb kernels
+_MAX_STATIC_BODIES = 160  # nchunks*span cap (Mosaic compile-helper crashed
+                          # on the ~400-body unrolled sigma-fem3d sb-list)
 _WL_WIN_VREGS = 28     # modeled cost of building one 8-row W table (wl layout)
+# wl streams its (padded) slots at ~431 GB/s effective (fem3d-40 A/B: 241 MB
+# in 0.559 ms, ABOVE the two-stream floor — single-take tiles pipeline
+# better), so its bytes are priced against a higher BW than the masked-pass
+# kernels
+_PALLAS_BW_WL = 600e9
 _WL_MAX_NW = 16        # wl guards: windows per row-block / layers / unroll
 _WL_MAX_L = 16
 _WL_MAX_TILES = 48
@@ -410,6 +417,11 @@ class SellMatrix:
             wl_ok = (
                 (nw_b <= _WL_MAX_NW) & (L_b <= _WL_MAX_L)
                 & (nw_b * L_b <= _WL_MAX_TILES) & (nw_b > 0)
+                # fill guard: wl slots within 6x the group's real entries —
+                # scattered groups (power-law mid-tiers) would stream mostly
+                # padding even at wl's higher effective BW
+                & (wl_kw_g[gids_all] * GROUP_ROWS
+                   <= 6 * np.maximum(group_nnz_all[gids_all], 1))
             )
             # compare as SECONDS: layouts stream different volumes (wl slots
             # per row = 8*NW*L, independent of K)
@@ -418,7 +430,7 @@ class SellMatrix:
             sec_km = np.maximum(K * bpr / _PALLAS_BW, cost_km_g * _VREG_OP_S)
             sec_sb = np.maximum(Kp * bpr / _PALLAS_BW, cost_sb_g * _VREG_OP_S)
             sec_sl = np.maximum(Kp * bpr / _PALLAS_BW, cost_sl_g * _VREG_OP_S)
-            sec_wl = np.maximum(wl_kw_g[gids_all] * bpr / _PALLAS_BW,
+            sec_wl = np.maximum(wl_kw_g[gids_all] * bpr / _PALLAS_BW_WL,
                                 cost_wl_g * _VREG_OP_S)
             if layout == "sb-major":
                 choice = np.full(ng, 1)
@@ -434,8 +446,12 @@ class SellMatrix:
                 # execute mostly-masked passes — the rolled dynamic k-major
                 # loop (actual distinct count only) is the scattered-matrix
                 # tool (webbase/road regimes)
-                sec_sb_c = np.where(s_q > _MAX_STATIC_SPAN, big, sec_sb)
-                sec_sl_c = np.where(d_q > _MAX_STATIC_SPAN, big, sec_sl)
+                sec_sb_c = np.where(
+                    (s_q > _MAX_STATIC_SPAN)
+                    | (nchunks * s_q > _MAX_STATIC_BODIES), big, sec_sb)
+                sec_sl_c = np.where(
+                    (d_q > _MAX_STATIC_SPAN)
+                    | (nchunks * d_q > _MAX_STATIC_BODIES), big, sec_sl)
                 sec_wl_c = np.where(wl_ok, sec_wl, big)
                 costs = np.stack([sec_km, sec_sb_c, sec_sl_c, sec_wl_c])
                 choice = np.argmin(costs, axis=0)
@@ -595,7 +611,8 @@ class SellMatrix:
                     width = 8 * nw * span
                 else:
                     width = Kp
-                dma = width * GROUP_ROWS * 8 * idx.size / _PALLAS_BW
+                bw = _PALLAS_BW_WL if lay == "wl" else _PALLAS_BW
+                dma = width * GROUP_ROWS * 8 * idx.size / bw
                 return max(dma, _vregs(lay, span, nw, idx) * _VREG_OP_S) \
                     + _LAUNCH_S
 
@@ -605,7 +622,7 @@ class SellMatrix:
                             and nw * span <= _WL_MAX_TILES
                             and idx.size * SUBLANES * nw * 8 * 4
                             <= _SMEM_LIST_BYTES)
-                if span > _MAX_STATIC_SPAN:
+                if span > _MAX_STATIC_SPAN or nchunks * span > _MAX_STATIC_BODIES:
                     return False
                 # scalar-prefetch list table must stay SMEM-resident
                 if lay == "sb-list" and idx.size * SUBLANES * nchunks * span * 4 \
@@ -885,7 +902,7 @@ def _wl_profile(rows_of_entries, col_idx, num_groups, nslab_bound,
         nw_g = np.maximum(
             nw_rb.reshape(num_groups, SUBLANES).max(axis=1), 1)
         sec = np.maximum(
-            8 * nw_g * L * bpr / _PALLAS_BW,
+            8 * nw_g * L * bpr / _PALLAS_BW_WL,
             SUBLANES * nw_g * (_WL_WIN_VREGS + 4 * L) * _VREG_OP_S,
         )
         # only legal (NW, L) combinations compete (kernel unroll guards)

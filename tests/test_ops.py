@@ -179,7 +179,9 @@ def test_sb_list_auto_choice_on_stencil():
 
     coo = fem_3d(16, 16, 16, dof=3, seed=0)
     sell = SellMatrix.from_coo(coo)
-    assert any(b.layout == "sb-list" for b in sell.bins), \
+    # clustered stencils pick a distinct-slab layout: sb-list or the
+    # window-layered (wl) kernel, whichever the cost model prices cheaper
+    assert any(b.layout in ("sb-list", "wl") for b in sell.bins), \
         [(b.layout, b.k, b.span) for b in sell.bins]
 
 
