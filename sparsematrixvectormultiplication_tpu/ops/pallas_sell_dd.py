@@ -308,6 +308,59 @@ def _kernel_k_major_dd(k: int, interpret: bool = False, g_per: int = 1,
     return kernel
 
 
+
+def _kernel_wl_dd(k: int, L: int, NW: int, interpret: bool = False,
+                  g_per: int = 1, accumulate: bool = False):
+    """DD twin of the window-layered kernel (ops/pallas_sell.py _kernel_wl):
+    one W table pair (hi, lo) per window, one take_along_axis pair per layer
+    tile, dd accumulation. Under interpret the layer loop stays rolled so
+    XLA CPU cannot fold the error-free transforms."""
+    assert k == 8 * NW * L
+
+    def kernel(gid_ref, slabs_ref, cnt_ref, xh_ref, xl_ref, ja_ref, ah_ref,
+               al_ref, yinh_ref, yinl_ref, yh_ref, yl_ref):
+        step = pl.program_id(0)
+        rows_h, rows_l = [], []
+        for gi in range(g_per):
+            g = step * g_per + gi
+            gbase = gi * k * SUBLANES
+            for rb in range(SUBLANES):
+                acc_h = jnp.zeros((8, LANES), jnp.float32)
+                acc_l = jnp.zeros((8, LANES), jnp.float32)
+                for w in range(NW):
+                    sbase = (rb * NW + w) * 8
+                    Wh = jnp.stack(
+                        [xh_ref[slabs_ref[g, sbase + s], :] for s in range(8)])
+                    Wl = jnp.stack(
+                        [xl_ref[slabs_ref[g, sbase + s], :] for s in range(8)])
+
+                    def layer_body(l, carry, _rb=rb, _w=w, _gbase=gbase,
+                                   _Wh=Wh, _Wl=Wl):
+                        ah, al = carry
+                        off = _gbase + ((_rb * NW + _w) * L) * 8 + l * 8
+                        m = ja_ref[pl.ds(off, 8), :]
+                        vh = ah_ref[pl.ds(off, 8), :]
+                        vl = al_ref[pl.ds(off, 8), :]
+                        gh = jnp.take_along_axis(_Wh, m, axis=1)
+                        gl_ = jnp.take_along_axis(_Wl, m, axis=1)
+                        return _dd_chunk_accumulate(ah, al, vh, vl, gh, gl_)
+
+                    acc_h, acc_l = jax.lax.fori_loop(
+                        0, L, layer_body, (acc_h, acc_l),
+                        unroll=1 if interpret else L,
+                    )
+                rh, rl = _dd_reduce_sublanes(acc_h, acc_l, 8)
+                rows_h.append(rh)
+                rows_l.append(rl)
+        oh, ol = jnp.stack(rows_h), jnp.stack(rows_l)
+        if accumulate:
+            oh, ol = dd_add_dd(yinh_ref[:], yinl_ref[:], oh, ol)
+        yh_ref[:] = oh
+        yl_ref[:] = ol
+
+    return kernel
+
+
 def _bin_call_dd(bin_, xh_tab, xl_tab, yh, yl, num_groups: int, interpret: bool,
                  accumulate: bool = False):
     from .pallas_sell import _pick_g_per
@@ -346,6 +399,9 @@ def _bin_call_dd(bin_, xh_tab, xl_tab, yh, yl, num_groups: int, interpret: bool,
     elif bin_.layout == "sb-list":
         kernel = _kernel_sb_list_dd(K, bin_.span, interpret, g_per, bin_.chunk_k,
                                     accumulate)
+    elif bin_.layout == "wl":
+        kernel = _kernel_wl_dd(K, bin_.span, bin_.chunk_k, interpret, g_per,
+                               accumulate)
     else:
         kernel = _kernel_k_major_dd(K, interpret, g_per, accumulate)
 

@@ -143,6 +143,8 @@ def build_spmd_sell(
             w = max(w, 1)
         elif layout == "sb-major":
             w = SUBLANES * (K // ck)
+        elif layout == "wl":
+            w = SUBLANES * ck * 8  # ck carries NW for wl bins
         else:  # sb-list
             w = SUBLANES * (K // ck) * span
 
