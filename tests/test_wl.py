@@ -1,0 +1,97 @@
+"""Window-layered (WL) layout tests — the clustered-matrix kernel.
+
+WL (formats/sell.py _wl_profile): per 128-row block, slabs expand into
+depth-split slots grouped into windows of 8; sublane = slot, so each (8,128)
+layer tile needs a single take_along_axis from a stacked W table. Measured
+r2 (probes/fem40 A/B): 52.9 GFLOPS vs 47.0 for sb-list on fem3d-40.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sparsematrixvectormultiplication_tpu import CSRMatrix
+from sparsematrixvectormultiplication_tpu.formats.sell import SellMatrix
+from sparsematrixvectormultiplication_tpu.models.synthetic import fem_3d
+from sparsematrixvectormultiplication_tpu.ops.pallas_sell import (
+    device_put_sell,
+    sell_spmv_pallas,
+)
+
+
+@pytest.fixture(scope="module")
+def fem():
+    coo = fem_3d(16, 16, 16, dof=3, seed=0)
+    csr = CSRMatrix.from_coo(coo)
+    x = np.random.default_rng(2).standard_normal(coo.ncols)
+    return csr, x, csr.spmv(x)
+
+
+def test_wl_profile_invariants(fem):
+    from sparsematrixvectormultiplication_tpu.formats import sell as sm
+
+    csr, x, y_ref = fem
+    rows = csr.row_ids().astype(np.int64)
+    num_groups = -(-csr.nrows // 1024)
+    R = -(-csr.ncols // 128)
+    Rp = (R // 8 + 1) * 8
+    rb, w, s, layer, NW_g, L_g = sm._wl_profile(rows, csr.col_idx, num_groups, Rp)
+    g = rb >> 3
+    for arr, bound in ((w, NW_g), (layer, L_g)):
+        mx = np.zeros(num_groups, np.int64)
+        np.maximum.at(mx, g, arr)
+        assert (mx < bound).all(), "profile coordinate exceeds its group bound"
+    assert (s >= 0).all() and (s < 8).all()
+
+
+def test_wl_forced_matches_oracle(fem):
+    csr, x, y_ref = fem
+    sell = SellMatrix.from_csr(csr, layout="wl")
+    assert any(b.layout == "wl" for b in sell.bins)
+    assert np.allclose(sell.spmv(x), y_ref, rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.slow
+def test_wl_kernel_interpret(fem):
+    csr, x, y_ref = fem
+    sell = SellMatrix.from_csr(csr, layout="wl")
+    d = device_put_sell(sell, dtype=jnp.float64)
+    y = np.asarray(sell_spmv_pallas(d, jnp.asarray(x), interpret=True))
+    assert np.allclose(y, y_ref, rtol=1e-11, atol=1e-11)
+
+
+@pytest.mark.slow
+def test_wl_dd_kernel_interpret(fem):
+    from sparsematrixvectormultiplication_tpu.ops.pallas_sell_dd import (
+        device_put_sell_dd,
+        sell_spmv_pallas_dd,
+    )
+
+    csr, x, y_ref = fem
+    sell = SellMatrix.from_csr(csr, layout="wl")
+    dd = device_put_sell_dd(sell)
+    xh = np.asarray(x, np.float32)
+    xl = np.asarray(x - xh.astype(np.float64), np.float32)
+    yh, yl = sell_spmv_pallas_dd(dd, jnp.asarray(xh), jnp.asarray(xl),
+                                 interpret=True)
+    y = np.asarray(yh, np.float64) + np.asarray(yl, np.float64)
+    rel = np.abs(y - y_ref) / np.maximum(np.abs(y_ref), 1e-300)
+    assert ((np.abs(y - y_ref) < 1e-9) | (rel < 1e-9)).all()
+
+
+def test_wl_sigma_sort(fem):
+    csr, x, y_ref = fem
+    sell = SellMatrix.from_csr(csr, sigma_sort=True)
+    y = sell.unpermute(sell.spmv(x))
+    assert np.allclose(y, y_ref, rtol=1e-12, atol=1e-12)
+
+
+def test_wl_rejected_for_scattered():
+    """Scattered matrices must NOT pick wl (fill guard)."""
+    from sparsematrixvectormultiplication_tpu.models.synthetic import power_law
+
+    coo = power_law(40_000, 3, seed=6)
+    csr = CSRMatrix.from_coo(coo)
+    sell = SellMatrix.from_csr(csr, sigma_sort=True)
+    assert not any(b.layout == "wl" for b in sell.bins), \
+        [(b.layout, b.k) for b in sell.bins]
