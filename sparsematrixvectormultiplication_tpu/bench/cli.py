@@ -152,7 +152,12 @@ def main(argv=None):
             print(f"[{name}] skipped (checkpoint)")
             continue
         try:
+            import time as _time
+
+            t0 = _time.perf_counter()
             coo = build()
+            print(f"[{name}] load/generate: {_time.perf_counter()-t0:.1f}s "
+                  f"({coo.nnz} nnz)")
             from ..utils.profiling import profile_trace
 
             with profile_trace(
