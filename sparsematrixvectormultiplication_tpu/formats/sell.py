@@ -417,11 +417,12 @@ class SellMatrix:
             wl_ok = (
                 (nw_b <= _WL_MAX_NW) & (L_b <= _WL_MAX_L)
                 & (nw_b * L_b <= _WL_MAX_TILES) & (nw_b > 0)
-                # fill guard: wl slots within 6x the group's real entries —
-                # scattered groups (power-law mid-tiers) would stream mostly
-                # padding even at wl's higher effective BW
+                # fill guard: wl slots within 3x the group's real entries —
+                # scattered/uniform-random groups would stream mostly padding
+                # even at wl's higher effective BW (uniform-random 41/row
+                # chose wl at 4.7x padding under a 6x guard)
                 & (wl_kw_g[gids_all] * GROUP_ROWS
-                   <= 6 * np.maximum(group_nnz_all[gids_all], 1))
+                   <= 3 * np.maximum(group_nnz_all[gids_all], 1))
             )
             # compare as SECONDS: layouts stream different volumes (wl slots
             # per row = 8*NW*L, independent of K)

@@ -122,6 +122,8 @@ def test_sell_slab_lists_cover_all_columns(make_random_coo):
     coo, _ = make_random_coo(3000, 2000, 0.02)
     sell = SellMatrix.from_coo(coo)
     for b in sell.bins:
+        if b.layout != "k-major":
+            continue  # slab_list semantics differ per layout
         ng = b.n_groups
         ja = b.ja.reshape(ng, b.k, 8, 128)
         for gl in range(ng):
