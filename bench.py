@@ -1,18 +1,18 @@
 #!/usr/bin/env python
-"""Driver benchmark: flagship Pallas SELL SpMV on a Cube_Coup_dt0-class
-banded FEM matrix, validated against the fp64 host oracle.
+"""Driver benchmark: flagship Pallas SELL SpMV, validated against the fp64
+host oracle. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Headline workload: a Cube_Coup_dt0-class 3-D FEM matrix (27-point stencil x
+3 dof, 50.8M nnz) — the same matrix class as the reference project's own
+headline result (CUDA warp-per-row CSR on Cube_Coup_dt0: 47.09 fp64 GFLOPS,
+reference result/result_cuda.csv row 3 / BASELINE.md). vs_baseline divides
+by that number. A secondary adversarial metric (random-in-band, the
+gather-hostile regime) is reported in the same JSON.
 
-vs_baseline compares against the reference's best CUDA result on its largest
-FEM-class matrix (warp-per-row CSR on Cube_Coup_dt0: 47.09 fp64 GFLOPS,
-reference result/result_cuda.csv row 3 / BASELINE.md) — the headline number
-of the reference project.
-
-Environment notes (see .claude/skills/verify/SKILL.md): this runtime's first
-host->device transfer stalls for minutes regardless of size, so a tiny
-warm-up transfer runs first; compiles are cached persistently.
+Environment notes (.claude/skills/verify/SKILL.md): first host->device
+transfer stalls minutes -> tiny warm-up transfer first; compiles cached
+persistently; timing uses the LICM-proof chained timer (utils/timing.py).
 """
 
 import json
@@ -39,7 +39,7 @@ def main():
     import numpy as np
 
     from sparsematrixvectormultiplication_tpu.bench.harness import BenchConfig, run_matrix
-    from sparsematrixvectormultiplication_tpu.models.synthetic import banded
+    from sparsematrixvectormultiplication_tpu.models.synthetic import banded, fem_3d
 
     t_all = time.time()
     # absorb the one-time transfer warm-up stall before timing anything
@@ -47,17 +47,6 @@ def main():
     float(np.asarray(jnp.sum(jax.device_put(np.ones(1024, np.float32)))))
     log(f"transfer warm-up: {time.time()-t0:.0f}s")
 
-    # Cube_Coup_dt0-class banded FEM, ~57 nnz/row, uniform rows -> one SELL
-    # bin -> one kernel compile. ~14M nnz, ~155 MB streamed per SpMV.
-    t0 = time.time()
-    coo = banded(250_000, 60, 2500, seed=1)
-    log(f"matrix gen: {time.time()-t0:.0f}s nnz={coo.nnz}")
-
-    # reps=256: the tunnel's fixed dispatch+readback cost is ~27 ms per
-    # chained call (measured, probes/bw_probe2.py) — at the reference-style
-    # 20 reps that overhead dominated the ~0.8 ms kernel and understated
-    # throughput ~2.5x. 256 chained, serialized (data-dependent) reps
-    # amortize it below 2%.
     cfg = BenchConfig(
         iterations=256,
         rounds=2,
@@ -65,17 +54,35 @@ def main():
         kernels=("serial_csr", "pallas_sell", "pallas_sell_dd"),
         flush_between_stages=False,
     )
-    res = run_matrix("banded_fem_250k", coo, cfg, log=log)
 
+    # --- headline: Cube_Coup_dt0-class FEM (clustered stencil) ---
+    t0 = time.time()
+    coo = fem_3d(60, 60, 60, dof=3, seed=1)
+    log(f"fem3d gen: {time.time()-t0:.0f}s nnz={coo.nnz}")
+    res = run_matrix("fem3d_cube", coo, cfg, log=log)
     s = res.stage("pallas_sell")
-    assert s is not None, "pallas_sell stage missing"
     dd = res.stage("pallas_sell_dd")
+    assert s is not None, "pallas_sell stage missing"
     ok = s.diff.significant_diffs == 0 or s.diff.mean_rel_err < 1e-4
+
+    # --- secondary: adversarial random-in-band (gather-hostile) ---
+    t0 = time.time()
+    coo2 = banded(250_000, 60, 2500, seed=1)
+    log(f"banded gen: {time.time()-t0:.0f}s nnz={coo2.nnz}")
+    cfg2 = BenchConfig(
+        iterations=256, rounds=2, dtype="float32",
+        kernels=("serial_csr", "pallas_sell", "pallas_sell_dd"),
+        flush_between_stages=False,
+    )
+    res2 = run_matrix("banded_adversarial", coo2, cfg2, log=log)
+    s2 = res2.stage("pallas_sell")
+    dd2 = res2.stage("pallas_sell_dd")
+
     log(f"total bench time: {time.time()-t_all:.0f}s")
     print(
         json.dumps(
             {
-                "metric": "pallas_sell_f32_gflops_banded_fem_14Mnnz",
+                "metric": "pallas_sell_f32_gflops_fem3d_51Mnnz",
                 "value": round(s.gflops, 3),
                 "unit": "GFLOPS",
                 "vs_baseline": round(s.gflops / BASELINE_GFLOPS, 4),
@@ -86,6 +93,8 @@ def main():
                 "fp64_dd_gflops": round(dd.gflops, 3) if dd else None,
                 "fp64_dd_vs_baseline": round(dd.gflops / BASELINE_GFLOPS, 4) if dd else None,
                 "fp64_dd_max_rel_err": dd.diff.max_rel_err if dd else None,
+                "adversarial_banded_f32_gflops": round(s2.gflops, 3) if s2 else None,
+                "adversarial_banded_dd_gflops": round(dd2.gflops, 3) if dd2 else None,
             }
         ),
         flush=True,
