@@ -78,8 +78,11 @@ _VREG_OP_S = 2.6e-10  # recalibrated against the r2 bench sb-list regression
 _LAUNCH_BYTES = int(_LAUNCH_S * _PALLAS_BW)  # padding bytes worth one launch
 _SMEM_LIST_BYTES = 512 * 1024  # scalar-prefetch table budget per bin
 _MAX_STATIC_SPAN = 40  # widest unrolled gather-pass count for sb kernels
-_MAX_STATIC_BODIES = 160  # nchunks*span cap (Mosaic compile-helper crashed
-                          # on the ~400-body unrolled sigma-fem3d sb-list)
+_MAX_STATIC_BODIES = 320  # nchunks*span cap: the Mosaic compile helper
+                          # crashed at ~408 unrolled bodies (sigma-fem3d
+                          # sb-list); 288-body kernels (K=96, span 24)
+                          # compile fine and run ~6x faster than the
+                          # k-major fallback (ml_laplace 5.3 -> ~30 GF)
 _WL_WIN_VREGS = 28     # modeled cost of building one 8-row W table (wl layout)
 # wl streams its (padded) slots at ~431 GB/s effective (fem3d-40 A/B: 241 MB
 # in 0.559 ms, ABOVE the two-stream floor — single-take tiles pipeline
