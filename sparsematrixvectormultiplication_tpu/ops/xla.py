@@ -135,10 +135,29 @@ class DeviceELL:
         return cls(*children, *aux)
 
 
+# Single device arrays beyond ~1.2 GB crash this runtime's TPU worker
+# process outright (UNAVAILABLE — measured twice in the r2 sweep: the 120M
+# xla_csr upload and the power-law ELL rectangle), killing every later
+# device call in the process. Guard uploads; per-stage failure tolerance in
+# the harness turns this into a clean skip.
+_MAX_DEVICE_ARRAY_BYTES = 1200 * 1024 * 1024
+
+
+def _check_upload(nbytes: int, what: str):
+    if nbytes > _MAX_DEVICE_ARRAY_BYTES:
+        raise MemoryError(
+            f"{what} is {nbytes/2**20:.0f} MiB > "
+            f"{_MAX_DEVICE_ARRAY_BYTES/2**20:.0f} MiB — uploads this large "
+            "crash the tunneled TPU worker; stage skipped"
+        )
+
+
 def device_put_csr(csr, dtype=None, device=None) -> DeviceCSR:
     from ..formats.csr import CSRMatrix  # noqa: F401 (typing aid)
 
     vals = csr.values if dtype is None else csr.values.astype(dtype)
+    _check_upload(max(vals.nbytes, csr.col_idx.nbytes, csr.nnz * 4),
+                  "xla_csr array")
     return DeviceCSR(
         jax.device_put(jnp.asarray(vals), device),
         jax.device_put(jnp.asarray(csr.col_idx), device),
@@ -152,6 +171,7 @@ def device_put_ell(hll, dtype=None, device=None, max_elements: int = 1 << 31) ->
     ja, as_ = hll.to_rect(max_elements=max_elements)
     if dtype is not None:
         as_ = as_.astype(dtype)
+    _check_upload(max(ja.nbytes, as_.nbytes), "xla_ell rectangle")
     return DeviceELL(
         jax.device_put(jnp.asarray(ja), device),
         jax.device_put(jnp.asarray(as_), device),
