@@ -53,7 +53,9 @@ class BenchConfig:
     dtype: str = "float32"        # device dtype for performance kernels
     hack_size: int = DEFAULT_HACK_SIZE
     kernels: tuple = ("serial_csr", "serial_hll", "xla_csr", "xla_ell", "pallas_sell")
-    ell_max_elements: int = 1 << 29  # guard for power-law rect blow-up
+    ell_max_elements: int = 1 << 27  # guard for power-law rect blow-up
+                                     # (536 MB f32; bigger ELL rects have
+                                     # crashed the tunneled TPU worker)
     flush_between_stages: bool = True
     validate: bool = True
     autotune: bool = False        # pick SELL ladder/layout + hack size by
@@ -211,14 +213,23 @@ def run_matrix(
     # NOTE: device data is always threaded through as jit ARGUMENTS, never
     # captured in closures — this runtime ships closure constants inside the
     # remote-compile request (measured: HTTP 413 at ~1 GB matrices)
+    import gc
+
     if "xla_csr" in cfg.kernels:
-        dcsr = device_put_csr(csr, dtype=dt)
-        run_device_stage("xla_csr", lambda d, xx: d.spmv(xx)[:M], dcsr, xd)
+        try:
+            dcsr = device_put_csr(csr, dtype=dt)
+            run_device_stage("xla_csr", lambda d, xx: d.spmv(xx)[:M], dcsr, xd)
+            del dcsr          # free HBM before the next stage (accumulated
+            gc.collect()      # buffers have crashed the tunneled worker)
+        except MemoryError as e:
+            log(f"[{name}] xla_csr skipped: {e}")
 
     if "xla_ell" in cfg.kernels and hll is not None:
         try:
             dell = device_put_ell(hll, dtype=dt, max_elements=cfg.ell_max_elements)
             run_device_stage("xla_ell", lambda d, xx: d.spmv(xx), dell, xd)
+            del dell
+            gc.collect()
         except MemoryError as e:
             log(f"[{name}] xla_ell skipped: {e}")
 
