@@ -143,10 +143,11 @@ def run_matrix(
     if y_ref is None:
         y_ref = csr.spmv(x)
 
-    def validate(y) -> DiffMetrics:
+    def validate(y, perm=None) -> DiffMetrics:
         if not cfg.validate:
             return DiffMetrics()
-        return difference_metrics(y_ref, np.asarray(y, np.float64)[:M],
+        ref = y_ref if perm is None else y_ref[perm]
+        return difference_metrics(ref, np.asarray(y, np.float64)[:M],
                                   cfg.abs_tol, cfg.rel_tol)
 
     dt = _dtype(cfg)
@@ -191,16 +192,17 @@ def run_matrix(
         )
         log(f"[{name}] serial_hll: {sec*1e3:.3f} ms, sig_diffs={stages['serial_hll'].diff.significant_diffs}")
 
-    def run_device_stage(stage, fn, *args):
+    def run_device_stage(stage, fn, *args, perm=None):
         # per-STAGE failure tolerance: one kernel failing (e.g. a prefetch
         # table exceeding SMEM on an adversarial matrix) must not lose the
         # other stages' rows (finer-grained than the reference's per-matrix
-        # recovery, main.c:54-75)
+        # recovery, main.c:54-75). ``perm`` validates row-permuted kernel
+        # output (auto-sigma) against the permuted oracle.
         try:
             if cfg.flush_between_stages:
                 flush_hbm()
             y = np.asarray(fn(*args))  # correctness pass (also compiles)
-            dm = validate(y)
+            dm = validate(y, perm)
             sec, _ = time_device_fn_batched(fn, *args, reps=cfg.iterations,
                                             rounds=cfg.rounds)
         except Exception as e:  # noqa: BLE001
@@ -236,7 +238,11 @@ def run_matrix(
     def build_sell(**kw):
         """SELL conversion, transparently column-panelled when x exceeds the
         VMEM budget (dd needs two half-tables, so the dd-safe width is used
-        whenever the dd stage runs too)."""
+        whenever the dd stage runs too). Pathological plain conversions
+        (power-law heads: K>1024 bins whose kernels blow the Mosaic compile
+        helper, or padding >16x) automatically fall back to SELL-sigma row
+        sorting — the layout designed for that regime (Kreutzer et al.;
+        the reference's HLL collapses to 0.21 GFLOPS there, BASELINE.md)."""
         from ..formats.sell import PanelSellMatrix
         from ..ops.pallas_sell import max_x_table_cols
 
@@ -247,7 +253,15 @@ def run_matrix(
             sigma = kw.pop("sigma_sort", False)
             return PanelSellMatrix.from_csr(csr, max_panel_cols=limit,
                                             sigma_sort=sigma, **kw)
-        return SellMatrix.from_csr(csr, **kw)
+        sell = SellMatrix.from_csr(csr, **kw)
+        if not kw.get("sigma_sort") and (
+            any(b.k > 1024 for b in sell.bins) or sell.padding_ratio > 16
+        ):
+            log(f"[{name}] plain SELL pathological "
+                f"(pad {sell.padding_ratio:.1f}, kmax "
+                f"{max((b.k for b in sell.bins), default=0)}) -> auto sigma")
+            sell = SellMatrix.from_csr(csr, sigma_sort=True, **kw)
+        return sell
 
     sell = None
     if {"pallas_sell", "pallas_sell_dd"} & set(cfg.kernels):
@@ -263,6 +277,7 @@ def run_matrix(
             "pallas_sell",
             lambda d, xx: sell_spmv_pallas(d, xx, interpret=not on_tpu),
             dsell, xd,
+            perm=getattr(sell, "row_perm", None),
         )
 
     if "pallas_hll" in cfg.kernels and hll is not None:
@@ -329,7 +344,7 @@ def run_matrix(
             flush_hbm()
         yh, yl = sell_spmv_pallas_dd(dsell_dd, xh_d, xl_d, interpret=not on_tpu)
         y64 = np.asarray(yh, np.float64) + np.asarray(yl, np.float64)
-        dm = validate(y64)
+        dm = validate(y64, getattr(sell, "row_perm", None))
         sec, _ = time_device_fn_batched(dd_fn, dsell_dd, xh_d, xl_d,
                                         reps=cfg.iterations, rounds=cfg.rounds)
         stages["pallas_sell_dd"] = StageResult(
