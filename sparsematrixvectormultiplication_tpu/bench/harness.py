@@ -251,17 +251,37 @@ def run_matrix(
             limit //= 2
         if N > limit:
             sigma = kw.pop("sigma_sort", False)
-            return PanelSellMatrix.from_csr(csr, max_panel_cols=limit,
+            return PanelSellMatrix.from_csr(csr_k, max_panel_cols=limit,
                                             sigma_sort=sigma, **kw)
-        sell = SellMatrix.from_csr(csr, **kw)
+        sell = SellMatrix.from_csr(csr_k, **kw)
         if not kw.get("sigma_sort") and (
             any(b.k > 1024 for b in sell.bins) or sell.padding_ratio > 16
         ):
             log(f"[{name}] plain SELL pathological "
                 f"(pad {sell.padding_ratio:.1f}, kmax "
                 f"{max((b.k for b in sell.bins), default=0)}) -> auto sigma")
-            sell = SellMatrix.from_csr(csr, sigma_sort=True, **kw)
+            sell = SellMatrix.from_csr(csr_k, sigma_sort=True, **kw)
         return sell
+
+    # ultra-heavy rows (power-law heads) split into <=1024-entry segments;
+    # the kernels' output is reduced back with an on-device segment_sum
+    # (classic row-splitting; the reference has no answer here — its HLL
+    # collapses to 0.21 GFLOPS on webbase-1M, BASELINE.md)
+    csr_k, seg_map = csr.split_heavy_rows(1024)
+    if seg_map is not None:
+        log(f"[{name}] split {csr_k.nrows - M} heavy-row segments "
+            f"(rows {M} -> {csr_k.nrows})")
+        fstats["heavy_row_segments"] = int(csr_k.nrows - M)
+
+    def _kernel_ids(sell_obj):
+        """Kernel-output-order -> original-row segment ids (or None)."""
+        perm = getattr(sell_obj, "row_perm", None)
+        if seg_map is None and perm is None:
+            return None
+        ids = seg_map if seg_map is not None else np.arange(csr_k.nrows)
+        if perm is not None:
+            ids = np.asarray(ids)[perm]
+        return jnp.asarray(ids, jnp.int32)
 
     sell = None
     if {"pallas_sell", "pallas_sell_dd"} & set(cfg.kernels):
@@ -273,12 +293,15 @@ def run_matrix(
 
     if "pallas_sell" in cfg.kernels and sell is not None:
         dsell = device_put_sell(sell, dtype=dt)
-        run_device_stage(
-            "pallas_sell",
-            lambda d, xx: sell_spmv_pallas(d, xx, interpret=not on_tpu),
-            dsell, xd,
-            perm=getattr(sell, "row_perm", None),
-        )
+        ids = _kernel_ids(sell)
+
+        def _sell_fn(d, xx, _ids=ids):
+            y = sell_spmv_pallas(d, xx, interpret=not on_tpu)
+            if _ids is not None:
+                y = jax.ops.segment_sum(y, _ids, num_segments=M)
+            return y
+
+        run_device_stage("pallas_sell", _sell_fn, dsell, xd)
 
     if "pallas_hll" in cfg.kernels and hll is not None:
         # HLL work profile on the Pallas machinery (≙ spmv_hll_warp_kernel,
@@ -303,17 +326,19 @@ def run_matrix(
         fstats["convert_sell_sigma_s"] = time.perf_counter() - t0
         fstats["sell_sigma"] = sell_sig.memory_stats()
         dsig = device_put_sell(sell_sig, dtype=dt)
+        ids_sig = _kernel_ids(sell_sig)
+
+        def _sig_fn(d, xx, _ids=ids_sig):
+            y = sell_spmv_pallas(d, xx, interpret=not on_tpu)
+            if _ids is not None:
+                y = jax.ops.segment_sum(y, _ids, num_segments=M)
+            return y
+
         if cfg.flush_between_stages:
             flush_hbm()
-        y_perm = np.asarray(sell_spmv_pallas(dsig, xd, interpret=not on_tpu))
-        dm = (
-            difference_metrics(y_ref[sell_sig.row_perm], y_perm.astype(np.float64),
-                               cfg.abs_tol, cfg.rel_tol)
-            if cfg.validate else DiffMetrics()
-        )
+        dm = validate(_sig_fn(dsig, xd))
         sec, _ = time_device_fn_batched(
-            lambda d, xx: sell_spmv_pallas(d, xx, interpret=not on_tpu),
-            dsig, xd, reps=cfg.iterations, rounds=cfg.rounds,
+            _sig_fn, dsig, xd, reps=cfg.iterations, rounds=cfg.rounds,
         )
         stages["pallas_sell_sigma"] = StageResult(
             "pallas_sell_sigma", sec, calculate_flops(nnz, sec) / 1e9, dm,
@@ -336,15 +361,23 @@ def run_matrix(
         xl = np.asarray(x - xh.astype(np.float64), np.float32)
         xh_d, xl_d = jnp.asarray(xh), jnp.asarray(xl)
 
-        def dd_fn(d, xh_d, xl_d):
+        ids_dd = _kernel_ids(sell)
+
+        def dd_fn(d, xh_d, xl_d, _ids=ids_dd):
             yh, yl = sell_spmv_pallas_dd(d, xh_d, xl_d, interpret=not on_tpu)
-            return yh + yl  # timing checksum path; accuracy path combines in f64
+            y = yh + yl  # timing checksum path; accuracy path combines in f64
+            if _ids is not None:
+                y = jax.ops.segment_sum(y, _ids, num_segments=M)
+            return y
 
         if cfg.flush_between_stages:
             flush_hbm()
         yh, yl = sell_spmv_pallas_dd(dsell_dd, xh_d, xl_d, interpret=not on_tpu)
         y64 = np.asarray(yh, np.float64) + np.asarray(yl, np.float64)
-        dm = validate(y64, getattr(sell, "row_perm", None))
+        if ids_dd is not None:  # host-exact f64 segment reduction
+            y64 = np.bincount(np.asarray(ids_dd), weights=y64,
+                              minlength=M)[:M]
+        dm = validate(y64)
         sec, _ = time_device_fn_batched(dd_fn, dsell_dd, xh_d, xl_d,
                                         reps=cfg.iterations, rounds=cfg.rounds)
         stages["pallas_sell_dd"] = StageResult(

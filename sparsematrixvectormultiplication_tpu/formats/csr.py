@@ -109,6 +109,32 @@ class CSRMatrix:
     def to_dense(self) -> np.ndarray:
         return self.to_coo().to_dense()
 
+    def split_heavy_rows(self, cap: int = 1024):
+        """Split rows with more than ``cap`` entries into ``ceil(nnz/cap)``
+        segment rows (zero-copy: only ``row_ptr`` changes), returning
+        ``(csr_ext, seg_map)`` where ``seg_map[i]`` is the original row of
+        extended row ``i`` — reduce with ``segment_sum(y_ext, seg_map)``.
+
+        The textbook fix for power-law heads: ultra-heavy rows (webbase-1M
+        class) otherwise force SELL bins whose (K*8, 128) tiles exceed VMEM.
+        Returns ``(self, None)`` when no row exceeds ``cap``.
+        """
+        counts = self.row_nnz().astype(np.int64)
+        if self.nrows == 0 or (counts.max(initial=0) <= cap):
+            return self, None
+        nseg = np.maximum(-(-counts // cap), 1)
+        seg_map = np.repeat(np.arange(self.nrows, dtype=np.int32), nseg)
+        seg_off = np.zeros(self.nrows + 1, dtype=np.int64)
+        np.cumsum(nseg, out=seg_off[1:])
+        m_ext = int(seg_off[-1])
+        seg_idx = np.arange(m_ext, dtype=np.int64) - seg_off[:-1][seg_map]
+        ext_start = self.row_ptr[:-1][seg_map] + seg_idx * cap
+        new_ptr = np.append(ext_start, np.int64(self.nnz))
+        return (
+            CSRMatrix(m_ext, self.ncols, new_ptr, self.col_idx, self.values),
+            seg_map,
+        )
+
     def spmv(self, x: np.ndarray) -> np.ndarray:
         """Golden serial CSR SpMV in fp64 on host (the framework oracle).
 

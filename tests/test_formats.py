@@ -193,3 +193,65 @@ def test_sell_sigma_sort_powerlaw():
     # row_perm round trip: kernel slot i holds original row row_perm[i]
     y_ref = s @ x
     assert np.allclose(y_perm, y_ref[sigma.row_perm], rtol=1e-12, atol=1e-12)
+
+
+def test_split_heavy_rows():
+    """Power-law-head fix: rows > cap split into segments (zero-copy) and
+    recombine exactly via the segment map."""
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(9)
+    # one 5000-nnz row, one 1500, rest small
+    rows = np.concatenate([np.zeros(5000, np.int64),
+                           np.full(1500, 7, np.int64),
+                           rng.integers(1, 2000, 4000)])
+    cols = rng.integers(0, 3000, rows.size)
+    key = rows * 3000 + cols
+    _, idx = np.unique(key, return_index=True)
+    rows, cols = rows[idx], cols[idx]
+    vals = rng.standard_normal(rows.size)
+    from sparsematrixvectormultiplication_tpu import COOMatrix, CSRMatrix
+
+    coo = COOMatrix(2000, 3000, rows, cols, vals)
+    csr = CSRMatrix.from_coo(coo)
+    ext, seg = csr.split_heavy_rows(cap=1024)
+    assert seg is not None
+    assert ext.nnz == csr.nnz
+    assert (np.diff(ext.row_ptr) <= 1024).all()
+    # zero-copy: same underlying entry arrays
+    assert ext.col_idx is csr.col_idx and ext.values is csr.values
+    x = rng.standard_normal(3000)
+    y_ext = ext.spmv(x)
+    y = np.bincount(seg, weights=y_ext, minlength=csr.nrows)
+    assert np.allclose(y, csr.spmv(x), rtol=1e-12, atol=1e-12)
+    # no-op path
+    same, none = ext.split_heavy_rows(cap=1024)
+    assert none is None and same is ext
+
+
+@pytest.mark.slow
+def test_harness_splits_heavy_rows():
+    import jax.numpy as jnp  # noqa: F401
+
+    from sparsematrixvectormultiplication_tpu import COOMatrix
+    from sparsematrixvectormultiplication_tpu.bench.harness import (
+        BenchConfig,
+        run_matrix,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = np.concatenate([np.zeros(4000, np.int64),
+                           rng.integers(1, 3000, 6000)])
+    cols = rng.integers(0, 4000, rows.size)
+    key = rows * 4000 + cols
+    _, idx = np.unique(key, return_index=True)
+    coo = COOMatrix(3000, 4000, rows[idx], cols[idx],
+                    rng.standard_normal(idx.size))
+    cfg = BenchConfig(iterations=2, rounds=1,
+                      kernels=("serial_csr", "pallas_sell", "pallas_sell_dd"),
+                      flush_between_stages=False)
+    logs = []
+    res = run_matrix("heavy", coo, cfg, log=lambda *a: logs.append(" ".join(map(str, a))))
+    assert res.format_stats.get("heavy_row_segments", 0) > 0
+    assert res.stage("pallas_sell").diff.significant_diffs == 0
+    assert res.stage("pallas_sell_dd").diff.significant_diffs == 0
