@@ -267,7 +267,10 @@ def run_matrix(
     # the kernels' output is reduced back with an on-device segment_sum
     # (classic row-splitting; the reference has no answer here — its HLL
     # collapses to 0.21 GFLOPS on webbase-1M, BASELINE.md)
-    csr_k, seg_map = csr.split_heavy_rows(1024)
+    # cap 256: k-major kernels materialize (K*8,128) tile temporaries, and
+    # K=1024 bins (~3k vregs) crash the Mosaic compile helper; K<=256 is the
+    # regime the kernels are proven to compile in
+    csr_k, seg_map = csr.split_heavy_rows(256)
     if seg_map is not None:
         log(f"[{name}] split {csr_k.nrows - M} heavy-row segments "
             f"(rows {M} -> {csr_k.nrows})")
@@ -306,15 +309,23 @@ def run_matrix(
     if "pallas_hll" in cfg.kernels and hll is not None:
         # HLL work profile on the Pallas machinery (≙ spmv_hll_warp_kernel,
         # cuda_src/hll_matrix.cu:379-426) — the device-side half of the
-        # reference's CSR-vs-HLL format shootout
-        from ..ops.pallas_hll import device_put_hll_pallas, hll_spmv_pallas
+        # reference's CSR-vs-HLL format shootout. The HLL padded area on
+        # power-law/dense-row matrices explodes (the reference's own HLL
+        # collapse regime, 0.21 GFLOPS on webbase-1M) — skip beyond the ELL
+        # element cap rather than materializing GBs of padding.
+        hll_padded = int(hll.memory_stats().get("padded_nnz", nnz))
+        if hll_padded > cfg.ell_max_elements:
+            log(f"[{name}] pallas_hll skipped: HLL padded area "
+                f"{hll_padded} > {cfg.ell_max_elements}")
+        else:
+            from ..ops.pallas_hll import device_put_hll_pallas, hll_spmv_pallas
 
-        dhll = device_put_hll_pallas(hll, dtype=dt)
-        run_device_stage(
-            "pallas_hll",
-            lambda d, xx: hll_spmv_pallas(d, xx, interpret=not on_tpu),
-            dhll, xd,
-        )
+            dhll = device_put_hll_pallas(hll, dtype=dt)
+            run_device_stage(
+                "pallas_hll",
+                lambda d, xx: hll_spmv_pallas(d, xx, interpret=not on_tpu),
+                dhll, xd,
+            )
 
     if "pallas_sell_sigma" in cfg.kernels:
       # SELL-C-sigma: rows sorted by nnz (padding collapse on power-law);
