@@ -540,38 +540,52 @@ class SellMatrix:
                         )
                     else:
                         lists = lists[:, :, :span_val]
-                    ja_b, as_b = _sb_arrays(sub)
-                    bins.append(
-                        SellBin(
-                            k=Kp,
-                            layout="sb-list",
-                            group_ids=gsub,
-                            ja=ja_b,
-                            as_=as_b,
-                            slab_list=np.ascontiguousarray(
-                                lists.reshape(sub.size, -1)
-                            ),
-                            slab_count=np.full(sub.size, span_val, np.int32),
-                            real_nnz=real,
-                            span=int(span_val),
-                            chunk_k=ck,
-                            cost_passes=int(cost_sl_g[sub].sum()),
+                    lists2 = lists.reshape(sub.size, -1)
+                    per_call = max(1, _SMEM_LIST_BYTES // (lists2.shape[1] * 4))
+                    for c0 in range(0, sub.size, per_call):
+                        sc = slice(c0, c0 + per_call)
+                        gsc = gsub[sc]
+                        ja_b, as_b = _sb_arrays(sub[sc])
+                        bins.append(
+                            SellBin(
+                                k=Kp,
+                                layout="sb-list",
+                                group_ids=gsc,
+                                ja=ja_b,
+                                as_=as_b,
+                                slab_list=np.ascontiguousarray(lists2[sc]),
+                                slab_count=np.full(gsc.size, span_val, np.int32),
+                                real_nnz=int(group_nnz[gsc].sum()),
+                                span=int(span_val),
+                                chunk_k=ck,
+                                cost_passes=int(cost_sl_g[sub[sc]].sum()),
+                            )
                         )
-                    )
                 else:
-                    bins.append(
-                        SellBin(
-                            k=K,
-                            layout="k-major",
-                            group_ids=gsub,
-                            ja=np.ascontiguousarray(ja[sub]).reshape(-1, LANES),
-                            as_=np.ascontiguousarray(as_[sub]).reshape(-1, LANES),
-                            slab_list=slab_list[sub],
-                            slab_count=slab_count[sub],
-                            real_nnz=real,
-                            cost_passes=int(cost_km_g[sub].sum()),
+                    # scalar-prefetch tables live in SMEM: multi-MB k-major
+                    # slab lists (power-law: s_max ~8000 x hundreds of
+                    # groups) crash the Mosaic compile helper — chunk the
+                    # bin so each call's table fits the budget
+                    per_call = max(1, _SMEM_LIST_BYTES
+                                   // (max(slab_list.shape[1], 1) * 4))
+                    for c0 in range(0, sub.size, per_call):
+                        sc = sub[c0 : c0 + per_call]
+                        gsc = gids_all[sc]
+                        lst = slab_list[sc]
+                        wv = max(int(slab_count[sc].max()), 1)
+                        bins.append(
+                            SellBin(
+                                k=K,
+                                layout="k-major",
+                                group_ids=gsc,
+                                ja=np.ascontiguousarray(ja[sc]).reshape(-1, LANES),
+                                as_=np.ascontiguousarray(as_[sc]).reshape(-1, LANES),
+                                slab_list=np.ascontiguousarray(lst[:, :wv]),
+                                slab_count=slab_count[sc],
+                                real_nnz=int(group_nnz[gsc].sum()),
+                                cost_passes=int(cost_km_g[sc].sum()),
+                            )
                         )
-                    )
 
             # ---- cluster merging (stage B/C of call-count minimization) ----
             # Each emitted bin is one pallas_call (~_LAUNCH_S fixed). Greedily
