@@ -314,9 +314,12 @@ def run_matrix(
         # collapse regime, 0.21 GFLOPS on webbase-1M) — skip beyond the ELL
         # element cap rather than materializing GBs of padding.
         hll_padded = int(hll.memory_stats().get("padded_nnz", nnz))
-        if hll_padded > cfg.ell_max_elements:
+        hll_maxnz = int(np.asarray(hll.maxnz).max()) if hll.num_blocks else 0
+        if hll_padded > cfg.ell_max_elements or hll_maxnz > 256:
+            # monster blocks (power-law heads) recreate VMEM-exceeding K
+            # bins in the repack — the reference's own HLL collapse regime
             log(f"[{name}] pallas_hll skipped: HLL padded area "
-                f"{hll_padded} > {cfg.ell_max_elements}")
+                f"{hll_padded} / max block MAXNZ {hll_maxnz}")
         else:
             from ..ops.pallas_hll import device_put_hll_pallas, hll_spmv_pallas
 
