@@ -255,7 +255,7 @@ def run_matrix(
                                             sigma_sort=sigma, **kw)
         sell = SellMatrix.from_csr(csr_k, **kw)
         if not kw.get("sigma_sort") and (
-            any(b.k > 1024 for b in sell.bins) or sell.padding_ratio > 16
+            any(b.k > 1024 for b in sell.bins) or sell.padding_ratio > 8
         ):
             log(f"[{name}] plain SELL pathological "
                 f"(pad {sell.padding_ratio:.1f}, kmax "

@@ -102,6 +102,12 @@ def device_put_sell(sell, dtype=jnp.float32, device=None):
     inputs route to :func:`device_put_panel_sell`."""
     if hasattr(sell, "panels"):
         return device_put_panel_sell(sell, dtype=dtype, device=device)
+    total = sum(b.ja.nbytes + b.as_.nbytes for b in sell.bins)
+    if total > _MAX_UPLOAD_BYTES:
+        raise MemoryError(
+            f"SELL device arrays {total/2**20:.0f} MiB > "
+            f"{_MAX_UPLOAD_BYTES/2**20:.0f} MiB — uploads this large crash "
+            "the tunneled TPU worker (sigma-sort or coarser guards needed)")
     bins = []
     for b in sell.bins:
         gids = np.asarray(b.group_ids, np.int64)
@@ -130,6 +136,9 @@ def device_put_sell(sell, dtype=jnp.float32, device=None):
 
 # v5e VMEM is 128 MiB; the x table plus double-buffered entry tiles must fit.
 _X_TABLE_VMEM_BUDGET = 96 * 1024 * 1024
+# total device-array budget per structure: bigger uploads have crashed the
+# tunneled TPU worker process outright (r2 sweep, repeatedly)
+_MAX_UPLOAD_BYTES = 1100 * 1024 * 1024
 
 
 def pack_x_table(x, ncols: int):

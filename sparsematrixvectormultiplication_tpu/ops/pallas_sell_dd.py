@@ -87,6 +87,13 @@ def device_put_sell_dd(sell, device=None):
     PanelSellMatrix inputs route to :func:`device_put_panel_sell_dd`."""
     if hasattr(sell, "panels"):
         return device_put_panel_sell_dd(sell, device=device)
+    from .pallas_sell import _MAX_UPLOAD_BYTES
+
+    total = sum(b.ja.nbytes + 2 * b.as_.nbytes for b in sell.bins)
+    if total > _MAX_UPLOAD_BYTES:
+        raise MemoryError(
+            f"dd SELL device arrays {total/2**20:.0f} MiB > "
+            f"{_MAX_UPLOAD_BYTES/2**20:.0f} MiB — worker-crash guard")
     bins = []
     for b in sell.bins:
         hi, lo = split_f64(np.asarray(b.as_, np.float64))
