@@ -136,9 +136,10 @@ def device_put_sell(sell, dtype=jnp.float32, device=None):
 
 # v5e VMEM is 128 MiB; the x table plus double-buffered entry tiles must fit.
 _X_TABLE_VMEM_BUDGET = 96 * 1024 * 1024
-# total device-array budget per structure: bigger uploads have crashed the
-# tunneled TPU worker process outright (r2 sweep, repeatedly)
-_MAX_UPLOAD_BYTES = 1100 * 1024 * 1024
+# total device-array budget per structure: the observed worker-killers were
+# ~1.4 GB SINGLE arrays (xla_csr, HLL repack); many-array SELL structures up
+# to ~1.9 GB uploaded fine in r1 (119M-nnz dd) — budget set between
+_MAX_UPLOAD_BYTES = 2200 * 1024 * 1024
 
 
 def pack_x_table(x, ncols: int):
