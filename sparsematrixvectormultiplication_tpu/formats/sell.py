@@ -368,7 +368,11 @@ class SellMatrix:
             slab_list = np.ascontiguousarray(slab_list[:, :w])
 
             # ---- per-group layout + span decision ----
-            ck = int(chunk_k)
+            # wide bins use taller (16,128) chunks: half the chunk count at
+            # ~1.33x the span keeps wide-random K=96 groups (banded_fem_large)
+            # inside both static-unroll caps, re-admitting sb-major (measured
+            # ck16 gathers run at the same floor as ck8, probes/kernel_probe2)
+            ck = int(chunk_k) if K <= 64 else max(int(chunk_k), 16)
             Kp = -(-K // ck) * ck  # sb-major padded width
             nchunks = Kp // ck
             # sb-major view (ng, 8, Kp, 128) and per-chunk q ranges
