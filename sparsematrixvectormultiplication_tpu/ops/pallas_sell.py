@@ -11,18 +11,22 @@ warp HLL, and the shared-memory x-caching variants :198-241/:428-479):
   * cudaOccupancyMaxPotentialBlockSize -> K-binning of groups (one pallas_call
         per rectangular bin; bin edges autotunable)
 
-Two kernels, selected per bin by the host-side cost model in formats/sell.py:
+Four kernels, selected per bin by the host-side cost model in formats/sell.py:
 
-  * ``k-major`` slab-list kernel — iterates the group's distinct x-slabs
-    (scalar-prefetched lists); best for scattered (power-law) columns.
-  * ``sb-major`` range-scan kernel — each (8,128) chunk covers 8 consecutive
-    entries x 128 consecutive rows, so the kernel scans the chunk's
-    ``[qmin, qmax]`` computed in-kernel; best for banded/local columns.
+  * ``k-major`` slab-list kernel — rolled loop over the group's distinct
+    x-slabs (scalar-prefetched lists); the scattered-matrix (power-law) tool.
+  * ``sb-major`` range-scan kernel — each (ck,128) chunk covers ck
+    consecutive entries x 128 consecutive rows; statically scans the chunk's
+    host-computed slab range; best for banded/local columns.
+  * ``sb-list`` — per-chunk DISTINCT slab lists; wide ranges, few slabs.
+  * ``wl`` window-layered — sublane = slot in an 8-slab window, ONE
+    take_along_axis per layer tile; the clustered-stencil (FEM) winner.
 
 Empirical design constraints (measured on TPU v5e via probes; see
 docs/DESIGN.md): XLA arbitrary gather ~0.1-1 G elem/s (unusable); Mosaic
-lane-gather (``take_along_axis`` axis=1) is the only vectorized gather; Pallas
-streaming tops at ~100 GB/s on this runtime; output blocks must be >= (8,128).
+lane-gather (``take_along_axis`` axis=1) is the only vectorized gather;
+aggregate two-stream Pallas streaming ~230-310 GB/s (wl tiles ~430); chunk
+loops must fully unroll; output blocks must be >= (8,128).
 """
 
 from __future__ import annotations
@@ -147,8 +151,9 @@ def pack_x_table(x, ncols: int):
 
     The whole table lives in VMEM (the generalization of the reference's
     shared-memory x cache, csr_matrix_cuda.cu:198-241). Raises for vectors
-    beyond the VMEM budget (~24M f32 columns) — the column-panel
-    decomposition for larger N is future work (docs/DESIGN.md)."""
+    beyond the VMEM budget (~24M f32 columns) — larger N routes through the
+    column-panel decomposition (PanelSellMatrix / DevicePanelSell), which
+    calls this per panel."""
     R = -(-ncols // LANES)
     # sublane-aligned PLUS at least one spare all-zero slab row: sb-list bins
     # pad their slab lists with Rp-1 (guaranteed unused), letting the kernel
