@@ -255,3 +255,35 @@ def test_harness_splits_heavy_rows():
     assert res.format_stats.get("heavy_row_segments", 0) > 0
     assert res.stage("pallas_sell").diff.significant_diffs == 0
     assert res.stage("pallas_sell_dd").diff.significant_diffs == 0
+
+
+def test_native_csr_converter_matches_numpy(make_random_coo):
+    """native/fast_csr.cpp counting sort == the numpy lexsort path."""
+    from sparsematrixvectormultiplication_tpu.native.build import load_fast_csr
+
+    if load_fast_csr() is None:
+        pytest.skip("native toolchain unavailable")
+    coo, s = make_random_coo(5000, 4000, 0.01)
+    a = CSRMatrix.from_coo(coo, native=True)
+    b = CSRMatrix.from_coo(coo, native=False)
+    assert np.array_equal(a.row_ptr, b.row_ptr)
+    assert np.array_equal(a.col_idx, b.col_idx)
+    x = np.random.default_rng(3).standard_normal(4000)
+    assert np.allclose(a.spmv(x), b.spmv(x), rtol=1e-14, atol=1e-14)
+
+
+def test_native_csr_empty_and_single():
+    from sparsematrixvectormultiplication_tpu.native.build import coo_to_csr_native
+
+    out = coo_to_csr_native(np.zeros(0, np.int32), np.zeros(0, np.int32),
+                            np.zeros(0, np.float64), nrows=3)
+    if out is None:
+        pytest.skip("native toolchain unavailable")
+    row_ptr, col, val = out
+    assert np.array_equal(row_ptr, [0, 0, 0, 0]) and col.size == 0
+
+    out = coo_to_csr_native(np.array([1], np.int32), np.array([2], np.int32),
+                            np.array([7.5]), nrows=3)
+    row_ptr, col, val = out
+    assert np.array_equal(row_ptr, [0, 0, 1, 1])
+    assert col[0] == 2 and val[0] == 7.5
