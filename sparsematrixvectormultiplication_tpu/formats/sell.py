@@ -575,8 +575,17 @@ class SellMatrix:
                     for c0 in range(0, sub.size, per_call):
                         sc = sub[c0 : c0 + per_call]
                         gsc = gids_all[sc]
-                        lst = slab_list[sc]
+                        # width to a multiple of 8 (the kernel scans the
+                        # list in chunks of 8); pad with the spare zero slab
+                        # Rp-1 — in range, referenced by no entry
                         wv = max(int(slab_count[sc].max()), 1)
+                        wv = -(-wv // 8) * 8
+                        lst = slab_list[sc]
+                        if lst.shape[1] < wv:
+                            lst = np.concatenate(
+                                [lst, np.full((lst.shape[0], wv - lst.shape[1]),
+                                              Rp - 1, np.int32)], axis=1)
+                        lst = np.where(lst >= Rp, np.int32(Rp - 1), lst)
                         bins.append(
                             SellBin(
                                 k=K,
@@ -584,7 +593,7 @@ class SellMatrix:
                                 group_ids=gsc,
                                 ja=np.ascontiguousarray(ja[sc]).reshape(-1, LANES),
                                 as_=np.ascontiguousarray(as_[sc]).reshape(-1, LANES),
-                                slab_list=np.ascontiguousarray(lst[:, :wv]),
+                                slab_list=np.ascontiguousarray(lst[:, :wv]),  # Rp-1 padded
                                 slab_count=slab_count[sc],
                                 real_nnz=int(group_nnz[gsc].sum()),
                                 cost_passes=int(cost_km_g[sc].sum()),

@@ -192,17 +192,24 @@ def _kernel_k_major(k: int, g_per: int = 1, accumulate: bool = False):
             m = ja & (LANES - 1)     # % 128
             nslab = cnt_ref[g]
 
-            def body(s, acc, _m=m, _q=q, _g=g):
-                sq = slab_ref[_g, s]
-                xrow = x_ref[sq, :]
-                xb = jnp.broadcast_to(xrow[None, :], (KB, LANES))
-                gat = jnp.take_along_axis(xb, _m, axis=1)
-                return acc + jnp.where(_q == sq, gat, 0)
+            # chunked rolled loop: 8 slab passes per fori iteration — the
+            # per-iteration overhead of a rolled Mosaic loop is ~8x a pass
+            # (probes), so chunking recovers most of it on scattered
+            # matrices. Lists are padded to a multiple of 8 with the spare
+            # zero slab Rp-1 (in range, matches no entry).
+            def body(c, acc, _m=m, _q=q, _g=g):
+                for s8 in range(8):
+                    sq = slab_ref[_g, c * 8 + s8]
+                    xrow = x_ref[sq, :]
+                    xb = jnp.broadcast_to(xrow[None, :], (KB, LANES))
+                    gat = jnp.take_along_axis(xb, _m, axis=1)
+                    acc = acc + jnp.where(_q == sq, gat, 0)
+                return acc
 
             # gather first, multiply by values once (each entry matches
             # exactly one slab, so summing gathers first is exact)
             gath = jax.lax.fori_loop(
-                0, nslab, body, jnp.zeros((KB, LANES), as_ref.dtype)
+                0, (nslab + 7) // 8, body, jnp.zeros((KB, LANES), as_ref.dtype)
             )
             acc = as_ref[base : base + KB, :] * gath
             # per-row reduction: out[i,j] = sum_k acc[k*8+i, j]

@@ -270,18 +270,19 @@ def _kernel_k_major_dd(k: int, interpret: bool = False, g_per: int = 1,
           m = ja & (LANES - 1)
           nslab = cnt_ref[g]
 
-          def body(s, carry, _q=q, _m=m, _g=g):
+          def body(c, carry, _q=q, _m=m, _g=g):
             g_h, g_l = carry
-            sq = slab_ref[_g, s]
-            xbh = jnp.broadcast_to(xh_ref[sq, :][None, :], (KB, LANES))
-            xbl = jnp.broadcast_to(xl_ref[sq, :][None, :], (KB, LANES))
-            mask = _q == sq
-            g_h = g_h + jnp.where(mask, jnp.take_along_axis(xbh, _m, axis=1), 0)
-            g_l = g_l + jnp.where(mask, jnp.take_along_axis(xbl, _m, axis=1), 0)
+            for s8 in range(8):  # chunked rolled loop (see f32 twin)
+                sq = slab_ref[_g, c * 8 + s8]
+                xbh = jnp.broadcast_to(xh_ref[sq, :][None, :], (KB, LANES))
+                xbl = jnp.broadcast_to(xl_ref[sq, :][None, :], (KB, LANES))
+                mask = _q == sq
+                g_h = g_h + jnp.where(mask, jnp.take_along_axis(xbh, _m, axis=1), 0)
+                g_l = g_l + jnp.where(mask, jnp.take_along_axis(xbl, _m, axis=1), 0)
             return g_h, g_l
 
           zero = jnp.zeros((KB, LANES), jnp.float32)
-          g_h, g_l = jax.lax.fori_loop(0, nslab, body, (zero, zero))
+          g_h, g_l = jax.lax.fori_loop(0, (nslab + 7) // 8, body, (zero, zero))
 
           # dd product per entry, then dd reduction over the K slices
           vh = ah_ref[base : base + KB, :]
