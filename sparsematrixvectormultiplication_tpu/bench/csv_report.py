@@ -157,20 +157,24 @@ CUDA_HEADER = (
     "relative_error_warp_shared_hll,absolute_error_warp_shared_hll"
 ).split(",")
 
-# Stage mapping onto the reference's CUDA kernel roles (all fp64 there):
-#   row_csr         <- xla_csr        (thread-per-row analogue: segment sum)
-#   warp_csr        <- pallas_sell    (lane-per-row analogue, f32)
-#   warp_shared_csr <- pallas_sell    (VMEM-resident x ≙ shared-memory cache)
-#   row_hll         <- xla_ell        (padded-HLL device kernel)
-#   warp_hll        <- pallas_sell_dd (lane-per-row, fp64-class double-double)
-#   warp_shared_hll <- pallas_sell_dd
+# Stage mapping onto the reference's CUDA kernel roles (all fp64 there).
+# Six DISTINCT stages for six distinct reference kernels
+# (cuda_src/utility.cu:115-123) — a duplicate mapping would emit
+# byte-identical columns and let downstream tooling compare a kernel
+# against itself:
+#   row_csr         <- xla_csr           (thread-per-row analogue: segment sum)
+#   warp_csr        <- pallas_sell       (lane-per-row analogue, f32)
+#   warp_shared_csr <- pallas_sell_sigma (row-sorted SELL-C-sigma variant)
+#   row_hll         <- xla_ell           (padded-HLL device kernel)
+#   warp_hll        <- pallas_sell_dd    (lane-per-row, fp64-class double-double)
+#   warp_shared_hll <- pallas_hll        (Pallas kernel on the HLL work profile)
 _CUDA_MAP = {
     "row_csr": "xla_csr",
     "warp_csr": "pallas_sell",
-    "warp_shared_csr": "pallas_sell",
+    "warp_shared_csr": "pallas_sell_sigma",
     "row_hll": "xla_ell",
     "warp_hll": "pallas_sell_dd",
-    "warp_shared_hll": "pallas_sell_dd",
+    "warp_shared_hll": "pallas_hll",
 }
 
 

@@ -156,16 +156,18 @@ def run_matrix(
     sell_kw = {"layout": cfg.sell_layout}
     if cfg.sell_k_bins:
         sell_kw["k_bins"] = tuple(cfg.sell_k_bins)
-    if cfg.autotune:
+    hack_size = cfg.hack_size  # local: autotune must not leak into the shared
+    if cfg.autotune:           # BenchConfig across a suite sweep
         # measured launch-config selection (≙ the reference's occupancy API
         # calls + block-dim CSV, main_cuda.cu:149,293,413 / utility.cu:236-261)
         from ..tune.autotune import autotune_hack_size, autotune_sell
 
         tr = autotune_sell(csr, x=x, dtype=dt, log=log)
         if tr.best is not None:
-            sell_kw = {"layout": tr.best.layout, "k_bins": tr.best.k_bins}
+            sell_kw = {"layout": tr.best.layout, "k_bins": tr.best.k_bins,
+                       "merge_bins": tr.best.merge_bins}
         best_hack, hack_rows = autotune_hack_size(csr, log=log)
-        cfg.hack_size = best_hack or cfg.hack_size
+        hack_size = best_hack or hack_size
         fstats["tune"] = {
             "ladder": tr.best.name if tr.best else "",
             "layout": tr.best.layout if tr.best else "",
@@ -179,7 +181,7 @@ def run_matrix(
     hll = None
     if {"serial_hll", "xla_ell", "pallas_hll"} & set(cfg.kernels):
         t0 = time.perf_counter()
-        hll = HLLMatrix.from_csr(csr, cfg.hack_size)
+        hll = HLLMatrix.from_csr(csr, hack_size)
         fstats["convert_hll_s"] = time.perf_counter() - t0
         fstats["hll"] = hll.memory_stats()
 
@@ -295,6 +297,8 @@ def run_matrix(
     on_tpu = jax.devices()[0].platform != "cpu"
 
     if "pallas_sell" in cfg.kernels and sell is not None:
+      try:  # the upload guard can raise MemoryError — keep it a per-stage
+            # skip like xla_csr/sigma/dd, not a whole-matrix abort
         dsell = device_put_sell(sell, dtype=dt)
         ids = _kernel_ids(sell)
 
@@ -305,6 +309,8 @@ def run_matrix(
             return y
 
         run_device_stage("pallas_sell", _sell_fn, dsell, xd)
+      except MemoryError as e:
+        log(f"[{name}] pallas_sell skipped: {e}")
 
     if "pallas_hll" in cfg.kernels and hll is not None:
         # HLL work profile on the Pallas machinery (≙ spmv_hll_warp_kernel,

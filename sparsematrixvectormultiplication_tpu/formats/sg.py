@@ -1,0 +1,250 @@
+"""SG layout — the scattered/short-row SpMV layout (host-side profile/emit).
+
+TPU-native answer to the reference's CUDA *thread-per-row* kernel
+(cuda_src/csr_matrix_cuda.cu:122-148), which wins on scattered short-row
+matrices (webbase-1M 15.08 GF, roadNet-PA 31.55 GF — result/result_cuda.csv).
+The SELL k-major kernel serves those regimes by looping over a group's
+distinct x-slabs — ~1,000-8,000 masked passes per 1024-row group for rows
+with 1-8 entries, so work scales with the *slab count*, not the entry count.
+SG makes work scale with entries:
+
+Layout (per 1024-row group, rows at (sigma, lane) = (row%1024)//128, row%128):
+
+* Entries of each 128-row block (``sigma``) are sorted by column and packed
+  greedily into ``T`` tiles of (8, 128): an entry destined for row
+  (sigma, lane) sits at position (tile, sigma, lane) — **the scatter is
+  free**: each tile's masked-gather products add straight onto the group's
+  (8,128) y tile. The only constraint is one entry per (tile, lane) within
+  a block, resolved by a vectorized greedy fixpoint (same-lane entries spill
+  to later tiles, staying nearly column-sorted).
+* Each (tile, sigma) cell's 128 entries are column-adjacent, so they fit a
+  small x-slab *window*: the kernel broadcasts rows ``w0[cell] + v`` of the
+  VMEM x-table for ``v < passes(tile)`` and lane-gathers under a
+  ``doff == v`` mask (doff = entry slab - w0, packed with the lane index m
+  into one int32 plane: ``md = doff*128 + m`` — 8 B/entry total).
+* Entries too isolated for any window (graph long-links, power-law tails:
+  fewer than _FAR_DENSITY neighbors within +-_FAR_RADIUS slabs in their
+  block) are split into a *far* sub-matrix emitted as k-major bins that
+  ACCUMULATE onto the same groups' y tiles (SellBin.add_into).
+
+The kernel (ops/pallas_sell.py _kernel_sg) unrolls passes statically for
+bins whose max window fits _MAX_STATIC_SPAN, and otherwise rolls a chunked
+fori (8 passes per iteration, per-tile pass counts scalar-prefetched) — the
+same rolled-chunk pattern as the k-major kernel.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+__all__ = ["SgProfile", "sg_profile", "SG_DYNAMIC"]
+
+LANES = 128
+SUBLANES = 8
+GROUP_ROWS = LANES * SUBLANES
+
+# far-split rule: an entry is "far" when fewer than _FAR_DENSITY of its
+# block's entries (incl. itself) lie within +-_FAR_RADIUS slabs — such
+# entries cannot share a gather window with 127 neighbors and would inflate
+# every cell they touch (road_like: 5% long links poison 60% of cells).
+_FAR_RADIUS = 24
+_FAR_DENSITY = 12
+_MAX_FIXPOINT_ITERS = 64
+
+SG_DYNAMIC = 0  # SellBin.span value marking the dynamic-pass-count kernel
+
+
+@dataclass
+class SgProfile:
+    """Global SG assignment for all groups of one matrix (core entries) plus
+    the far remainder. All per-entry arrays are aligned and ordered by
+    (block, column)."""
+
+    # core entries (ordered by block, col)
+    e_group: np.ndarray      # (nc,) group id
+    e_flatrow: np.ndarray    # (nc,) t*8 + sigma within the group's (T*8,128)
+    e_lane: np.ndarray       # (nc,) dest lane
+    e_md: np.ndarray         # (nc,) int32 packed doff*128 + m
+    e_val: np.ndarray        # (nc,) values (host dtype)
+    # per-group / per-cell geometry
+    T_g: np.ndarray          # (num_groups,) tiles per group (>=1)
+    w0: np.ndarray           # (num_groups, T_max, 8) int32 window bases
+    passes: np.ndarray       # (num_groups, T_max) int32 per-tile pass counts
+    V_g: np.ndarray          # (num_groups,) max pass count per group
+    vregs_g: np.ndarray      # (num_groups,) modeled core vector-op cost
+    core_frac_g: np.ndarray  # (num_groups,) core entry fraction
+    # far remainder (CSR-order triplets)
+    far_rows: np.ndarray
+    far_cols: np.ndarray
+    far_vals: np.ndarray
+
+    @property
+    def t_max(self) -> int:
+        return int(self.w0.shape[1])
+
+
+def _assign_tiles(lane_key: np.ndarray, grank: np.ndarray):
+    """Greedy tile assignment, vectorized fixpoint.
+
+    ``lane_key`` is a composite (block*128 + lane) so all blocks resolve in
+    one pass; ``grank`` is the entry's within-block column rank. Start at
+    ``t = max(within-lane rank, grank // 128)`` (column-ideal, lane-feasible)
+    and bump same-(lane, t) collisions by occurrence until none remain —
+    monotone, hence terminating; the cap only guards pathologies, falling
+    back to the always-valid within-lane rank."""
+    n = lane_key.size
+    if n == 0:
+        return np.zeros(0, np.int64)
+    sidx = np.lexsort((np.arange(n), lane_key))
+    ls = lane_key[sidx]
+    new = np.ones(n, bool)
+    new[1:] = ls[1:] != ls[:-1]
+    starts = np.flatnonzero(new)
+    run_id = np.cumsum(new) - 1
+    krank = np.empty(n, np.int64)
+    krank[sidx] = np.arange(n) - starts[run_id]
+    t = np.maximum(krank, grank // LANES)
+    for _ in range(_MAX_FIXPOINT_ITERS):
+        key = lane_key * np.int64(t.max() + 2) + t
+        sidx = np.lexsort((np.arange(n), key))
+        ks = key[sidx]
+        new = np.ones(n, bool)
+        new[1:] = ks[1:] != ks[:-1]
+        starts = np.flatnonzero(new)
+        run_id = np.cumsum(new) - 1
+        bump = np.arange(n) - starts[run_id]
+        if not bump.any():
+            return t
+        tb = t.copy()
+        tb[sidx] = t[sidx] + bump
+        t = tb
+    return krank  # guaranteed collision-free fallback
+
+
+def sg_profile(
+    rows_of_entries: np.ndarray,
+    col_idx: np.ndarray,
+    values: np.ndarray,
+    num_groups: int,
+    Rp: int,
+    *,
+    far_radius: int = _FAR_RADIUS,
+    far_density: int = _FAR_DENSITY,
+) -> SgProfile:
+    """Compute the global SG assignment (one pass over all groups).
+
+    Entries must be in CSR order. ``Rp`` is the padded x-table row count
+    (window bases are clamped so ``w0 + passes <= Rp``)."""
+    nnz = rows_of_entries.size
+    rows = rows_of_entries.astype(np.int64)
+    cols = col_idx.astype(np.int64)
+    slab = cols >> 7
+    blk = rows >> 7
+
+    # ---- far split: per-block slab-density test ----
+    order = np.lexsort((slab, blk))
+    blk_o = blk[order]
+    slab_o = slab[order]
+    new = np.ones(nnz, bool) if nnz else np.zeros(0, bool)
+    if nnz:
+        new[1:] = blk_o[1:] != blk_o[:-1]
+    bstart = np.flatnonzero(new)
+    run_id = np.cumsum(new) - 1 if nnz else new.astype(np.int64)
+    bend = np.concatenate([bstart[1:], [nnz]]) if nnz else bstart
+    lo = bstart[run_id]
+    hi = bend[run_id]
+    # neighbors within +-far_radius slabs inside the block (slab_o is sorted
+    # per block; clip the binary search to the block's own range)
+    left = np.searchsorted(slab_o, slab_o - far_radius, side="left")
+    right = np.searchsorted(slab_o, slab_o + far_radius, side="right")
+    dens = np.minimum(right, hi) - np.maximum(left, lo)
+    far_o = dens < far_density
+
+    inv_order = np.empty(nnz, np.int64)
+    inv_order[order] = np.arange(nnz)
+    far = far_o[inv_order]  # CSR-order mask
+
+    far_rows = rows_of_entries[far]
+    far_cols = col_idx[far]
+    far_vals = values[far]
+
+    # ---- core assignment (per block, column order) ----
+    keep = ~far_o
+    blk_c = blk_o[keep]
+    slab_c = slab_o[keep]
+    src_c = order[keep]          # CSR position of each core entry
+    nc = blk_c.size
+    new = np.ones(nc, bool) if nc else np.zeros(0, bool)
+    if nc:
+        new[1:] = blk_c[1:] != blk_c[:-1]
+    starts = np.flatnonzero(new)
+    run_id = np.cumsum(new) - 1 if nc else new.astype(np.int64)
+    within = np.arange(nc) - starts[run_id] if nc else np.zeros(0, np.int64)
+    lane_c = rows[src_c] & (LANES - 1)
+    t_c = _assign_tiles(blk_c * LANES + lane_c, within)
+
+    g_c = blk_c >> 3
+    sig_c = blk_c & 7
+
+    T_g = np.ones(num_groups, np.int64)
+    if nc:
+        np.maximum.at(T_g, g_c, t_c + 1)
+    t_max = int(T_g.max()) if num_groups else 1
+
+    # ---- per-cell windows: w0[g, t, sigma], passes[g, t] ----
+    w0 = np.full((num_groups, t_max, SUBLANES), Rp - 1, np.int32)
+    cmax = np.zeros((num_groups, t_max, SUBLANES), np.int64)
+    if nc:
+        cell = (g_c * t_max + t_c) * SUBLANES + sig_c
+        w0_flat = np.full(num_groups * t_max * SUBLANES, np.int64(Rp - 1))
+        np.minimum.at(w0_flat, cell, slab_c)
+        cm_flat = np.zeros(num_groups * t_max * SUBLANES, np.int64)
+        np.maximum.at(cm_flat, cell, slab_c)
+        w0 = w0_flat.reshape(num_groups, t_max, SUBLANES).astype(np.int64)
+        cmax = cm_flat.reshape(num_groups, t_max, SUBLANES)
+    # pass count per tile = max over its cells of (cmax - w0 + 1); empty
+    # cells (w0 = Rp-1, cmax = 0) contribute <= 0 -> at least 1
+    span_cell = np.maximum(cmax - w0 + 1, 0)
+    passes = np.maximum(span_cell.max(axis=2), 1).astype(np.int32)
+    # clamp w0 so every scanned row stays inside the x table
+    w0 = np.minimum(w0, np.maximum(Rp - passes[:, :, None], 0)).astype(np.int32)
+
+    e_md = np.zeros(nc, np.int32)
+    if nc:
+        doff = slab_c - w0[g_c, t_c, sig_c]
+        m = cols[src_c] & (LANES - 1)
+        e_md = (doff * LANES + m).astype(np.int32)
+
+    V_g = passes.max(axis=1).astype(np.int64) if t_max else np.ones(num_groups, np.int64)
+    # modeled vector-op cost per group: per real tile, 13 vregs per pass
+    # (8 scalar-driven W rows + stack + gather + mask-acc) + 10 fixed
+    pass_sum = np.zeros(num_groups, np.int64)
+    if t_max:
+        # count only tiles t < T_g (padding tiles cost ~1 pass each)
+        tidx = np.broadcast_to(np.arange(t_max)[None, :], passes.shape)
+        real = tidx < T_g[:, None]
+        pass_sum = np.where(real, -(-passes.astype(np.int64) // 8) * 8, 0).sum(axis=1)
+    vregs_g = 13 * pass_sum + 10 * T_g
+
+    group_nnz = np.bincount(rows >> 10, minlength=num_groups) if nnz else np.zeros(num_groups, np.int64)
+    core_per_g = np.bincount(g_c, minlength=num_groups) if nc else np.zeros(num_groups, np.int64)
+    core_frac_g = core_per_g / np.maximum(group_nnz, 1)
+
+    return SgProfile(
+        e_group=g_c,
+        e_flatrow=(t_c * SUBLANES + sig_c),
+        e_lane=lane_c,
+        e_md=e_md,
+        e_val=values[src_c],
+        T_g=T_g,
+        w0=w0,
+        passes=passes,
+        V_g=V_g,
+        vregs_g=vregs_g,
+        core_frac_g=core_frac_g,
+        far_rows=far_rows,
+        far_cols=far_cols,
+        far_vals=far_vals,
+    )

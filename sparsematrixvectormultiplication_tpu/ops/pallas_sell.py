@@ -535,10 +535,14 @@ class DevicePanelSell:
 
 
 def max_x_table_cols(dtype=jnp.float32) -> int:
-    """Largest N whose x-table fits the VMEM budget (slab-aligned)."""
+    """Largest N whose x-table fits the VMEM budget (slab-aligned).
+
+    Derived from the same formula as :func:`pack_x_table`, which allocates
+    ``Rp = (ceil(N/128)//8 + 1) * 8`` rows (sublane alignment PLUS a spare
+    zero slab) — so the returned N satisfies ``Rp * 128 * itemsize <=
+    _X_TABLE_VMEM_BUDGET`` exactly at the boundary."""
     itemsize = jnp.dtype(dtype).itemsize
-    rows = _X_TABLE_VMEM_BUDGET // (LANES * itemsize)
-    rows = (rows // SUBLANES) * SUBLANES
+    rows = (_X_TABLE_VMEM_BUDGET // (LANES * itemsize) // SUBLANES - 1) * SUBLANES
     return rows * LANES
 
 

@@ -164,7 +164,19 @@ def build_spmd_sell(
                 if sl.ndim == 1:
                     sl = sl.reshape(ng, -1)
                 if sl.shape[1] < w:
-                    fillv = _SENTINEL if layout == "k-major" else np.int32(0)
+                    # k-major widening pads with the in-range spare zero slab
+                    # Rp-1 (the formats/sell.py convention) — the kernel's
+                    # chunked loop reads ceil(count/8)*8 list entries, which
+                    # stays within the shard's own (8-aligned, Rp-1-padded)
+                    # width, but an in-range pad keeps any over-read harmless
+                    # rather than relying on that coupling
+                    if layout == "k-major":
+                        R = -(-csr.ncols // LANES)
+                        fillv = np.int32((R // SUBLANES + 1) * SUBLANES - 1)
+                        assert sl.shape[1] % 8 == 0, \
+                            "k-major slab lists must be 8-aligned"
+                    else:
+                        fillv = np.int32(0)
                     sl = np.concatenate(
                         [sl, np.full((ng, w - sl.shape[1]), fillv, np.int32)], axis=1
                     )

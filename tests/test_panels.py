@@ -114,6 +114,25 @@ def test_max_x_table_cols():
     assert n % 1024 == 0
 
 
+def test_pack_x_table_at_limit_fits():
+    """pack_x_table must accept a vector of EXACTLY max_x_table_cols width:
+    the limit formula must account for the spare sublane block pack_x_table
+    adds (Rp = (R//8+1)*8) — every non-last panel of a PanelSellMatrix is
+    built at exactly this width (advisor r2 medium finding)."""
+    from sparsematrixvectormultiplication_tpu.ops.pallas_sell import (
+        _X_TABLE_VMEM_BUDGET, pack_x_table,
+    )
+
+    for dt in (jnp.float32, jnp.float64):
+        n = max_x_table_cols(dt)
+        tab = pack_x_table(jnp.zeros((n,), dt), n)
+        assert tab.shape[0] * tab.shape[1] * jnp.dtype(dt).itemsize \
+            <= _X_TABLE_VMEM_BUDGET
+        # one more slab row must overflow (the limit is tight)
+        with pytest.raises(ValueError):
+            pack_x_table(jnp.zeros((n + 8 * 128,), dt), n + 8 * 128)
+
+
 @pytest.mark.slow
 def test_panel_dd_matches_oracle(wide_csr):
     """fp64-class dd kernel through column panels."""
