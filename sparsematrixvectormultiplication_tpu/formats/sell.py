@@ -111,6 +111,9 @@ class SellBin:
     span: int = 0            # sb-major: static slabs scanned per chunk
     chunk_k: int = CHUNK_K   # sb-major: entries per chunk (sublane tile height)
     cost_passes: int = 0     # modeled vreg-ops per element for the chosen kernel
+    add_into: bool = False   # bin ACCUMULATES onto tiles another bin wrote
+                             # (sg far-remainder bins share groups with their
+                             # sg core bin; all other bins partition groups)
 
     @property
     def n_groups(self) -> int:
@@ -333,6 +336,34 @@ class SellMatrix:
         group_nnz_all = row_nnz.reshape(num_groups, GROUP_ROWS).sum(axis=1) \
             if num_groups else np.zeros(0, np.int64)
 
+        # SG profile (scattered/short-row layout, formats/sg.py) — computed
+        # only when some group looks scattered (distinct-slab count well past
+        # its K: the regime where k-major's per-slab passes dwarf the entry
+        # count — the reference serves it with the thread-per-row CUDA
+        # kernel, csr_matrix_cuda.cu:122-148)
+        sg_prof = None
+        sg_far_vregs_g = None
+        far_slab_list = far_slab_count = far_kg = None
+        scattered = (
+            g_slab_count.astype(np.int64) > np.maximum(48, 2 * kg)
+            if num_groups else np.zeros(0, bool)
+        )
+        if layout == "sg" or (layout == "auto" and bool(np.any(scattered))):
+            from .sg import sg_profile
+
+            sg_prof = sg_profile(rows_of_entries, csr.col_idx, csr.values,
+                                 num_groups, Rp)
+            # far remainder served by accumulate k-major bins: model + lists
+            far_slab_list, far_slab_count = _build_slab_lists_global(
+                sg_prof.far_rows.astype(np.int64), sg_prof.far_cols, num_groups
+            )
+            far_per_row = np.bincount(sg_prof.far_rows,
+                                      minlength=padded_rows).astype(np.int64) \
+                if sg_prof.far_rows.size else np.zeros(padded_rows, np.int64)
+            far_kg = far_per_row.reshape(num_groups, GROUP_ROWS).max(axis=1)
+            sg_far_vregs_g = 5 * far_slab_count.astype(np.int64) \
+                * np.maximum(far_kg, 1) * (far_kg > 0)
+
         bins = []
         for b_id in np.unique(bin_of_group) if num_groups else []:
             if b_id < 0:
@@ -440,6 +471,22 @@ class SellMatrix:
             sec_sl = np.maximum(Kp * bpr / _PALLAS_BW, cost_sl_g * _VREG_OP_S)
             sec_wl = np.maximum(wl_kw_g[gids_all] * bpr / _PALLAS_BW_WL,
                                 cost_wl_g * _VREG_OP_S)
+            # sg: core tiles stream T_g rows/group; far remainder adds its
+            # own k-major cost (it becomes an accumulate bin on the same
+            # groups). Inadmissible when most entries are far (power-law
+            # tails: sg degenerates to k-major with extra launches).
+            if sg_prof is not None:
+                T_b = sg_prof.T_g[gids_all]
+                cost_sg_g = sg_prof.vregs_g[gids_all] + sg_far_vregs_g[gids_all]
+                sec_sg = np.maximum(
+                    (T_b + np.maximum(far_kg[gids_all], 0)) * bpr / _PALLAS_BW,
+                    cost_sg_g * _VREG_OP_S,
+                )
+                sg_ok = sg_prof.core_frac_g[gids_all] >= 0.5
+                sec_sg_c = np.where(sg_ok, sec_sg, big)
+            else:
+                sec_sg_c = np.full(ng, big)
+                sg_ok = np.zeros(ng, bool)
             if layout == "sb-major":
                 choice = np.full(ng, 1)
             elif layout == "k-major":
@@ -448,6 +495,8 @@ class SellMatrix:
                 choice = np.full(ng, 2)
             elif layout == "wl":
                 choice = np.where(wl_ok, 3, 0)
+            elif layout == "sg":
+                choice = np.where(sg_ok, 4, 0)
             else:
                 # static-span kernels unroll `span` gather passes per chunk:
                 # beyond _MAX_STATIC_SPAN the bodies blow up compile time and
@@ -461,7 +510,8 @@ class SellMatrix:
                     (d_q > _MAX_STATIC_SPAN)
                     | (nchunks * d_q > _MAX_STATIC_BODIES), big, sec_sl)
                 sec_wl_c = np.where(wl_ok, sec_wl, big)
-                costs = np.stack([sec_km, sec_sb_c, sec_sl_c, sec_wl_c])
+                costs = np.stack([sec_km, sec_sb_c, sec_sl_c, sec_wl_c,
+                                  sec_sg_c])
                 choice = np.argmin(costs, axis=0)
             forced = layout != "auto"
 
@@ -480,13 +530,88 @@ class SellMatrix:
                     np.ascontiguousarray(ast).reshape(-1, LANES),
                 )
 
+            def _emit_sg_far(gsub):
+                """Far-remainder k-major bins for ``gsub`` (accumulate onto
+                the sg core bin's y tiles; see formats/sg.py far split)."""
+                fg = (sg_prof.far_rows.astype(np.int64) // GROUP_ROWS)
+                ginv_f = np.full(num_groups, -1, np.int64)
+                ginv_f[gsub] = 0
+                fsel = np.flatnonzero(ginv_f[fg] >= 0)
+                if fsel.size == 0:
+                    return
+                rows_f = sg_prof.far_rows[fsel].astype(np.int64)
+                cols_f = sg_prof.far_cols[fsel].astype(np.int64)
+                vals_f = sg_prof.far_vals[fsel]
+                # within-row occurrence (entries stay in CSR order)
+                newr = np.ones(rows_f.size, bool)
+                newr[1:] = rows_f[1:] != rows_f[:-1]
+                rstart = np.flatnonzero(newr)
+                rid = np.cumsum(newr) - 1
+                occ = np.arange(rows_f.size) - rstart[rid]
+                Kf = int(occ.max()) + 1
+                gsub_far = np.unique(fg[fsel]).astype(np.int32)
+                ginv_c = np.full(num_groups, -1, np.int64)
+                ginv_c[gsub_far] = np.arange(gsub_far.size)
+                ngf = gsub_far.size
+                ja_f = np.full((ngf, Kf, SUBLANES, LANES),
+                               np.int32((Rp - 1) * LANES))
+                as_f = np.zeros((ngf, Kf, SUBLANES, LANES), value_dtype)
+                gl = ginv_c[fg[fsel]]
+                lr = rows_f - (fg[fsel]) * GROUP_ROWS
+                i = lr // LANES
+                j = lr - i * LANES
+                ja_f[gl, occ, i, j] = cols_f.astype(np.int32)
+                as_f[gl, occ, i, j] = vals_f.astype(value_dtype)
+                cnt_f = far_slab_count[gsub_far]
+                wv = max(int(cnt_f.max()), 1)
+                wv = -(-wv // 8) * 8
+                lst = far_slab_list[gsub_far]
+                if lst.shape[1] < wv:
+                    lst = np.concatenate(
+                        [lst, np.full((ngf, wv - lst.shape[1]), Rp - 1,
+                                      np.int32)], axis=1)
+                else:
+                    lst = lst[:, :wv]
+                lst = np.where(lst >= Rp, np.int32(Rp - 1), lst)
+                far_nnz_g = np.bincount(gl, minlength=ngf).astype(np.int64)
+                per_call = max(1, _SMEM_LIST_BYTES // (wv * 4))
+                for c0 in range(0, ngf, per_call):
+                    sc = slice(c0, c0 + per_call)
+                    nsc = min(per_call, ngf - c0)
+                    bins.append(
+                        SellBin(
+                            k=Kf,
+                            layout="k-major",
+                            group_ids=gsub_far[sc],
+                            ja=np.ascontiguousarray(ja_f[sc]).reshape(-1, LANES),
+                            as_=np.ascontiguousarray(as_f[sc]).reshape(-1, LANES),
+                            slab_list=np.ascontiguousarray(lst[sc]),
+                            slab_count=cnt_f[sc].astype(np.int32),
+                            real_nnz=int(far_nnz_g[sc].sum()),
+                            cost_passes=int(
+                                (5 * cnt_f[sc].astype(np.int64) * Kf).sum()),
+                            add_into=True,
+                        )
+                    )
+
             def emit(mask, lay, span_val, nw_val=0):
                 sub = np.flatnonzero(mask)
                 if sub.size == 0:
                     return
                 gsub = gids_all[sub]
                 real = int(group_nnz[gsub].sum())
-                if lay == "wl":
+                if lay == "sg":
+                    from .sg import emit_sg_core
+
+                    Tq, Vq = int(nw_val), int(span_val)
+                    stride = 9 if Vq == 0 else 8
+                    per_call = max(1, _SMEM_LIST_BYTES // (Tq * stride * 4))
+                    for c0 in range(0, gsub.size, per_call):
+                        gsc = gsub[c0 : c0 + per_call]
+                        kw = emit_sg_core(sg_prof, gsc, Tq, Vq, Rp, value_dtype)
+                        bins.append(SellBin(**kw))
+                        _emit_sg_far(gsc)
+                elif lay == "wl":
                     ginv_c = np.full(num_groups, -1, dtype=np.int64)
                     ginv_c[gsub] = np.arange(gsub.size)
                     ja_b, as_b, slabs = _emit_wl_bin(
@@ -625,6 +750,18 @@ class SellMatrix:
                         clusters.append(
                             ("wl", int(lv), int(nwv),
                              np.flatnonzero(wsel & (nw_b == nwv) & (L_b == lv))))
+            if np.any(choice == 4):
+                from .sg import quantize_T, quantize_V
+
+                sgsel = choice == 4
+                Tq_g = quantize_T(sg_prof.T_g[gids_all])
+                Vq_g = quantize_V(sg_prof.V_g[gids_all], _MAX_STATIC_SPAN)
+                for tqv in np.unique(Tq_g[sgsel]):
+                    tsel = sgsel & (Tq_g == tqv)
+                    for vqv in np.unique(Vq_g[tsel]):
+                        clusters.append(
+                            ("sg", int(vqv), int(tqv),
+                             np.flatnonzero(tsel & (Vq_g == vqv))))
 
             def _vregs(lay, span, nw, idx):
                 if lay == "k-major":
@@ -632,6 +769,9 @@ class SellMatrix:
                 if lay == "wl":
                     return float(SUBLANES * nw * (_WL_WIN_VREGS + 4 * span)
                                  * idx.size)
+                if lay == "sg":
+                    return float((sg_prof.vregs_g[gids_all[idx]]
+                                  + sg_far_vregs_g[gids_all[idx]]).sum())
                 per_chunk = (5 if lay == "sb-major" else 6) * span + 2
                 return float(SUBLANES * nchunks * per_chunk * idx.size)
 
@@ -640,14 +780,19 @@ class SellMatrix:
                     width = K
                 elif lay == "wl":
                     width = 8 * nw * span
+                elif lay == "sg":
+                    width = nw  # tiles per group (+far, priced in _vregs)
                 else:
                     width = Kp
                 bw = _PALLAS_BW_WL if lay == "wl" else _PALLAS_BW
                 dma = width * GROUP_ROWS * 8 * idx.size / bw
+                launches = 2 * _LAUNCH_S if lay == "sg" else _LAUNCH_S
                 return max(dma, _vregs(lay, span, nw, idx) * _VREG_OP_S) \
-                    + _LAUNCH_S
+                    + launches
 
             def _valid(lay, span, nw, idx):
+                if lay == "sg":
+                    return span == 0 or span <= _MAX_STATIC_SPAN
                 if lay == "wl":
                     return (nw <= _WL_MAX_NW and span <= _WL_MAX_L
                             and nw * span <= _WL_MAX_TILES
@@ -670,6 +815,15 @@ class SellMatrix:
                     # wl merges only with wl (different data interleave)
                     if l1 == "wl" and l2 == "wl":
                         cand = ("wl", max(s1, s2), max(n1, n2), idx)
+                        if _valid(*cand):
+                            cands.append(cand)
+                    return min(cands, key=lambda c: _cost(*c)) if cands else None
+                if l1 == "sg" or l2 == "sg":
+                    # sg merges only with sg; a dynamic member (span 0) makes
+                    # the merged bin dynamic
+                    if l1 == "sg" and l2 == "sg":
+                        sv = 0 if (s1 == 0 or s2 == 0) else max(s1, s2)
+                        cand = ("sg", sv, max(n1, n2), idx)
                         if _valid(*cand):
                             cands.append(cand)
                     return min(cands, key=lambda c: _cost(*c)) if cands else None
@@ -724,7 +878,21 @@ class SellMatrix:
             if bin_.layout == "k-major":
                 ja = bin_.ja.reshape(ng, K, SUBLANES, LANES)
                 as_ = bin_.as_.reshape(ng, K, SUBLANES, LANES)
-                contrib = (as_.astype(np.float64) * x[ja]).sum(axis=1)  # (ng,8,128)
+                xp = np.concatenate([x, np.zeros(
+                    max(0, int(ja.max()) + 1 - x.size))])
+                contrib = (as_.astype(np.float64) * xp[ja]).sum(axis=1)  # (ng,8,128)
+            elif bin_.layout == "sg":
+                # decode md = doff*128 + m against the per-(tile, sublane)
+                # window bases (slab_list layout: [8 x w0(, passes)])
+                T = K
+                tab = bin_.slab_list.reshape(ng, T, -1).astype(np.int64)
+                w0 = tab[:, :, :8]                      # (ng, T, 8)
+                md = bin_.ja.reshape(ng, T, SUBLANES, LANES).astype(np.int64)
+                as_ = bin_.as_.reshape(ng, T, SUBLANES, LANES)
+                cols = (w0[:, :, :, None] + (md >> 7)) * LANES + (md & 127)
+                xp = np.concatenate([x, np.zeros(
+                    max(0, int(cols.max()) + 1 - x.size))])
+                contrib = (as_.astype(np.float64) * xp[cols]).sum(axis=1)
             elif bin_.layout == "wl":
                 # ja holds lane offsets m; columns reconstruct from the
                 # per-(row-block, window, slot) slab table
@@ -748,7 +916,10 @@ class SellMatrix:
                 + np.arange(SUBLANES)[None, :, None] * LANES
                 + np.arange(LANES)[None, None, :]
             )
-            y[rows.reshape(-1)] = contrib.reshape(-1)
+            # += (not =): add_into bins (sg far remainders) share groups with
+            # their core bin; rows within one bin are unique, so fancy-index
+            # accumulation is exact
+            y[rows.reshape(-1)] += contrib.reshape(-1)
         return y[: self.nrows]
 
 

@@ -75,6 +75,7 @@ class SgProfile:
     V_g: np.ndarray          # (num_groups,) max pass count per group
     vregs_g: np.ndarray      # (num_groups,) modeled core vector-op cost
     core_frac_g: np.ndarray  # (num_groups,) core entry fraction
+    core_count_g: np.ndarray  # (num_groups,) core entries per group
     # far remainder (CSR-order triplets)
     far_rows: np.ndarray
     far_cols: np.ndarray
@@ -244,7 +245,102 @@ def sg_profile(
         V_g=V_g,
         vregs_g=vregs_g,
         core_frac_g=core_frac_g,
+        core_count_g=core_per_g,
         far_rows=far_rows,
         far_cols=far_cols,
         far_vals=far_vals,
     )
+
+
+# quantization ladders for bin-static kernel shapes
+_T_LADDER = tuple(range(1, 9)) + (10, 12, 14, 16, 20, 24, 32, 40, 48, 64,
+                                  96, 128, 192, 256, 384, 512, 768, 1024)
+_V_LADDER = (1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 40)
+
+
+def quantize_T(T: np.ndarray) -> np.ndarray:
+    edges = np.asarray(_T_LADDER, np.int64)
+    idx = np.searchsorted(edges, T, side="left")
+    idx = np.minimum(idx, edges.size - 1)
+    return np.where(T <= edges[-1], edges[idx], T)
+
+
+def quantize_V(V: np.ndarray, max_static: int) -> np.ndarray:
+    """Quantize pass counts to the static ladder; beyond ``max_static``
+    returns SG_DYNAMIC (0) marking the dynamic-pass kernel."""
+    edges = np.asarray([v for v in _V_LADDER if v <= max_static], np.int64)
+    idx = np.minimum(np.searchsorted(edges, V, side="left"), edges.size - 1)
+    return np.where(V <= edges[-1], edges[idx], SG_DYNAMIC)
+
+
+def emit_sg_core(prof: SgProfile, gsub: np.ndarray, Tq: int, Vq: int,
+                 Rp: int, value_dtype) -> dict:
+    """Build one SG core bin's arrays for groups ``gsub`` padded to ``Tq``
+    tiles. Returns SellBin kwargs (the caller wraps — avoids a circular
+    import with formats.sell).
+
+    ``Vq > 0``: static kernel; slab_list = (ng, Tq*8) w0 bases, scan = Vq.
+    ``Vq == SG_DYNAMIC``: dynamic kernel; slab_list = (ng, Tq*9) with
+    per-tile layout [8 x w0, pass count rounded up to 8]."""
+    gsub = np.asarray(gsub)
+    ng = gsub.size
+    ginv_arr = np.full(int(prof.T_g.size), -1, np.int64)
+    ginv_arr[gsub] = np.arange(ng)
+
+    t_max = prof.t_max
+    assert Tq >= int(prof.T_g[gsub].max()), "cluster Tq below a group's T"
+    dyn = Vq == SG_DYNAMIC
+    stride = 9 if dyn else 8
+
+    # per-cell scan length & clamped bases for THIS bin's static shape
+    Tb = min(Tq, t_max)
+    w0b = prof.w0[gsub][:, :Tb]  # (ng, Tb, 8)
+    passes = prof.passes[gsub][:, :Tb].astype(np.int64)    # (ng, Tb)
+    if dyn:
+        scan = -(-passes // 8) * 8
+    else:
+        scan = np.full_like(passes, Vq)
+    w0c = np.minimum(w0b.astype(np.int64),
+                     np.maximum(Rp - scan[:, :, None], 0))
+    delta = w0b.astype(np.int64) - w0c                      # (ng, Tb, 8) >= 0
+
+    ja = np.zeros((ng, Tq, SUBLANES, LANES), np.int32)
+    as_ = np.zeros((ng, Tq, SUBLANES, LANES), value_dtype)
+
+    sel = ginv_arr[prof.e_group] >= 0
+    if np.any(sel):
+        gl = ginv_arr[prof.e_group[sel]]
+        fr = prof.e_flatrow[sel]
+        t = fr // SUBLANES
+        sig = fr - t * SUBLANES
+        md = prof.e_md[sel].astype(np.int64) + delta[gl, t, sig] * LANES
+        ja[gl, t, sig, prof.e_lane[sel]] = md.astype(np.int32)
+        as_[gl, t, sig, prof.e_lane[sel]] = prof.e_val[sel].astype(value_dtype)
+
+    # slab table
+    w0_full = np.full((ng, Tq, SUBLANES), Rp - (Vq if not dyn else 8), np.int32)
+    w0_full = np.maximum(w0_full, 0)
+    w0_full[:, :Tb] = w0c.astype(np.int32)
+    if dyn:
+        tab = np.zeros((ng, Tq, stride), np.int32)
+        tab[:, :, :8] = w0_full
+        tab[:, :Tb, 8] = scan.astype(np.int32)
+        tab[:, Tb:, 8] = 0  # padding tiles: zero passes (loop bound 0)
+    else:
+        tab = w0_full
+
+    real = int(prof.core_count_g[gsub].sum())
+    vregs = int(prof.vregs_g[gsub].sum())
+    return dict(
+        k=int(Tq),
+        layout="sg",
+        group_ids=gsub.astype(np.int32),
+        ja=ja.reshape(-1, LANES),
+        as_=as_.reshape(-1, LANES),
+        slab_list=np.ascontiguousarray(tab.reshape(ng, -1)),
+        slab_count=prof.V_g[gsub].astype(np.int32),
+        real_nnz=real,
+        span=int(Vq),
+        cost_passes=vregs,
+    )
+

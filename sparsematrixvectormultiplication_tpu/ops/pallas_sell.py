@@ -66,18 +66,20 @@ class DeviceSellBin:
     contig_start: int = -1  # first group id when the bin's groups are a
                             # contiguous range (enables multi-group steps)
     chunk_k: int = CHUNK_K  # sb-major chunk sublane height
+    add_into: bool = False  # accumulate onto tiles another bin wrote (sg far)
 
     def tree_flatten(self):
         return (
             (self.group_ids, self.ja, self.as_, self.slab_list, self.slab_count),
             (self.k, self.n_groups, self.layout, self.span, self.contig_start,
-             self.chunk_k),
+             self.chunk_k, self.add_into),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        k, ng, layout, span, contig, ck = aux
-        return cls(k, ng, layout, span, *children, contig_start=contig, chunk_k=ck)
+        k, ng, layout, span, contig, ck, add = aux
+        return cls(k, ng, layout, span, *children, contig_start=contig,
+                   chunk_k=ck, add_into=add)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -133,6 +135,7 @@ def device_put_sell(sell, dtype=jnp.float32, device=None):
                 slab_count=jax.device_put(jnp.asarray(b.slab_count, jnp.int32), device),
                 contig_start=contig,
                 chunk_k=int(getattr(b, "chunk_k", 8)),
+                add_into=bool(getattr(b, "add_into", False)),
             )
         )
     return DeviceSell(sell.nrows, sell.ncols, sell.nnz, sell.num_groups, bins)
@@ -414,6 +417,81 @@ def _kernel_wl(k: int, L: int, NW: int, g_per: int = 1,
     return kernel
 
 
+def _kernel_sg(T: int, V: int, g_per: int = 1, accumulate: bool = False):
+    """SG kernel — the scattered/short-row layout (formats/sg.py; TPU answer
+    to the reference's thread-per-row CUDA kernel, csr_matrix_cuda.cu:122-148).
+
+    Per (8,128) tile, entries sit at (sublane, lane) = their destination row
+    within the group, so the per-row reduction is a plain ``y += vals * gath``
+    — no scatter, no sublane reduce. The gather broadcasts rows ``w0 + v`` of
+    the x-table (one scalar-prefetched base per tile-sublane) and accumulates
+    the lane-gather under a ``doff == v`` mask, where ``ja`` packs
+    ``md = doff*128 + m``.
+
+    ``V > 0``: static unrolled passes (slab table stride 8: per-tile w0[8]).
+    ``V == 0``: per-tile dynamic pass counts (stride 9: w0[8] + count rounded
+    to a multiple of 8), scanned by a chunked rolled loop of 8 passes per
+    iteration — the k-major rolled-chunk pattern.
+    """
+    TB = T * SUBLANES
+    stride = 9 if V == 0 else 8
+
+    def kernel(gid_ref, w0_ref, cnt_ref, x_ref, ja_ref, as_ref, yin_ref, y_ref):
+        step = pl.program_id(0)
+        dtype = as_ref.dtype
+        outs = []
+        for gi in range(g_per):
+            g = step * g_per + gi
+            gbase = gi * TB
+
+            def tile_body(t, acc, _g=g, _gbase=gbase):
+                off = pl.multiple_of(_gbase, SUBLANES) + t * SUBLANES
+                md = ja_ref[pl.ds(off, SUBLANES), :]
+                vals = as_ref[pl.ds(off, SUBLANES), :]
+                m = md & (LANES - 1)
+                zero = jnp.zeros((SUBLANES, LANES), dtype)
+                if V == 1:
+                    # every entry's slab == its cell base by construction
+                    W = jnp.stack([x_ref[w0_ref[_g, t * 8 + i], :]
+                                   for i in range(SUBLANES)])
+                    gath = jnp.take_along_axis(W, m, axis=1)
+                elif V == 0:
+                    doff = md >> 7
+
+                    def chunk(c, gacc, _t=t, _g2=_g, _m=m, _d=doff):
+                        for v8 in range(8):
+                            v = c * 8 + v8
+                            W = jnp.stack([
+                                x_ref[w0_ref[_g2, _t * stride + i] + v, :]
+                                for i in range(SUBLANES)])
+                            gat = jnp.take_along_axis(W, _m, axis=1)
+                            gacc = gacc + jnp.where(_d == v, gat, 0)
+                        return gacc
+
+                    vc = w0_ref[_g, t * stride + 8]  # multiple of 8
+                    gath = jax.lax.fori_loop(0, vc // 8, chunk, zero)
+                else:
+                    doff = md >> 7
+                    gath = zero
+                    for v in range(V):  # static unroll
+                        W = jnp.stack([x_ref[w0_ref[_g, t * 8 + i] + v, :]
+                                       for i in range(SUBLANES)])
+                        gat = jnp.take_along_axis(W, m, axis=1)
+                        gath = gath + jnp.where(doff == v, gat, 0)
+                return acc + vals * gath
+
+            unroll = T if (T <= 16 and T * max(V, 1) <= 160) else 1
+            acc = jax.lax.fori_loop(
+                0, T, tile_body, jnp.zeros((SUBLANES, LANES), dtype),
+                unroll=unroll,
+            )
+            outs.append(acc)
+        out = outs[0] if g_per == 1 else jnp.concatenate(outs, axis=0)
+        y_ref[:] = (yin_ref[:] + out) if accumulate else out
+
+    return kernel
+
+
 def _bin_call(bin_: DeviceSellBin, x_tab, y, num_groups: int, interpret: bool,
               accumulate: bool = False):
     """One pallas_call for one rectangular bin, writing its groups' (8,128)
@@ -454,6 +532,8 @@ def _bin_call(bin_: DeviceSellBin, x_tab, y, num_groups: int, interpret: bool,
         kernel = _kernel_sb_list(K, bin_.span, g_per, bin_.chunk_k, accumulate)
     elif bin_.layout == "wl":
         kernel = _kernel_wl(K, bin_.span, bin_.chunk_k, g_per, accumulate)
+    elif bin_.layout == "sg":
+        kernel = _kernel_sg(K, bin_.span, g_per, accumulate)
     else:
         kernel = _kernel_k_major(K, g_per, accumulate)
 
@@ -492,6 +572,8 @@ def sell_spmv_pallas(dsell, x, *, interpret: bool = False, assembly: str = "chai
     x_tab = pack_x_table(x, dsell.ncols)
     y = jnp.zeros((dsell.num_groups * SUBLANES, LANES), dtype=x_tab.dtype)
     if assembly == "sum" and len(dsell.bins) > 1:
+        # every bin writes its own zero buffer (add_into bins included — the
+        # final sum assembles overlapping groups exactly)
         ys = [
             _bin_call(bin_, x_tab, jnp.zeros_like(y), dsell.num_groups, interpret)
             for bin_ in dsell.bins
@@ -500,7 +582,8 @@ def sell_spmv_pallas(dsell, x, *, interpret: bool = False, assembly: str = "chai
             y = y + yb
     else:
         for bin_ in dsell.bins:
-            y = _bin_call(bin_, x_tab, y, dsell.num_groups, interpret)
+            y = _bin_call(bin_, x_tab, y, dsell.num_groups, interpret,
+                          accumulate=bin_.add_into)
     return y.reshape(-1)[: dsell.nrows]
 
 

@@ -47,19 +47,21 @@ class DeviceSellBinDD:
     slab_count: jax.Array
     contig_start: int = -1
     chunk_k: int = CHUNK_K
+    add_into: bool = False
 
     def tree_flatten(self):
         return (
             (self.group_ids, self.ja, self.as_hi, self.as_lo,
              self.slab_list, self.slab_count),
             (self.k, self.n_groups, self.layout, self.span, self.contig_start,
-             self.chunk_k),
+             self.chunk_k, self.add_into),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        k, ng, layout, span, contig, ck = aux
-        return cls(k, ng, layout, span, *children, contig_start=contig, chunk_k=ck)
+        k, ng, layout, span, contig, ck, add = aux
+        return cls(k, ng, layout, span, *children, contig_start=contig,
+                   chunk_k=ck, add_into=add)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -107,6 +109,7 @@ def device_put_sell_dd(sell, device=None):
             DeviceSellBinDD(
                 contig_start=contig,
                 chunk_k=int(getattr(b, "chunk_k", 8)),
+                add_into=bool(getattr(b, "add_into", False)),
                 k=int(b.k),
                 n_groups=int(b.n_groups),
                 layout=b.layout,
@@ -369,6 +372,95 @@ def _kernel_wl_dd(k: int, L: int, NW: int, interpret: bool = False,
     return kernel
 
 
+def _kernel_sg_dd(T: int, V: int, interpret: bool = False, g_per: int = 1,
+                  accumulate: bool = False):
+    """DD twin of the SG kernel (ops/pallas_sell.py _kernel_sg): hi/lo x
+    tables gathered per window pass, double-double accumulation per tile
+    straight into the (8,128) y pair (the layout is scatter-free: entry
+    position == destination row). The per-pass masked gather sums are exact
+    (each entry matches exactly one pass), so only the tile accumulation
+    needs error-free transforms — kept rolled under interpret (XLA CPU folds
+    unrolled EFTs; Mosaic preserves them)."""
+    TB = T * SUBLANES
+    stride = 9 if V == 0 else 8
+
+    def kernel(gid_ref, w0_ref, cnt_ref, xh_ref, xl_ref, ja_ref, ah_ref, al_ref,
+               yinh_ref, yinl_ref, yh_ref, yl_ref):
+        step = pl.program_id(0)
+        outs_h, outs_l = [], []
+        for gi in range(g_per):
+            g = step * g_per + gi
+            gbase = gi * TB
+
+            def tile_body(t, carry, _g=g, _gbase=gbase):
+                acc_h, acc_l = carry
+                off = pl.multiple_of(_gbase, SUBLANES) + t * SUBLANES
+                md = ja_ref[pl.ds(off, SUBLANES), :]
+                vh = ah_ref[pl.ds(off, SUBLANES), :]
+                vl = al_ref[pl.ds(off, SUBLANES), :]
+                m = md & (LANES - 1)
+                zero = jnp.zeros((SUBLANES, LANES), jnp.float32)
+                if V == 1:
+                    Wh = jnp.stack([xh_ref[w0_ref[_g, t * 8 + i], :]
+                                    for i in range(SUBLANES)])
+                    Wl = jnp.stack([xl_ref[w0_ref[_g, t * 8 + i], :]
+                                    for i in range(SUBLANES)])
+                    g_h = jnp.take_along_axis(Wh, m, axis=1)
+                    g_l = jnp.take_along_axis(Wl, m, axis=1)
+                elif V == 0:
+                    doff = md >> 7
+
+                    def chunk(c, gg, _t=t, _g2=_g, _m=m, _d=doff):
+                        g_h, g_l = gg
+                        for v8 in range(8):
+                            v = c * 8 + v8
+                            Wh = jnp.stack([
+                                xh_ref[w0_ref[_g2, _t * stride + i] + v, :]
+                                for i in range(SUBLANES)])
+                            Wl = jnp.stack([
+                                xl_ref[w0_ref[_g2, _t * stride + i] + v, :]
+                                for i in range(SUBLANES)])
+                            mask = _d == v
+                            g_h = g_h + jnp.where(
+                                mask, jnp.take_along_axis(Wh, _m, axis=1), 0)
+                            g_l = g_l + jnp.where(
+                                mask, jnp.take_along_axis(Wl, _m, axis=1), 0)
+                        return g_h, g_l
+
+                    vc = w0_ref[_g, t * stride + 8]
+                    g_h, g_l = jax.lax.fori_loop(0, vc // 8, chunk, (zero, zero))
+                else:
+                    doff = md >> 7
+                    g_h, g_l = zero, zero
+                    for v in range(V):
+                        Wh = jnp.stack([xh_ref[w0_ref[_g, t * 8 + i] + v, :]
+                                        for i in range(SUBLANES)])
+                        Wl = jnp.stack([xl_ref[w0_ref[_g, t * 8 + i] + v, :]
+                                        for i in range(SUBLANES)])
+                        mask = doff == v
+                        g_h = g_h + jnp.where(
+                            mask, jnp.take_along_axis(Wh, m, axis=1), 0)
+                        g_l = g_l + jnp.where(
+                            mask, jnp.take_along_axis(Wl, m, axis=1), 0)
+                return _dd_chunk_accumulate(acc_h, acc_l, vh, vl, g_h, g_l)
+
+            zero = jnp.zeros((SUBLANES, LANES), jnp.float32)
+            unroll = 1 if interpret else (
+                T if (T <= 16 and T * max(V, 1) <= 160) else 1)
+            acc_h, acc_l = jax.lax.fori_loop(
+                0, T, tile_body, (zero, zero), unroll=unroll)
+            outs_h.append(acc_h)
+            outs_l.append(acc_l)
+        oh = outs_h[0] if g_per == 1 else jnp.concatenate(outs_h, axis=0)
+        ol = outs_l[0] if g_per == 1 else jnp.concatenate(outs_l, axis=0)
+        if accumulate:
+            oh, ol = dd_add_dd(yinh_ref[:], yinl_ref[:], oh, ol)
+        yh_ref[:] = oh
+        yl_ref[:] = ol
+
+    return kernel
+
+
 def _bin_call_dd(bin_, xh_tab, xl_tab, yh, yl, num_groups: int, interpret: bool,
                  accumulate: bool = False):
     from .pallas_sell import _pick_g_per
@@ -410,6 +502,8 @@ def _bin_call_dd(bin_, xh_tab, xl_tab, yh, yl, num_groups: int, interpret: bool,
     elif bin_.layout == "wl":
         kernel = _kernel_wl_dd(K, bin_.span, bin_.chunk_k, interpret, g_per,
                                accumulate)
+    elif bin_.layout == "sg":
+        kernel = _kernel_sg_dd(K, bin_.span, interpret, g_per, accumulate)
     else:
         kernel = _kernel_k_major_dd(K, interpret, g_per, accumulate)
 
@@ -491,7 +585,8 @@ def sell_spmv_pallas_dd(dsell, xh, xl, *, interpret: bool = False):
     yh = jnp.zeros((dsell.num_groups * SUBLANES, LANES), jnp.float32)
     yl = jnp.zeros_like(yh)
     for bin_ in dsell.bins:
-        yh, yl = _bin_call_dd(bin_, xh_tab, xl_tab, yh, yl, dsell.num_groups, interpret)
+        yh, yl = _bin_call_dd(bin_, xh_tab, xl_tab, yh, yl, dsell.num_groups,
+                              interpret, accumulate=bin_.add_into)
     return yh.reshape(-1)[: dsell.nrows], yl.reshape(-1)[: dsell.nrows]
 
 

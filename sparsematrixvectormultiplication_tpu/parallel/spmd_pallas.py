@@ -57,7 +57,8 @@ class SpmdSell:
 
 
 def _bin_key(b):
-    return (b.layout, int(b.k), int(b.span), int(getattr(b, "chunk_k", 8)))
+    return (b.layout, int(b.k), int(b.span), int(getattr(b, "chunk_k", 8)),
+            bool(getattr(b, "add_into", False)))
 
 
 def _pad_groups(arr_list, ng_max, pad_block):
@@ -126,13 +127,16 @@ def build_spmd_sell(
             k = _bin_key(b)
             if k not in keys:
                 keys.append(k)
-    keys.sort(key=lambda t: (t[1], t[0], t[2], t[3]))
+    # add_into bins (sg far remainders) sort LAST: the chained spmv must run
+    # them after the core bins whose tiles they accumulate onto
+    keys.sort(key=lambda t: (t[4], t[1], t[0], t[2], t[3]))
 
     stacked_bins = []
-    for layout, K, span, ck in keys:
+    for layout, K, span, ck, add_into in keys:
         per_shard = []
         for s in sells:
-            match = [b for b in s.bins if _bin_key(b) == (layout, K, span, ck)]
+            match = [b for b in s.bins
+                     if _bin_key(b) == (layout, K, span, ck, add_into)]
             per_shard.append(match[0] if match else None)
         g_max = max((b.n_groups if b else 0) for b in per_shard)
         if g_max == 0:
@@ -145,6 +149,8 @@ def build_spmd_sell(
             w = SUBLANES * (K // ck)
         elif layout == "wl":
             w = SUBLANES * ck * 8  # ck carries NW for wl bins
+        elif layout == "sg":
+            w = K * (9 if span == 0 else 8)  # per-tile w0 bases (+pass count)
         else:  # sb-list
             w = SUBLANES * (K // ck) * span
 
@@ -208,6 +214,7 @@ def build_spmd_sell(
                 slab_count=np.stack(counts),
                 contig_start=-1,   # group ids are shard-local and padded
                 chunk_k=ck,
+                add_into=add_into,
             )
         )
 
