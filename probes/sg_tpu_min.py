@@ -18,7 +18,7 @@ from sparsematrixvectormultiplication_tpu.formats.sell import SellMatrix
 from sparsematrixvectormultiplication_tpu.ops.pallas_sell import device_put_sell, sell_spmv_pallas
 from sparsematrixvectormultiplication_tpu.models import synthetic as syn
 
-sigma = True
+sigma = len(sys.argv) < 3 or sys.argv[2] != "nosig"
 if case == "road_small":
     coo = syn.road_network(50_000, seed=5)
 elif case == "uni_small":

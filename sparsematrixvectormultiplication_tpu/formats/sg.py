@@ -52,6 +52,14 @@ GROUP_ROWS = LANES * SUBLANES
 _FAR_RADIUS = 24
 _FAR_DENSITY = 12
 _MAX_FIXPOINT_ITERS = 64
+# refinement (ONE shed round): entries of over-wide cells go far when they
+# are either genuine outliers (beyond cap/2 of the cell median) or sit in
+# collision-spill tiles past the block's column-ideal tile count — the tiles
+# that hold deep-rank leftovers with diffuse columns (uniform-random rows).
+# A single round avoids the shed->repack->new-wide-cells cascade; leftover
+# wide cells land in dynamic-pass bins instead.
+_SPAN_CAP = 40
+_REFINE_ROUNDS = 2
 
 SG_DYNAMIC = 0  # SellBin.span value marking the dynamic-pass-count kernel
 
@@ -86,15 +94,26 @@ class SgProfile:
         return int(self.w0.shape[1])
 
 
-def _assign_tiles(lane_key: np.ndarray, grank: np.ndarray):
+def _assign_tiles(lane_key: np.ndarray, grank: np.ndarray,
+                  ideal_e: np.ndarray):
     """Greedy tile assignment, vectorized fixpoint.
 
     ``lane_key`` is a composite (block*128 + lane) so all blocks resolve in
-    one pass; ``grank`` is the entry's within-block column rank. Start at
-    ``t = max(within-lane rank, grank // 128)`` (column-ideal, lane-feasible)
-    and bump same-(lane, t) collisions by occurrence until none remain —
-    monotone, hence terminating; the cap only guards pathologies, falling
-    back to the always-valid within-lane rank."""
+    one pass; ``grank`` is the entry's within-block column rank; ``ideal_e``
+    the block's column-ideal tile count (ceil(entries/128)) per entry.
+
+    Seed: the column-ideal tile ``grank // 128``, lower-bounded by a
+    QUANTILE-ALIGNED row rank ``krank * idealT / c_row`` — a fat row's k-th
+    entry sits at column quantile k/c_row, so rescaling its rank to the tile
+    scale keeps its seed aligned with the columns resident in that tile
+    (plain krank systematically over-jumps for rows denser than average,
+    mixing column quantiles and blowing cell windows — measured on
+    uniform-random). Rows much denser than the block average (heavy-row
+    segments) keep plain krank: they need that many tiles anyway and the
+    rescaled seed would cascade through the collision fixpoint. Collisions
+    then bump by occurrence until none remain — monotone, hence terminating;
+    the iteration cap only guards pathologies, falling back to the
+    always-valid within-lane rank."""
     n = lane_key.size
     if n == 0:
         return np.zeros(0, np.int64)
@@ -104,9 +123,14 @@ def _assign_tiles(lane_key: np.ndarray, grank: np.ndarray):
     new[1:] = ls[1:] != ls[:-1]
     starts = np.flatnonzero(new)
     run_id = np.cumsum(new) - 1
+    run_len = np.diff(np.concatenate([starts, [n]]))
     krank = np.empty(n, np.int64)
     krank[sidx] = np.arange(n) - starts[run_id]
-    t = np.maximum(krank, grank // LANES)
+    c_row = np.empty(n, np.int64)
+    c_row[sidx] = run_len[run_id]
+    kq = krank * ideal_e // np.maximum(c_row, 1)
+    rank_seed = np.where(c_row > 2 * ideal_e, krank, kq)
+    t = np.maximum(rank_seed, grank // LANES)
     for _ in range(_MAX_FIXPOINT_ITERS):
         key = lane_key * np.int64(t.max() + 2) + t
         sidx = np.lexsort((np.arange(n), key))
@@ -148,21 +172,90 @@ def sg_profile(
     order = np.lexsort((slab, blk))
     blk_o = blk[order]
     slab_o = slab[order]
-    new = np.ones(nnz, bool) if nnz else np.zeros(0, bool)
-    if nnz:
-        new[1:] = blk_o[1:] != blk_o[:-1]
-    bstart = np.flatnonzero(new)
-    run_id = np.cumsum(new) - 1 if nnz else new.astype(np.int64)
-    bend = np.concatenate([bstart[1:], [nnz]]) if nnz else bstart
-    lo = bstart[run_id]
-    hi = bend[run_id]
-    # neighbors within +-far_radius slabs inside the block (slab_o is sorted
-    # per block; clip the binary search to the block's own range)
-    left = np.searchsorted(slab_o, slab_o - far_radius, side="left")
-    right = np.searchsorted(slab_o, slab_o + far_radius, side="right")
-    dens = np.minimum(right, hi) - np.maximum(left, lo)
+    # neighbors within +-far_radius slabs inside the OWN block: search on a
+    # block-strided composite key (globally sorted by construction); the
+    # stride leaves a gap wider than the radius so searches never bleed into
+    # neighboring blocks
+    stride = np.int64(Rp + 2 * far_radius + 2)
+    key = blk_o * stride + slab_o
+    left = np.searchsorted(key, blk_o * stride + slab_o - far_radius,
+                           side="left")
+    right = np.searchsorted(key, blk_o * stride + slab_o + far_radius,
+                            side="right")
+    dens = right - left
     far_o = dens < far_density
 
+    # ---- core assignment (per block, column order), with span refinement:
+    # cells wider than the static-unroll budget shed outliers to `far` and
+    # the packing is redone (the far set only grows -> terminates) ----
+    keep = ~far_o
+    for _round in range(_REFINE_ROUNDS):
+        blk_c = blk_o[keep]
+        slab_c = slab_o[keep]
+        src_c = order[keep]          # CSR position of each core entry
+        nc = blk_c.size
+        new = np.ones(nc, bool) if nc else np.zeros(0, bool)
+        if nc:
+            new[1:] = blk_c[1:] != blk_c[:-1]
+        starts = np.flatnonzero(new)
+        run_id = np.cumsum(new) - 1 if nc else new.astype(np.int64)
+        within = np.arange(nc) - starts[run_id] if nc else np.zeros(0, np.int64)
+        lane_c = rows[src_c] & (LANES - 1)
+        blk_len = np.diff(np.concatenate([starts, [nc]])) if nc else starts
+        ideal_e = -(-blk_len[run_id] // LANES) if nc else within
+        t_c = _assign_tiles(blk_c * LANES + lane_c, within, ideal_e)
+
+        g_c = blk_c >> 3
+        sig_c = blk_c & 7
+
+        T_g = np.ones(num_groups, np.int64)
+        if nc:
+            np.maximum.at(T_g, g_c, t_c + 1)
+        t_max = int(T_g.max()) if num_groups else 1
+
+        # per-cell windows: w0[g, t, sigma], passes[g, t]
+        w0 = np.full((num_groups, t_max, SUBLANES), Rp - 1, np.int64)
+        cmax = np.zeros((num_groups, t_max, SUBLANES), np.int64)
+        cell = np.zeros(0, np.int64)
+        if nc:
+            cell = (g_c * t_max + t_c) * SUBLANES + sig_c
+            w0_flat = np.full(num_groups * t_max * SUBLANES, np.int64(Rp - 1))
+            np.minimum.at(w0_flat, cell, slab_c)
+            cm_flat = np.zeros(num_groups * t_max * SUBLANES, np.int64)
+            np.maximum.at(cm_flat, cell, slab_c)
+            w0 = w0_flat.reshape(num_groups, t_max, SUBLANES)
+            cmax = cm_flat.reshape(num_groups, t_max, SUBLANES)
+
+        if _round == _REFINE_ROUNDS - 1 or nc == 0:
+            break
+        span_c = (cmax - w0 + 1).reshape(-1)[cell]  # per-entry cell span
+        if span_c.max(initial=0) <= _SPAN_CAP:
+            break
+        # per-cell median slab (outlier threshold anchor)
+        o2 = np.lexsort((slab_c, cell))
+        cs = cell[o2]
+        newc = np.ones(nc, bool)
+        newc[1:] = cs[1:] != cs[:-1]
+        cstart = np.flatnonzero(newc)
+        crun = np.cumsum(newc) - 1
+        ccnt = np.diff(np.concatenate([cstart, [nc]]))
+        med_sorted = slab_c[o2][cstart + ccnt // 2]
+        med_c = np.empty(nc, np.int64)
+        med_c[o2] = med_sorted[crun]
+        # block's column-ideal tile count (entries/128): tiles past it + a
+        # margin exist only from rank/collision spill
+        cnt_blk = np.bincount(blk_c, minlength=num_groups * SUBLANES)
+        ideal_blk = -(-cnt_blk // LANES)
+        offender = (span_c > _SPAN_CAP) & (
+            (np.abs(slab_c - med_c) > _SPAN_CAP // 2)
+            | (t_c >= ideal_blk[blk_c] + 2)
+        )
+        if not offender.any():
+            break
+        keep_idx = np.flatnonzero(keep)
+        keep[keep_idx[offender]] = False
+
+    far_o = ~keep
     inv_order = np.empty(nnz, np.int64)
     inv_order[order] = np.arange(nnz)
     far = far_o[inv_order]  # CSR-order mask
@@ -170,41 +263,6 @@ def sg_profile(
     far_rows = rows_of_entries[far]
     far_cols = col_idx[far]
     far_vals = values[far]
-
-    # ---- core assignment (per block, column order) ----
-    keep = ~far_o
-    blk_c = blk_o[keep]
-    slab_c = slab_o[keep]
-    src_c = order[keep]          # CSR position of each core entry
-    nc = blk_c.size
-    new = np.ones(nc, bool) if nc else np.zeros(0, bool)
-    if nc:
-        new[1:] = blk_c[1:] != blk_c[:-1]
-    starts = np.flatnonzero(new)
-    run_id = np.cumsum(new) - 1 if nc else new.astype(np.int64)
-    within = np.arange(nc) - starts[run_id] if nc else np.zeros(0, np.int64)
-    lane_c = rows[src_c] & (LANES - 1)
-    t_c = _assign_tiles(blk_c * LANES + lane_c, within)
-
-    g_c = blk_c >> 3
-    sig_c = blk_c & 7
-
-    T_g = np.ones(num_groups, np.int64)
-    if nc:
-        np.maximum.at(T_g, g_c, t_c + 1)
-    t_max = int(T_g.max()) if num_groups else 1
-
-    # ---- per-cell windows: w0[g, t, sigma], passes[g, t] ----
-    w0 = np.full((num_groups, t_max, SUBLANES), Rp - 1, np.int32)
-    cmax = np.zeros((num_groups, t_max, SUBLANES), np.int64)
-    if nc:
-        cell = (g_c * t_max + t_c) * SUBLANES + sig_c
-        w0_flat = np.full(num_groups * t_max * SUBLANES, np.int64(Rp - 1))
-        np.minimum.at(w0_flat, cell, slab_c)
-        cm_flat = np.zeros(num_groups * t_max * SUBLANES, np.int64)
-        np.maximum.at(cm_flat, cell, slab_c)
-        w0 = w0_flat.reshape(num_groups, t_max, SUBLANES).astype(np.int64)
-        cmax = cm_flat.reshape(num_groups, t_max, SUBLANES)
     # pass count per tile = max over its cells of (cmax - w0 + 1); empty
     # cells (w0 = Rp-1, cmax = 0) contribute <= 0 -> at least 1
     span_cell = np.maximum(cmax - w0 + 1, 0)

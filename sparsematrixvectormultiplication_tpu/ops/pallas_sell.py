@@ -67,19 +67,26 @@ class DeviceSellBin:
                             # contiguous range (enables multi-group steps)
     chunk_k: int = CHUNK_K  # sb-major chunk sublane height
     add_into: bool = False  # accumulate onto tiles another bin wrote (sg far)
+    resident_g_per: int = 0  # >1: resident-y mode — whole y stays one VMEM
+                             # window, each grid step serves this many groups
+                             # via predicated dynamic writes (group_ids padded
+                             # with -1). Fixes the per-step overhead of tiny
+                             # non-contiguous bins (sigma-sorted scattered
+                             # matrices fragment group ids, forcing g_per=1
+                             # revolving tiles of a few KB).
 
     def tree_flatten(self):
         return (
             (self.group_ids, self.ja, self.as_, self.slab_list, self.slab_count),
             (self.k, self.n_groups, self.layout, self.span, self.contig_start,
-             self.chunk_k, self.add_into),
+             self.chunk_k, self.add_into, self.resident_g_per),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        k, ng, layout, span, contig, ck, add = aux
+        k, ng, layout, span, contig, ck, add, res = aux
         return cls(k, ng, layout, span, *children, contig_start=contig,
-                   chunk_k=ck, add_into=add)
+                   chunk_k=ck, add_into=add, resident_g_per=res)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -115,6 +122,7 @@ def device_put_sell(sell, dtype=jnp.float32, device=None):
             f"{_MAX_UPLOAD_BYTES/2**20:.0f} MiB — uploads this large crash "
             "the tunneled TPU worker (sigma-sort or coarser guards needed)")
     bins = []
+    itemsize = jnp.dtype(dtype).itemsize
     for b in sell.bins:
         gids = np.asarray(b.group_ids, np.int64)
         contig = (
@@ -122,20 +130,29 @@ def device_put_sell(sell, dtype=jnp.float32, device=None):
             if gids.size and np.array_equal(gids, gids[0] + np.arange(gids.size))
             else -1
         )
+        res_g_per, padded = _resident_pad(b, sell.num_groups, itemsize)
+        if padded is not None:
+            gid_h, ja_h, as_h, sl_h, cnt_h = padded
+            ng_dev = gid_h.size
+        else:
+            gid_h, ja_h, as_h, sl_h, cnt_h = (
+                b.group_ids, b.ja, b.as_, b.slab_list, b.slab_count)
+            ng_dev = int(b.n_groups)
         bins.append(
             DeviceSellBin(
                 k=int(b.k),
-                n_groups=int(b.n_groups),
+                n_groups=ng_dev,
                 layout=b.layout,
                 span=int(b.span),
-                group_ids=jax.device_put(jnp.asarray(b.group_ids, jnp.int32), device),
-                ja=jax.device_put(jnp.asarray(b.ja, jnp.int32), device),
-                as_=jax.device_put(jnp.asarray(b.as_, dtype), device),
-                slab_list=jax.device_put(jnp.asarray(b.slab_list, jnp.int32), device),
-                slab_count=jax.device_put(jnp.asarray(b.slab_count, jnp.int32), device),
+                group_ids=jax.device_put(jnp.asarray(gid_h, jnp.int32), device),
+                ja=jax.device_put(jnp.asarray(ja_h, jnp.int32), device),
+                as_=jax.device_put(jnp.asarray(as_h, dtype), device),
+                slab_list=jax.device_put(jnp.asarray(sl_h, jnp.int32), device),
+                slab_count=jax.device_put(jnp.asarray(cnt_h, jnp.int32), device),
                 contig_start=contig,
                 chunk_k=int(getattr(b, "chunk_k", 8)),
                 add_into=bool(getattr(b, "add_into", False)),
+                resident_g_per=res_g_per,
             )
         )
     return DeviceSell(sell.nrows, sell.ncols, sell.nnz, sell.num_groups, bins)
@@ -143,6 +160,49 @@ def device_put_sell(sell, dtype=jnp.float32, device=None):
 
 # v5e VMEM is 128 MiB; the x table plus double-buffered entry tiles must fit.
 _X_TABLE_VMEM_BUDGET = 96 * 1024 * 1024
+# resident-y mode: the whole (num_groups*8, 128) y buffer lives in VMEM for
+# the bin's entire grid (constant output index_map), so non-contiguous bins
+# can process many groups per step with predicated dynamic-offset writes
+_RESIDENT_Y_BYTES = 16 * 1024 * 1024
+_RESIDENT_LAYOUTS = ("k-major", "sg")
+
+
+def _resident_pad(b, num_groups: int, value_itemsize: int):
+    """Pick the resident-mode g_per for a host bin (0 = stay revolving) and
+    return (g_per, padded host arrays). Pads group lists to a multiple of
+    g_per with gid = -1 (the kernels predicate the write off)."""
+    ng = int(b.n_groups)
+    if (
+        b.layout not in _RESIDENT_LAYOUTS
+        or ng < 4
+        or num_groups * SUBLANES * LANES * value_itemsize > _RESIDENT_Y_BYTES
+    ):
+        return 0, None
+    gids = np.asarray(b.group_ids, np.int64)
+    if gids.size and np.array_equal(gids, gids[0] + np.arange(gids.size)):
+        return 0, None  # contiguous bins already get multi-group steps
+    per_group = int(b.k) * SUBLANES * LANES * (4 + value_itemsize)
+    g_per = int(min(16, max(1, _MAX_STEP_BYTES // max(per_group, 1))))
+    if g_per <= 1:
+        return 0, None
+    ng_p = -(-ng // g_per) * g_per
+    pad = ng_p - ng
+    gid_p = np.concatenate([gids.astype(np.int32),
+                            np.full(pad, -1, np.int32)])
+    kb = int(b.k) * SUBLANES
+    ja_p = np.concatenate(
+        [b.ja, np.zeros((pad * kb, LANES), b.ja.dtype)]) if pad else b.ja
+    as_p = np.concatenate(
+        [b.as_, np.zeros((pad * kb, LANES), b.as_.dtype)]) if pad else b.as_
+    sl = np.asarray(b.slab_list)
+    if sl.ndim == 1:
+        sl = sl.reshape(ng, -1)
+    sl_p = np.concatenate(
+        [sl, np.zeros((pad, sl.shape[1]), sl.dtype)]) if pad else sl
+    cnt_p = np.concatenate(
+        [np.asarray(b.slab_count, np.int32), np.zeros(pad, np.int32)]) \
+        if pad else np.asarray(b.slab_count, np.int32)
+    return g_per, (gid_p, ja_p, as_p, sl_p, cnt_p)
 # total device-array budget per structure: the observed worker-killers were
 # ~1.4 GB SINGLE arrays (xla_csr, HLL repack); many-array SELL structures up
 # to ~1.9 GB uploaded fine in r1 (119M-nnz dd) — budget set between
@@ -181,16 +241,15 @@ def pack_x_table(x, ncols: int):
 # ---------------------------------------------------------------------------
 
 
-def _kernel_k_major(k: int, g_per: int = 1, accumulate: bool = False):
+def _kernel_k_major(k: int, g_per: int = 1, accumulate: bool = False,
+                    resident: bool = False):
     KB = k * SUBLANES
 
     def kernel(gid_ref, slab_ref, cnt_ref, x_ref, ja_ref, as_ref, yin_ref, y_ref):
         step = pl.program_id(0)
-        outs = []
-        for gi in range(g_per):  # static: groups per grid step
-            g = step * g_per + gi
-            base = gi * KB
-            ja = ja_ref[base : base + KB, :]
+
+        def group_acc(g, base):
+            ja = ja_ref[pl.ds(base, KB), :]
             q = ja >> 7              # // 128
             m = ja & (LANES - 1)     # % 128
             nslab = cnt_ref[g]
@@ -214,7 +273,7 @@ def _kernel_k_major(k: int, g_per: int = 1, accumulate: bool = False):
             gath = jax.lax.fori_loop(
                 0, (nslab + 7) // 8, body, jnp.zeros((KB, LANES), as_ref.dtype)
             )
-            acc = as_ref[base : base + KB, :] * gath
+            acc = as_ref[pl.ds(base, KB), :] * gath
             # per-row reduction: out[i,j] = sum_k acc[k*8+i, j]
             if k <= _UNROLL_MAX:
                 red = acc[0:SUBLANES, :]
@@ -234,7 +293,40 @@ def _kernel_k_major(k: int, g_per: int = 1, accumulate: bool = False):
                 red = pl.run_scoped(
                     scoped_red, pltpu.VMEM((KB, LANES), acc.dtype)
                 )
-            outs.append(red)
+            return red
+
+        if resident:
+            # resident-y: whole y window stays in VMEM (constant index_map);
+            # a rolled loop serves g_per groups per step, each writing its
+            # (8,128) tile at a dynamic offset, predicated off for the -1
+            # padding groups. The window must be seeded from the aliased
+            # input once — rows this bin never writes are stored back at
+            # grid end and would otherwise clobber earlier bins' tiles.
+            @pl.when(step == 0)
+            def _():
+                y_ref[:] = yin_ref[:]
+
+            def gbody(gi, _):
+                g = step * g_per + gi
+                red = group_acc(g, gi * KB)
+                gid = gid_ref[g]
+
+                @pl.when(gid >= 0)
+                def _():
+                    r = pl.multiple_of(gid * SUBLANES, SUBLANES)
+                    if accumulate:
+                        y_ref[pl.ds(r, SUBLANES), :] = \
+                            y_ref[pl.ds(r, SUBLANES), :] + red
+                    else:
+                        y_ref[pl.ds(r, SUBLANES), :] = red
+                return 0
+
+            jax.lax.fori_loop(0, g_per, gbody, 0)
+            return
+
+        outs = []
+        for gi in range(g_per):  # static: groups per grid step
+            outs.append(group_acc(step * g_per + gi, gi * KB))
         out = outs[0] if g_per == 1 else jnp.concatenate(outs, axis=0)
         # column-panel accumulation: later panels add onto the aliased y tile
         y_ref[:] = (yin_ref[:] + out) if accumulate else out
@@ -417,7 +509,8 @@ def _kernel_wl(k: int, L: int, NW: int, g_per: int = 1,
     return kernel
 
 
-def _kernel_sg(T: int, V: int, g_per: int = 1, accumulate: bool = False):
+def _kernel_sg(T: int, V: int, g_per: int = 1, accumulate: bool = False,
+               resident: bool = False):
     """SG kernel — the scattered/short-row layout (formats/sg.py; TPU answer
     to the reference's thread-per-row CUDA kernel, csr_matrix_cuda.cu:122-148).
 
@@ -439,11 +532,8 @@ def _kernel_sg(T: int, V: int, g_per: int = 1, accumulate: bool = False):
     def kernel(gid_ref, w0_ref, cnt_ref, x_ref, ja_ref, as_ref, yin_ref, y_ref):
         step = pl.program_id(0)
         dtype = as_ref.dtype
-        outs = []
-        for gi in range(g_per):
-            g = step * g_per + gi
-            gbase = gi * TB
 
+        def group_acc(g, gbase):
             def tile_body(t, acc, _g=g, _gbase=gbase):
                 off = pl.multiple_of(_gbase, SUBLANES) + t * SUBLANES
                 md = ja_ref[pl.ds(off, SUBLANES), :]
@@ -480,12 +570,40 @@ def _kernel_sg(T: int, V: int, g_per: int = 1, accumulate: bool = False):
                         gath = gath + jnp.where(doff == v, gat, 0)
                 return acc + vals * gath
 
-            unroll = T if (T <= 16 and T * max(V, 1) <= 160) else 1
-            acc = jax.lax.fori_loop(
+            # keep bodies bounded: full unroll only while the step's total
+            # unrolled pass count stays within the Mosaic compile budget
+            unroll = T if (T <= 16 and g_per * T * max(V, 1) <= 160) else 1
+            return jax.lax.fori_loop(
                 0, T, tile_body, jnp.zeros((SUBLANES, LANES), dtype),
                 unroll=unroll,
             )
-            outs.append(acc)
+
+        if resident:
+            @pl.when(step == 0)
+            def _():
+                y_ref[:] = yin_ref[:]  # seed: see _kernel_k_major resident
+
+            def gbody(gi, _):
+                g = step * g_per + gi
+                acc = group_acc(g, gi * TB)
+                gid = gid_ref[g]
+
+                @pl.when(gid >= 0)
+                def _():
+                    r = pl.multiple_of(gid * SUBLANES, SUBLANES)
+                    if accumulate:
+                        y_ref[pl.ds(r, SUBLANES), :] = \
+                            y_ref[pl.ds(r, SUBLANES), :] + acc
+                    else:
+                        y_ref[pl.ds(r, SUBLANES), :] = acc
+                return 0
+
+            jax.lax.fori_loop(0, g_per, gbody, 0)
+            return
+
+        outs = []
+        for gi in range(g_per):
+            outs.append(group_acc(step * g_per + gi, gi * TB))
         out = outs[0] if g_per == 1 else jnp.concatenate(outs, axis=0)
         y_ref[:] = (yin_ref[:] + out) if accumulate else out
 
@@ -499,14 +617,25 @@ def _bin_call(bin_: DeviceSellBin, x_tab, y, num_groups: int, interpret: bool,
     Contiguous bins process ``g_per`` groups per grid step for DMA
     efficiency (≙ reference block-size tuning, main_cuda.cu occupancy)."""
     ng, K = bin_.n_groups, bin_.k
-    g_per = _pick_g_per(bin_)
+    resident = int(getattr(bin_, "resident_g_per", 0) or 0)
+    g_per = resident if resident > 1 else _pick_g_per(bin_)
     KB = K * SUBLANES * g_per
     R = x_tab.shape[0]
 
-    if g_per == 1:
+    if resident > 1:
+        # resident-y: one constant output window holds the whole y buffer;
+        # groups write their tiles at dynamic offsets (see _kernel_* resident)
+        yrows = y.shape[0]
+        out_map_spec = pl.BlockSpec((yrows, LANES), lambda g, *refs: (0, 0),
+                                    memory_space=pltpu.VMEM)
+    elif g_per == 1:
         out_map = lambda g, refs0, refs1, refs2: (refs0[g], 0)
+        out_map_spec = pl.BlockSpec((SUBLANES, LANES), out_map,
+                                    memory_space=pltpu.VMEM)
     else:
         out_map = lambda g, refs0, refs1, refs2: (refs0[g * g_per] // g_per, 0)
+        out_map_spec = pl.BlockSpec((SUBLANES * g_per, LANES), out_map,
+                                    memory_space=pltpu.VMEM)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,  # group_ids, slab_list/qbase, slab_count
@@ -515,15 +644,11 @@ def _bin_call(bin_: DeviceSellBin, x_tab, y, num_groups: int, interpret: bool,
             pl.BlockSpec((R, LANES), lambda g, *refs: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((KB, LANES), lambda g, *refs: (g, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((KB, LANES), lambda g, *refs: (g, 0), memory_space=pltpu.VMEM),
-            # the aliased y input: same mapping as the output so the revolving
-            # window holds the tile we overwrite
-            pl.BlockSpec(
-                (SUBLANES * g_per, LANES), out_map, memory_space=pltpu.VMEM
-            ),
+            # the aliased y input: same mapping as the output so the window
+            # holds what we overwrite (revolving tile, or the whole buffer)
+            out_map_spec,
         ],
-        out_specs=pl.BlockSpec(
-            (SUBLANES * g_per, LANES), out_map, memory_space=pltpu.VMEM
-        ),
+        out_specs=out_map_spec,
     )
 
     if bin_.layout == "sb-major":
@@ -533,9 +658,10 @@ def _bin_call(bin_: DeviceSellBin, x_tab, y, num_groups: int, interpret: bool,
     elif bin_.layout == "wl":
         kernel = _kernel_wl(K, bin_.span, bin_.chunk_k, g_per, accumulate)
     elif bin_.layout == "sg":
-        kernel = _kernel_sg(K, bin_.span, g_per, accumulate)
+        kernel = _kernel_sg(K, bin_.span, g_per, accumulate,
+                            resident=resident > 1)
     else:
-        kernel = _kernel_k_major(K, g_per, accumulate)
+        kernel = _kernel_k_major(K, g_per, accumulate, resident=resident > 1)
 
     return pl.pallas_call(
         kernel,

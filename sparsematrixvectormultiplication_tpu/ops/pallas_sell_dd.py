@@ -48,20 +48,21 @@ class DeviceSellBinDD:
     contig_start: int = -1
     chunk_k: int = CHUNK_K
     add_into: bool = False
+    resident_g_per: int = 0  # see ops/pallas_sell.py DeviceSellBin
 
     def tree_flatten(self):
         return (
             (self.group_ids, self.ja, self.as_hi, self.as_lo,
              self.slab_list, self.slab_count),
             (self.k, self.n_groups, self.layout, self.span, self.contig_start,
-             self.chunk_k, self.add_into),
+             self.chunk_k, self.add_into, self.resident_g_per),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        k, ng, layout, span, contig, ck, add = aux
+        k, ng, layout, span, contig, ck, add, res = aux
         return cls(k, ng, layout, span, *children, contig_start=contig,
-                   chunk_k=ck, add_into=add)
+                   chunk_k=ck, add_into=add, resident_g_per=res)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -96,30 +97,42 @@ def device_put_sell_dd(sell, device=None):
         raise MemoryError(
             f"dd SELL device arrays {total/2**20:.0f} MiB > "
             f"{_MAX_UPLOAD_BYTES/2**20:.0f} MiB — worker-crash guard")
+    from .pallas_sell import _resident_pad
+
     bins = []
     for b in sell.bins:
-        hi, lo = split_f64(np.asarray(b.as_, np.float64))
         gids = np.asarray(b.group_ids, np.int64)
         contig = (
             int(gids[0])
             if gids.size and np.array_equal(gids, gids[0] + np.arange(gids.size))
             else -1
         )
+        # itemsize 8: the dd y pair (hi, lo) doubles the resident-y budget use
+        res_g_per, padded = _resident_pad(b, sell.num_groups, 8)
+        if padded is not None:
+            gid_h, ja_h, as_h, sl_h, cnt_h = padded
+            ng_dev = gid_h.size
+        else:
+            gid_h, ja_h, as_h, sl_h, cnt_h = (
+                b.group_ids, b.ja, b.as_, b.slab_list, b.slab_count)
+            ng_dev = int(b.n_groups)
+        hi, lo = split_f64(np.asarray(as_h, np.float64))
         bins.append(
             DeviceSellBinDD(
                 contig_start=contig,
                 chunk_k=int(getattr(b, "chunk_k", 8)),
                 add_into=bool(getattr(b, "add_into", False)),
+                resident_g_per=res_g_per,
                 k=int(b.k),
-                n_groups=int(b.n_groups),
+                n_groups=ng_dev,
                 layout=b.layout,
                 span=int(b.span),
-                group_ids=jax.device_put(jnp.asarray(b.group_ids, jnp.int32), device),
-                ja=jax.device_put(jnp.asarray(b.ja, jnp.int32), device),
+                group_ids=jax.device_put(jnp.asarray(gid_h, jnp.int32), device),
+                ja=jax.device_put(jnp.asarray(ja_h, jnp.int32), device),
                 as_hi=jax.device_put(jnp.asarray(hi), device),
                 as_lo=jax.device_put(jnp.asarray(lo), device),
-                slab_list=jax.device_put(jnp.asarray(b.slab_list, jnp.int32), device),
-                slab_count=jax.device_put(jnp.asarray(b.slab_count, jnp.int32), device),
+                slab_list=jax.device_put(jnp.asarray(sl_h, jnp.int32), device),
+                slab_count=jax.device_put(jnp.asarray(cnt_h, jnp.int32), device),
             )
         )
     return DeviceSellDD(sell.nrows, sell.ncols, sell.nnz, sell.num_groups, bins)
@@ -258,17 +271,15 @@ def _kernel_sb_list_dd(k: int, span: int, interpret: bool = False, g_per: int = 
 
 
 def _kernel_k_major_dd(k: int, interpret: bool = False, g_per: int = 1,
-                       accumulate: bool = False):
+                       accumulate: bool = False, resident: bool = False):
     KB = k * SUBLANES
 
     def kernel(gid_ref, slab_ref, cnt_ref, xh_ref, xl_ref, ja_ref, ah_ref, al_ref,
                yinh_ref, yinl_ref, yh_ref, yl_ref):
         step = pl.program_id(0)
-        outs_h, outs_l = [], []
-        for gi in range(g_per):
-          g = step * g_per + gi
-          base = gi * KB
-          ja = ja_ref[base : base + KB, :]
+
+        def group_acc(g, base):
+          ja = ja_ref[pl.ds(base, KB), :]
           q = ja >> 7
           m = ja & (LANES - 1)
           nslab = cnt_ref[g]
@@ -288,8 +299,8 @@ def _kernel_k_major_dd(k: int, interpret: bool = False, g_per: int = 1,
           g_h, g_l = jax.lax.fori_loop(0, (nslab + 7) // 8, body, (zero, zero))
 
           # dd product per entry, then dd reduction over the K slices
-          vh = ah_ref[base : base + KB, :]
-          vl = al_ref[base : base + KB, :]
+          vh = ah_ref[pl.ds(base, KB), :]
+          vl = al_ref[pl.ds(base, KB), :]
           ph, pe = two_prod(vh, g_h)
           pl_ = pe + (vh * g_l + vl * g_h)
           zero = jnp.zeros((SUBLANES, LANES), jnp.float32)
@@ -307,8 +318,40 @@ def _kernel_k_major_dd(k: int, interpret: bool = False, g_per: int = 1,
             for kk in range(k):
                 sl = slice(kk * SUBLANES, (kk + 1) * SUBLANES)
                 acc_h, acc_l = dd_add_dd(acc_h, acc_l, ph[sl, :], pl_[sl, :])
-          outs_h.append(acc_h)
-          outs_l.append(acc_l)
+          return acc_h, acc_l
+
+        if resident:
+            @pl.when(step == 0)
+            def _():
+                yh_ref[:] = yinh_ref[:]  # seed: see f32 twin resident note
+                yl_ref[:] = yinl_ref[:]
+
+            def gbody(gi, _):
+                g = step * g_per + gi
+                acc_h, acc_l = group_acc(g, gi * KB)
+                gid = gid_ref[g]
+
+                @pl.when(gid >= 0)
+                def _():
+                    r = pl.multiple_of(gid * SUBLANES, SUBLANES)
+                    if accumulate:
+                        oh, ol = dd_add_dd(yh_ref[pl.ds(r, SUBLANES), :],
+                                           yl_ref[pl.ds(r, SUBLANES), :],
+                                           acc_h, acc_l)
+                    else:
+                        oh, ol = acc_h, acc_l
+                    yh_ref[pl.ds(r, SUBLANES), :] = oh
+                    yl_ref[pl.ds(r, SUBLANES), :] = ol
+                return 0
+
+            jax.lax.fori_loop(0, g_per, gbody, 0)
+            return
+
+        outs_h, outs_l = [], []
+        for gi in range(g_per):
+            acc_h, acc_l = group_acc(step * g_per + gi, gi * KB)
+            outs_h.append(acc_h)
+            outs_l.append(acc_l)
         oh = outs_h[0] if g_per == 1 else jnp.concatenate(outs_h, axis=0)
         ol = outs_l[0] if g_per == 1 else jnp.concatenate(outs_l, axis=0)
         if accumulate:
@@ -373,7 +416,7 @@ def _kernel_wl_dd(k: int, L: int, NW: int, interpret: bool = False,
 
 
 def _kernel_sg_dd(T: int, V: int, interpret: bool = False, g_per: int = 1,
-                  accumulate: bool = False):
+                  accumulate: bool = False, resident: bool = False):
     """DD twin of the SG kernel (ops/pallas_sell.py _kernel_sg): hi/lo x
     tables gathered per window pass, double-double accumulation per tile
     straight into the (8,128) y pair (the layout is scatter-free: entry
@@ -387,11 +430,8 @@ def _kernel_sg_dd(T: int, V: int, interpret: bool = False, g_per: int = 1,
     def kernel(gid_ref, w0_ref, cnt_ref, xh_ref, xl_ref, ja_ref, ah_ref, al_ref,
                yinh_ref, yinl_ref, yh_ref, yl_ref):
         step = pl.program_id(0)
-        outs_h, outs_l = [], []
-        for gi in range(g_per):
-            g = step * g_per + gi
-            gbase = gi * TB
 
+        def group_acc(g, gbase):
             def tile_body(t, carry, _g=g, _gbase=gbase):
                 acc_h, acc_l = carry
                 off = pl.multiple_of(_gbase, SUBLANES) + t * SUBLANES
@@ -446,9 +486,40 @@ def _kernel_sg_dd(T: int, V: int, interpret: bool = False, g_per: int = 1,
 
             zero = jnp.zeros((SUBLANES, LANES), jnp.float32)
             unroll = 1 if interpret else (
-                T if (T <= 16 and T * max(V, 1) <= 160) else 1)
-            acc_h, acc_l = jax.lax.fori_loop(
+                T if (T <= 16 and g_per * T * max(V, 1) <= 160) else 1)
+            return jax.lax.fori_loop(
                 0, T, tile_body, (zero, zero), unroll=unroll)
+
+        if resident:
+            @pl.when(step == 0)
+            def _():
+                yh_ref[:] = yinh_ref[:]  # seed: see f32 twin resident note
+                yl_ref[:] = yinl_ref[:]
+
+            def gbody(gi, _):
+                g = step * g_per + gi
+                acc_h, acc_l = group_acc(g, gi * TB)
+                gid = gid_ref[g]
+
+                @pl.when(gid >= 0)
+                def _():
+                    r = pl.multiple_of(gid * SUBLANES, SUBLANES)
+                    if accumulate:
+                        oh, ol = dd_add_dd(yh_ref[pl.ds(r, SUBLANES), :],
+                                           yl_ref[pl.ds(r, SUBLANES), :],
+                                           acc_h, acc_l)
+                    else:
+                        oh, ol = acc_h, acc_l
+                    yh_ref[pl.ds(r, SUBLANES), :] = oh
+                    yl_ref[pl.ds(r, SUBLANES), :] = ol
+                return 0
+
+            jax.lax.fori_loop(0, g_per, gbody, 0)
+            return
+
+        outs_h, outs_l = [], []
+        for gi in range(g_per):
+            acc_h, acc_l = group_acc(step * g_per + gi, gi * TB)
             outs_h.append(acc_h)
             outs_l.append(acc_l)
         oh = outs_h[0] if g_per == 1 else jnp.concatenate(outs_h, axis=0)
