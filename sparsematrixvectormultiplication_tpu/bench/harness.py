@@ -265,14 +265,24 @@ def run_matrix(
             sell = SellMatrix.from_csr(csr_k, sigma_sort=True, **kw)
         return sell
 
-    # ultra-heavy rows (power-law heads) split into <=1024-entry segments;
+    # ultra-heavy rows (power-law heads) split into <=cap-entry segments;
     # the kernels' output is reduced back with an on-device segment_sum
     # (classic row-splitting; the reference has no answer here — its HLL
     # collapses to 0.21 GFLOPS on webbase-1M, BASELINE.md)
     # cap 256: k-major kernels materialize (K*8,128) tile temporaries, and
     # K=1024 bins (~3k vregs) crash the Mosaic compile helper; K<=256 is the
-    # regime the kernels are proven to compile in
-    csr_k, seg_map = csr.split_heavy_rows(256)
+    # regime the kernels are proven to compile in.
+    # Short-row-dominated (scattered) matrices split much finer: the SG
+    # shared-window layout (formats/sg.py) needs a row's entries per column
+    # region to be ~1, or dense rows cascade through the tile precedence and
+    # poison window spans — 16-entry segments behave like ordinary short rows
+    # (≙ the reference's thread-per-row regime, csr_matrix_cuda.cu:122-148)
+    med_nnz = float(np.median(csr.row_nnz())) if M else 0.0
+    split_cap = 16 if med_nnz <= 24 else 256
+    # strided for the scattered regime: consecutive-column segments would
+    # concentrate a dense row's entries in one SG window (formats/csr.py)
+    csr_k, seg_map = csr.split_heavy_rows(split_cap,
+                                          strided=split_cap < 256)
     if seg_map is not None:
         log(f"[{name}] split {csr_k.nrows - M} heavy-row segments "
             f"(rows {M} -> {csr_k.nrows})")
@@ -376,12 +386,19 @@ def run_matrix(
       try:
         from ..ops.pallas_sell_dd import device_put_sell_dd, sell_spmv_pallas_dd
 
-        dsell_dd = device_put_sell_dd(sell)
+        sell_dd = sell
+        if any(getattr(b, "sg_slots", False) for b in getattr(sell, "bins", [])):
+            # slot-packed sg bins are f32-only (the dd error-free transforms
+            # need row-unique positions) — rebuild rows-mode for this stage
+            t0 = time.perf_counter()
+            sell_dd = build_sell(**{**sell_kw, "sg_slots": False})
+            fstats["convert_sell_dd_s"] = time.perf_counter() - t0
+        dsell_dd = device_put_sell_dd(sell_dd)
         xh = np.asarray(x, np.float32)
         xl = np.asarray(x - xh.astype(np.float64), np.float32)
         xh_d, xl_d = jnp.asarray(xh), jnp.asarray(xl)
 
-        ids_dd = _kernel_ids(sell)
+        ids_dd = _kernel_ids(sell_dd)
 
         def dd_fn(d, xh_d, xl_d, _ids=ids_dd):
             yh, yl = sell_spmv_pallas_dd(d, xh_d, xl_d, interpret=not on_tpu)

@@ -109,11 +109,23 @@ class CSRMatrix:
     def to_dense(self) -> np.ndarray:
         return self.to_coo().to_dense()
 
-    def split_heavy_rows(self, cap: int = 1024):
+    def split_heavy_rows(self, cap: int = 1024, strided: bool = False):
         """Split rows with more than ``cap`` entries into ``ceil(nnz/cap)``
-        segment rows (zero-copy: only ``row_ptr`` changes), returning
-        ``(csr_ext, seg_map)`` where ``seg_map[i]`` is the original row of
-        extended row ``i`` — reduce with ``segment_sum(y_ext, seg_map)``.
+        segment rows, returning ``(csr_ext, seg_map)`` where ``seg_map[i]``
+        is the original row of extended row ``i`` — reduce with
+        ``segment_sum(y_ext, seg_map)``.
+
+        ``strided=False`` (zero-copy: only ``row_ptr`` changes): segment
+        ``j`` takes the row's entries ``[j*cap, (j+1)*cap)`` — consecutive
+        COLUMN runs, right for column-range-sensitive layouts (sb-major).
+
+        ``strided=True`` (reorders the heavy rows' entries): segment ``j``
+        takes entries ``j, j+nseg, j+2*nseg, ...`` — each segment a uniform
+        column-thinned copy of the row, so no segment concentrates in one
+        column region. Required by the SG shared-window layout, where a
+        locally-dense segment cascades through tile layers (formats/sg.py);
+        each segment's entries remain column-sorted (stride subsequence of
+        a sorted run).
 
         The textbook fix for power-law heads: ultra-heavy rows (webbase-1M
         class) otherwise force SELL bins whose (K*8, 128) tiles exceed VMEM.
@@ -128,10 +140,35 @@ class CSRMatrix:
         np.cumsum(nseg, out=seg_off[1:])
         m_ext = int(seg_off[-1])
         seg_idx = np.arange(m_ext, dtype=np.int64) - seg_off[:-1][seg_map]
-        ext_start = self.row_ptr[:-1][seg_map] + seg_idx * cap
-        new_ptr = np.append(ext_start, np.int64(self.nnz))
+        if not strided:
+            ext_start = self.row_ptr[:-1][seg_map] + seg_idx * cap
+            new_ptr = np.append(ext_start, np.int64(self.nnz))
+            return (
+                CSRMatrix(m_ext, self.ncols, new_ptr, self.col_idx,
+                          self.values),
+                seg_map,
+            )
+        # strided: permute each heavy row's entries so segment j's entries
+        # sit consecutively: entry k of original row r (k-th by column) goes
+        # to segment k % nseg[r] at within-segment position k // nseg[r]
+        row_of = np.repeat(np.arange(self.nrows, dtype=np.int64),
+                           counts)
+        k = np.arange(self.nnz, dtype=np.int64) - self.row_ptr[:-1][row_of]
+        ns = nseg[row_of]
+        seg = k % ns
+        pos = k // ns
+        # segment lengths: ceil((count - seg) / nseg)
+        ext_row = seg_off[:-1][row_of] + seg
+        seg_len = np.bincount(ext_row, minlength=m_ext).astype(np.int64)
+        new_ptr = np.zeros(m_ext + 1, dtype=np.int64)
+        np.cumsum(seg_len, out=new_ptr[1:])
+        dest = new_ptr[:-1][ext_row] + pos
+        col2 = np.empty_like(self.col_idx)
+        val2 = np.empty_like(self.values)
+        col2[dest] = self.col_idx
+        val2[dest] = self.values
         return (
-            CSRMatrix(m_ext, self.ncols, new_ptr, self.col_idx, self.values),
+            CSRMatrix(m_ext, self.ncols, new_ptr, col2, val2),
             seg_map,
         )
 

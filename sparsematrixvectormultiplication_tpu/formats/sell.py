@@ -114,6 +114,8 @@ class SellBin:
     add_into: bool = False   # bin ACCUMULATES onto tiles another bin wrote
                              # (sg far-remainder bins share groups with their
                              # sg core bin; all other bins partition groups)
+    sg_slots: bool = False   # sg only: free sublane-slot positions (kernel
+                             # does a per-tile sigma-reduction) vs row-unique
 
     @property
     def n_groups(self) -> int:
@@ -215,6 +217,7 @@ class SellMatrix:
         chunk_k: int = CHUNK_K,
         skip_empty: bool = False,
         merge_bins: bool = True,
+        sg_slots: bool = True,
     ) -> "SellMatrix":
         """Convert CSR (column-sorted rows) to binned SELL-C-128.
 
@@ -352,7 +355,7 @@ class SellMatrix:
             from .sg import sg_profile
 
             sg_prof = sg_profile(rows_of_entries, csr.col_idx, csr.values,
-                                 num_groups, Rp)
+                                 num_groups, Rp, slots=sg_slots)
             # far remainder served by accumulate k-major bins: model + lists
             far_slab_list, far_slab_count = _build_slab_lists_global(
                 sg_prof.far_rows.astype(np.int64), sg_prof.far_cols, num_groups
@@ -604,7 +607,7 @@ class SellMatrix:
                     from .sg import emit_sg_core
 
                     Tq, Vq = int(nw_val), int(span_val)
-                    stride = 9 if Vq == 0 else 8
+                    stride = 2 if Vq == 0 else 1
                     per_call = max(1, _SMEM_LIST_BYTES // (Tq * stride * 4))
                     for c0 in range(0, gsub.size, per_call):
                         gsc = gsub[c0 : c0 + per_call]
@@ -882,17 +885,27 @@ class SellMatrix:
                     max(0, int(ja.max()) + 1 - x.size))])
                 contrib = (as_.astype(np.float64) * xp[ja]).sum(axis=1)  # (ng,8,128)
             elif bin_.layout == "sg":
-                # decode md = doff*128 + m against the per-(tile, sublane)
-                # window bases (slab_list layout: [8 x w0(, passes)])
+                # decode md = (doff*8 + sigma)*128 + m against the shared
+                # per-tile window base (slab_list: [w0(, passes)] per tile);
+                # the destination sigma-row comes from md's sigma bits (in
+                # slots mode the position sublane is a free slot)
                 T = K
                 tab = bin_.slab_list.reshape(ng, T, -1).astype(np.int64)
-                w0 = tab[:, :, :8]                      # (ng, T, 8)
+                w0 = tab[:, :, 0]                       # (ng, T)
                 md = bin_.ja.reshape(ng, T, SUBLANES, LANES).astype(np.int64)
                 as_ = bin_.as_.reshape(ng, T, SUBLANES, LANES)
-                cols = (w0[:, :, :, None] + (md >> 7)) * LANES + (md & 127)
+                cols = (w0[:, :, None, None] + (md >> 10)) * LANES + (md & 127)
                 xp = np.concatenate([x, np.zeros(
                     max(0, int(cols.max()) + 1 - x.size))])
-                contrib = (as_.astype(np.float64) * xp[cols]).sum(axis=1)
+                prod = as_.astype(np.float64) * xp[cols]  # (ng, T, 8, 128)
+                sig = (md >> 7) & (SUBLANES - 1)
+                rows_sg = (
+                    bin_.group_ids.astype(np.int64)[:, None, None, None]
+                    * GROUP_ROWS + sig * LANES
+                    + np.arange(LANES)[None, None, None, :]
+                )
+                np.add.at(y, rows_sg.reshape(-1), prod.reshape(-1))
+                continue
             elif bin_.layout == "wl":
                 # ja holds lane offsets m; columns reconstruct from the
                 # per-(row-block, window, slot) slab table

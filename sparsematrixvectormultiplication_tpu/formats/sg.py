@@ -6,31 +6,42 @@ matrices (webbase-1M 15.08 GF, roadNet-PA 31.55 GF — result/result_cuda.csv).
 The SELL k-major kernel serves those regimes by looping over a group's
 distinct x-slabs — ~1,000-8,000 masked passes per 1024-row group for rows
 with 1-8 entries, so work scales with the *slab count*, not the entry count.
-SG makes work scale with entries:
+SG makes work scale with entries, via **shared-window tiles**:
 
-Layout (per 1024-row group, rows at (sigma, lane) = (row%1024)//128, row%128):
+Layout (per 1024-row group; rows at (sigma, lane) = ((row%1024)//128, row%128)):
 
-* Entries of each 128-row block (``sigma``) are sorted by column and packed
-  greedily into ``T`` tiles of (8, 128): an entry destined for row
-  (sigma, lane) sits at position (tile, sigma, lane) — **the scatter is
-  free**: each tile's masked-gather products add straight onto the group's
-  (8,128) y tile. The only constraint is one entry per (tile, lane) within
-  a block, resolved by a vectorized greedy fixpoint (same-lane entries spill
-  to later tiles, staying nearly column-sorted).
-* Each (tile, sigma) cell's 128 entries are column-adjacent, so they fit a
-  small x-slab *window*: the kernel broadcasts rows ``w0[cell] + v`` of the
-  VMEM x-table for ``v < passes(tile)`` and lane-gathers under a
-  ``doff == v`` mask (doff = entry slab - w0, packed with the lane index m
-  into one int32 plane: ``md = doff*128 + m`` — 8 B/entry total).
-* Entries too isolated for any window (graph long-links, power-law tails:
-  fewer than _FAR_DENSITY neighbors within +-_FAR_RADIUS slabs in their
-  block) are split into a *far* sub-matrix emitted as k-major bins that
-  ACCUMULATE onto the same groups' y tiles (SellBin.add_into).
+* The group's entries are sorted by column and cut into **windows** of
+  ~768 entries by global column rank — a deterministic quantile cut, so
+  hot column regions get narrow windows and diffuse regions wide ones
+  with no order-statistics variance. An entry lands at position
+  (tile, sigma, lane) of the (T*8, 128) entry planes — **the scatter is
+  free**: each tile's masked-gather products add straight onto the
+  group's (8,128) y tile. The one constraint (≤ 1 entry per (row, tile))
+  is kept by **layers**: a window's k-th same-row conflict opens layer
+  tile k over the SAME window (tile = window offset + occurrence rank
+  within (row, window)), so a tile's slab span is always bounded by its
+  window's span. (Forward spill instead of layering is a critical queue
+  at ~1 entry/row/window and poisons later windows — measured V inflation
+  23 -> 378 slabs on uniform-random.) Heavy rows must be pre-split with
+  ``CSRMatrix.split_heavy_rows(cap, strided=True)`` so no row is locally
+  denser than ~1 entry per window.
+* Each tile has ONE shared x-slab window ``[w0, w0+V)`` (w0 = min slab of
+  its entries). The kernel loads the window in (8,128) chunks and, per
+  pass ``v``, broadcasts one row and lane-gathers under a ``doff == v``
+  mask (``ja`` packs ``md = doff*128 + m`` — 8 B/entry total). Work is
+  ~4 vector ops per pass shared by up to 1024 entries.
+* **Profit-rule shed**: a tile whose span exceeds ``_SPAN_CAP`` finds its
+  best cap-wide window (vectorized searchsorted) and sheds the entries
+  outside it to a *far* sub-matrix — but only when the pass savings beat
+  the far cost (``4*(V-cap) > 5*n_out``), so road's 5% long links shed
+  while a full uniform tile spanning 60 slabs stays whole. Far entries
+  are emitted as k-major bins that ACCUMULATE onto the same groups' y
+  tiles (SellBin.add_into).
 
 The kernel (ops/pallas_sell.py _kernel_sg) unrolls passes statically for
-bins whose max window fits _MAX_STATIC_SPAN, and otherwise rolls a chunked
-fori (8 passes per iteration, per-tile pass counts scalar-prefetched) — the
-same rolled-chunk pattern as the k-major kernel.
+bins whose max window fits the static ladder, and otherwise rolls a chunked
+fori (8 passes per iteration, per-tile pass counts scalar-prefetched) — so
+empty or narrow tiles cost ~nothing in dynamic bins.
 """
 
 from __future__ import annotations
@@ -45,40 +56,40 @@ LANES = 128
 SUBLANES = 8
 GROUP_ROWS = LANES * SUBLANES
 
-# far-split rule: an entry is "far" when fewer than _FAR_DENSITY of its
-# block's entries (incl. itself) lie within +-_FAR_RADIUS slabs — such
-# entries cannot share a gather window with 127 neighbors and would inflate
-# every cell they touch (road_like: 5% long links poison 60% of cells).
-_FAR_RADIUS = 24
-_FAR_DENSITY = 12
-_MAX_FIXPOINT_ITERS = 64
-# refinement (ONE shed round): entries of over-wide cells go far when they
-# are either genuine outliers (beyond cap/2 of the cell median) or sit in
-# collision-spill tiles past the block's column-ideal tile count — the tiles
-# that hold deep-rank leftovers with diffuse columns (uniform-random rows).
-# A single round avoids the shed->repack->new-wide-cells cascade; leftover
-# wide cells land in dynamic-pass bins instead.
-_SPAN_CAP = 40
-_REFINE_ROUNDS = 2
+# shared-window tile geometry. 768 (not 1024): the window cut must leave
+# slack below tile capacity so same-row conflicts resolve in shallow layers
+# (~λ=0.75 occupancy per row per window on uniform-random)
+_TILE_ENTRIES = 768
+_SPAN_CAP = 48           # shed target: best cap-wide window per wide tile
+_SHED_ROUNDS = 2         # shed -> repack rounds (far set only grows)
+# profit rule: shed when 4*(V-cap) > _FAR_COST_PER_ENTRY*n_out + margin.
+# The far remainder is served by k-major add_into bins whose real cost is
+# ~5 ops per (distinct slab x K_far) — measured ~12-14 ops per far entry on
+# road-class link sets. 12 keeps genuinely diffuse tiles (power-law tails,
+# uniform spill) in sg as wide dynamic tiles (~4 ops per pass) instead of
+# degenerating the matrix back to the k-major slab scan.
+_FAR_COST_PER_ENTRY = 12
+_SHED_MARGIN = 16
 
 SG_DYNAMIC = 0  # SellBin.span value marking the dynamic-pass-count kernel
+
+_BIG = np.int64(1) << 21  # per-row offset stride for the segmented cummax
 
 
 @dataclass
 class SgProfile:
     """Global SG assignment for all groups of one matrix (core entries) plus
-    the far remainder. All per-entry arrays are aligned and ordered by
-    (block, column)."""
+    the far remainder. Per-entry arrays are ordered by (group, col)."""
 
-    # core entries (ordered by block, col)
+    # core entries
     e_group: np.ndarray      # (nc,) group id
     e_flatrow: np.ndarray    # (nc,) t*8 + sigma within the group's (T*8,128)
     e_lane: np.ndarray       # (nc,) dest lane
     e_md: np.ndarray         # (nc,) int32 packed doff*128 + m
     e_val: np.ndarray        # (nc,) values (host dtype)
-    # per-group / per-cell geometry
+    # per-group / per-tile geometry
     T_g: np.ndarray          # (num_groups,) tiles per group (>=1)
-    w0: np.ndarray           # (num_groups, T_max, 8) int32 window bases
+    w0: np.ndarray           # (num_groups, T_max) int32 shared window bases
     passes: np.ndarray       # (num_groups, T_max) int32 per-tile pass counts
     V_g: np.ndarray          # (num_groups,) max pass count per group
     vregs_g: np.ndarray      # (num_groups,) modeled core vector-op cost
@@ -88,64 +99,84 @@ class SgProfile:
     far_rows: np.ndarray
     far_cols: np.ndarray
     far_vals: np.ndarray
+    slots: bool = True  # free-slot positions (f32) vs row-unique (dd)
 
     @property
     def t_max(self) -> int:
         return int(self.w0.shape[1])
 
 
-def _assign_tiles(lane_key: np.ndarray, grank: np.ndarray,
-                  ideal_e: np.ndarray):
-    """Greedy tile assignment, vectorized fixpoint.
+def _pack_round(rows, cols, num_groups, slots=True):
+    """One packing round over the kept entries (CSR-order arrays): returns
+    ``(t, pos)`` — tile id and sublane position per entry (CSR-order).
 
-    ``lane_key`` is a composite (block*128 + lane) so all blocks resolve in
-    one pass; ``grank`` is the entry's within-block column rank; ``ideal_e``
-    the block's column-ideal tile count (ceil(entries/128)) per entry.
+    Windows cut by global column quantile per group
+    (``window = colrank // _TILE_ENTRIES``), so hot column regions get
+    narrow windows and diffuse regions wide ones with no variance; a tile's
+    slab span is always bounded by its window's span. (Forward conflict
+    spill instead is a critical queue at ~1 entry/row/window and poisons
+    later windows; measured V inflation 23 -> 378 slabs on uniform-random.)
 
-    Seed: the column-ideal tile ``grank // 128``, lower-bounded by a
-    QUANTILE-ALIGNED row rank ``krank * idealT / c_row`` — a fat row's k-th
-    entry sits at column quantile k/c_row, so rescaling its rank to the tile
-    scale keeps its seed aligned with the columns resident in that tile
-    (plain krank systematically over-jumps for rows denser than average,
-    mixing column quantiles and blowing cell windows — measured on
-    uniform-random). Rows much denser than the block average (heavy-row
-    segments) keep plain krank: they need that many tiles anyway and the
-    rescaled seed would cascade through the collision fixpoint. Collisions
-    then bump by occurrence until none remain — monotone, hence terminating;
-    the iteration cap only guards pathologies, falling back to the
-    always-valid within-lane rank."""
-    n = lane_key.size
-    if n == 0:
-        return np.zeros(0, np.int64)
-    sidx = np.lexsort((np.arange(n), lane_key))
-    ls = lane_key[sidx]
+    ``slots=True`` (f32 kernels): position = (slot, lane) with the sublane
+    slot FREE — slot = occurrence rank within (window, lane), overflow past
+    8 opens layer tiles. Same-row repeats and all 8 sigma-rows of a lane
+    share one tile; the kernel recovers the destination row by a per-tile
+    sigma-reduction over ``md``'s sigma bits.
+
+    ``slots=False`` (dd kernels, whose error-free transforms need ≤ 1
+    product per output position — selection stays exact): position =
+    (sigma, lane) = the destination row; layer = occurrence rank within
+    (row, window)."""
+    n = rows.size
+    if not n:
+        z = np.zeros(0, np.int64)
+        return z, z
+    g = rows >> 10
+    # global column rank within each group (single composite key; stable
+    # sort keeps CSR row order within (group, col) ties)
+    ncols_key = cols.max() + 2
+    order = np.argsort(g * ncols_key + cols, kind="stable")
+    colrank = np.empty(n, np.int64)
+    go = g[order]
     new = np.ones(n, bool)
-    new[1:] = ls[1:] != ls[:-1]
+    new[1:] = go[1:] != go[:-1]
     starts = np.flatnonzero(new)
     run_id = np.cumsum(new) - 1
-    run_len = np.diff(np.concatenate([starts, [n]]))
-    krank = np.empty(n, np.int64)
-    krank[sidx] = np.arange(n) - starts[run_id]
-    c_row = np.empty(n, np.int64)
-    c_row[sidx] = run_len[run_id]
-    kq = krank * ideal_e // np.maximum(c_row, 1)
-    rank_seed = np.where(c_row > 2 * ideal_e, krank, kq)
-    t = np.maximum(rank_seed, grank // LANES)
-    for _ in range(_MAX_FIXPOINT_ITERS):
-        key = lane_key * np.int64(t.max() + 2) + t
-        sidx = np.lexsort((np.arange(n), key))
-        ks = key[sidx]
-        new = np.ones(n, bool)
-        new[1:] = ks[1:] != ks[:-1]
-        starts = np.flatnonzero(new)
-        run_id = np.cumsum(new) - 1
-        bump = np.arange(n) - starts[run_id]
-        if not bump.any():
-            return t
-        tb = t.copy()
-        tb[sidx] = t[sidx] + bump
-        t = tb
-    return krank  # guaranteed collision-free fallback
+    colrank[order] = np.arange(n) - starts[run_id]
+    b = colrank // _TILE_ENTRIES
+    B_max = int(b.max()) + 1
+    gb = g * B_max + b
+    if slots:
+        # slot = occurrence rank within (window, lane); layer = slot // 8
+        lane = rows & (LANES - 1)
+        key = gb * LANES + lane
+        o2 = np.argsort(key, kind="stable")
+        ks = key[o2]
+        newk = np.ones(n, bool)
+        newk[1:] = ks[1:] != ks[:-1]
+        kstarts = np.flatnonzero(newk)
+        krun = np.cumsum(newk) - 1
+        slot = np.empty(n, np.int64)
+        slot[o2] = np.arange(n) - kstarts[krun]
+        layer = slot // SUBLANES
+        pos = slot - layer * SUBLANES
+    else:
+        # layer = occurrence rank within (row, window): within a row (CSR
+        # order) columns ascend, so windows are non-decreasing: run ranks
+        key_rb = rows * _BIG + b
+        newk = np.ones(n, bool)
+        newk[1:] = key_rb[1:] != key_rb[:-1]
+        kstarts = np.flatnonzero(newk)
+        krun = np.cumsum(newk) - 1
+        layer = np.arange(n) - kstarts[krun]
+        pos = (rows >> 7) & 7
+    # tile index within group = windows-so-far offset + layer
+    L = np.zeros(num_groups * B_max, np.int64)
+    np.maximum.at(L, gb, layer + 1)
+    L = L.reshape(num_groups, B_max)
+    off = np.zeros((num_groups, B_max), np.int64)
+    np.cumsum(L[:, :-1], axis=1, out=off[:, 1:])
+    return off.reshape(-1)[gb] + layer, pos
 
 
 def sg_profile(
@@ -155,151 +186,157 @@ def sg_profile(
     num_groups: int,
     Rp: int,
     *,
-    far_radius: int = _FAR_RADIUS,
-    far_density: int = _FAR_DENSITY,
+    span_cap: int = _SPAN_CAP,
+    slots: bool = True,
 ) -> SgProfile:
-    """Compute the global SG assignment (one pass over all groups).
+    """Compute the global SG assignment (shared-window tiles).
 
     Entries must be in CSR order. ``Rp`` is the padded x-table row count
-    (window bases are clamped so ``w0 + passes <= Rp``)."""
+    (window bases are clamped so every 8-row chunk read stays inside).
+    ``slots``: free sublane-slot packing (f32 kernels; see _pack_round) vs
+    row-unique positions (dd kernels)."""
     nnz = rows_of_entries.size
-    rows = rows_of_entries.astype(np.int64)
-    cols = col_idx.astype(np.int64)
-    slab = cols >> 7
-    blk = rows >> 7
+    rows_all = rows_of_entries.astype(np.int64)
+    cols_all = col_idx.astype(np.int64)
+    slab_all = cols_all >> 7
 
-    # ---- far split: per-block slab-density test ----
-    order = np.lexsort((slab, blk))
-    blk_o = blk[order]
-    slab_o = slab[order]
-    # neighbors within +-far_radius slabs inside the OWN block: search on a
-    # block-strided composite key (globally sorted by construction); the
-    # stride leaves a gap wider than the radius so searches never bleed into
-    # neighboring blocks
-    stride = np.int64(Rp + 2 * far_radius + 2)
-    key = blk_o * stride + slab_o
-    left = np.searchsorted(key, blk_o * stride + slab_o - far_radius,
-                           side="left")
-    right = np.searchsorted(key, blk_o * stride + slab_o + far_radius,
-                            side="right")
-    dens = right - left
-    far_o = dens < far_density
-
-    # ---- core assignment (per block, column order), with span refinement:
-    # cells wider than the static-unroll budget shed outliers to `far` and
-    # the packing is redone (the far set only grows -> terminates) ----
-    keep = ~far_o
-    for _round in range(_REFINE_ROUNDS):
-        blk_c = blk_o[keep]
-        slab_c = slab_o[keep]
-        src_c = order[keep]          # CSR position of each core entry
-        nc = blk_c.size
-        new = np.ones(nc, bool) if nc else np.zeros(0, bool)
-        if nc:
-            new[1:] = blk_c[1:] != blk_c[:-1]
-        starts = np.flatnonzero(new)
-        run_id = np.cumsum(new) - 1 if nc else new.astype(np.int64)
-        within = np.arange(nc) - starts[run_id] if nc else np.zeros(0, np.int64)
-        lane_c = rows[src_c] & (LANES - 1)
-        blk_len = np.diff(np.concatenate([starts, [nc]])) if nc else starts
-        ideal_e = -(-blk_len[run_id] // LANES) if nc else within
-        t_c = _assign_tiles(blk_c * LANES + lane_c, within, ideal_e)
-
-        g_c = blk_c >> 3
-        sig_c = blk_c & 7
+    keep = np.ones(nnz, bool)
+    t = pos = np.zeros(0, np.int64)
+    w0 = np.full((num_groups, 1), Rp - 1, np.int64)
+    cmax = np.zeros((num_groups, 1), np.int64)
+    t_max = 1
+    g_k = np.zeros(0, np.int64)
+    for _round in range(_SHED_ROUNDS):
+        idx = np.flatnonzero(keep)
+        rows = rows_all[idx]
+        cols = cols_all[idx]
+        slab = slab_all[idx]
+        t, pos = _pack_round(rows, cols, num_groups, slots=slots)
+        g_k = rows >> 10
+        nc = rows.size
 
         T_g = np.ones(num_groups, np.int64)
         if nc:
-            np.maximum.at(T_g, g_c, t_c + 1)
+            np.maximum.at(T_g, g_k, t + 1)
         t_max = int(T_g.max()) if num_groups else 1
 
-        # per-cell windows: w0[g, t, sigma], passes[g, t]
-        w0 = np.full((num_groups, t_max, SUBLANES), Rp - 1, np.int64)
-        cmax = np.zeros((num_groups, t_max, SUBLANES), np.int64)
-        cell = np.zeros(0, np.int64)
+        cell = g_k * t_max + t
+        w0_flat = np.full(num_groups * t_max, np.int64(Rp - 1))
+        cm_flat = np.zeros(num_groups * t_max, np.int64)
         if nc:
-            cell = (g_c * t_max + t_c) * SUBLANES + sig_c
-            w0_flat = np.full(num_groups * t_max * SUBLANES, np.int64(Rp - 1))
-            np.minimum.at(w0_flat, cell, slab_c)
-            cm_flat = np.zeros(num_groups * t_max * SUBLANES, np.int64)
-            np.maximum.at(cm_flat, cell, slab_c)
-            w0 = w0_flat.reshape(num_groups, t_max, SUBLANES)
-            cmax = cm_flat.reshape(num_groups, t_max, SUBLANES)
+            np.minimum.at(w0_flat, cell, slab)
+            np.maximum.at(cm_flat, cell, slab)
+        w0 = w0_flat.reshape(num_groups, t_max)
+        cmax = cm_flat.reshape(num_groups, t_max)
 
-        if _round == _REFINE_ROUNDS - 1 or nc == 0:
+        if _round == _SHED_ROUNDS - 1 or nc == 0:
             break
-        span_c = (cmax - w0 + 1).reshape(-1)[cell]  # per-entry cell span
-        if span_c.max(initial=0) <= _SPAN_CAP:
+
+        # ---- profit-rule shed on over-wide tiles ----
+        span_t = np.maximum(cmax - w0 + 1, 1).reshape(-1)   # per cell
+        wide = span_t > span_cap
+        if not wide[cell].any():
             break
-        # per-cell median slab (outlier threshold anchor)
-        o2 = np.lexsort((slab_c, cell))
-        cs = cell[o2]
-        newc = np.ones(nc, bool)
-        newc[1:] = cs[1:] != cs[:-1]
-        cstart = np.flatnonzero(newc)
-        crun = np.cumsum(newc) - 1
-        ccnt = np.diff(np.concatenate([cstart, [nc]]))
-        med_sorted = slab_c[o2][cstart + ccnt // 2]
-        med_c = np.empty(nc, np.int64)
-        med_c[o2] = med_sorted[crun]
-        # block's column-ideal tile count (entries/128): tiles past it + a
-        # margin exist only from rank/collision spill
-        cnt_blk = np.bincount(blk_c, minlength=num_groups * SUBLANES)
-        ideal_blk = -(-cnt_blk // LANES)
-        offender = (span_c > _SPAN_CAP) & (
-            (np.abs(slab_c - med_c) > _SPAN_CAP // 2)
-            | (t_c >= ideal_blk[blk_c] + 2)
+        # best span_cap-wide window per tile: sort entries by (cell, slab),
+        # count entries in [slab_i, slab_i + span_cap) via searchsorted on a
+        # cell-strided composite key (the stride gap stops bleed-over)
+        stride = np.int64(Rp + span_cap + 2)
+        o2 = np.argsort(cell * stride + slab, kind="stable")
+        cell_o = cell[o2]
+        slab_o = slab[o2]
+        key = cell_o * stride + slab_o
+        right = np.searchsorted(key, key + span_cap)
+        count = right - np.arange(nc)
+        best = np.zeros(num_groups * t_max, np.int64)
+        np.maximum.at(best, cell_o, count)
+        # winning start slab per tile: first entry achieving the max
+        is_best = count == best[cell_o]
+        bstart = np.full(num_groups * t_max, -1, np.int64)
+        bi = np.flatnonzero(is_best)
+        if bi.size:
+            # reverse scatter keeps the FIRST (lowest-slab) best start
+            bstart[cell_o[bi[::-1]]] = slab_o[bi[::-1]]
+        size_t = np.bincount(cell_o, minlength=num_groups * t_max)
+        n_out = size_t - best
+        shed_tile = wide & (
+            4 * (span_t - span_cap)
+            > _FAR_COST_PER_ENTRY * n_out + _SHED_MARGIN
+        )
+        if not shed_tile.any():
+            break
+        lo = bstart[cell_o]
+        offender = shed_tile[cell_o] & (
+            (slab_o < lo) | (slab_o >= lo + span_cap)
         )
         if not offender.any():
             break
-        keep_idx = np.flatnonzero(keep)
-        keep[keep_idx[offender]] = False
+        keep[idx[o2[offender]]] = False
 
-    far_o = ~keep
-    inv_order = np.empty(nnz, np.int64)
-    inv_order[order] = np.arange(nnz)
-    far = far_o[inv_order]  # CSR-order mask
-
+    far = ~keep
     far_rows = rows_of_entries[far]
     far_cols = col_idx[far]
     far_vals = values[far]
-    # pass count per tile = max over its cells of (cmax - w0 + 1); empty
-    # cells (w0 = Rp-1, cmax = 0) contribute <= 0 -> at least 1
-    span_cell = np.maximum(cmax - w0 + 1, 0)
-    passes = np.maximum(span_cell.max(axis=2), 1).astype(np.int32)
-    # clamp w0 so every scanned row stays inside the x table
-    w0 = np.minimum(w0, np.maximum(Rp - passes[:, :, None], 0)).astype(np.int32)
+
+    idx = np.flatnonzero(keep)
+    rows = rows_all[idx]
+    cols = cols_all[idx]
+    slab = slab_all[idx]
+    nc = rows.size
+    g_k = rows >> 10
+    cell = g_k * t_max + t
+
+    # per-tile pass counts; empty tiles (w0=Rp-1, cmax=0) -> 0 passes
+    occupied = np.zeros(num_groups * t_max, bool)
+    if nc:
+        occupied[cell] = True
+    occ = occupied.reshape(num_groups, t_max)
+    passes = np.where(occ, np.maximum(cmax - w0 + 1, 1), 0).astype(np.int64)
+    # clamp w0 so every 8-row chunk read stays inside the x table: the
+    # kernel reads [w0, w0 + roundup8(passes)); after the shift the span
+    # grows by delta but stays <= the rounded scan (slab <= Rp-1)
+    scan8 = -(-passes // 8) * 8
+    w0 = np.minimum(w0, np.maximum(Rp - scan8, 0))
+    passes = np.where(occ, cmax - w0 + 1, 0)
 
     e_md = np.zeros(nc, np.int32)
+    lane = rows & (LANES - 1)
+    sig = (rows >> 7) & 7
     if nc:
-        doff = slab_c - w0[g_c, t_c, sig_c]
-        m = cols[src_c] & (LANES - 1)
-        e_md = (doff * LANES + m).astype(np.int32)
+        doff = slab - w0[g_k, t]
+        m = cols & (LANES - 1)
+        # md packs (doff, sigma, m): the kernel recovers the lane index, the
+        # destination sigma-row (slots mode), and the window offset
+        e_md = (doff * (SUBLANES * LANES) + sig * LANES + m).astype(np.int32)
 
-    V_g = passes.max(axis=1).astype(np.int64) if t_max else np.ones(num_groups, np.int64)
-    # modeled vector-op cost per group: per real tile, 13 vregs per pass
-    # (8 scalar-driven W rows + stack + gather + mask-acc) + 10 fixed
-    pass_sum = np.zeros(num_groups, np.int64)
-    if t_max:
-        # count only tiles t < T_g (padding tiles cost ~1 pass each)
-        tidx = np.broadcast_to(np.arange(t_max)[None, :], passes.shape)
-        real = tidx < T_g[:, None]
-        pass_sum = np.where(real, -(-passes.astype(np.int64) // 8) * 8, 0).sum(axis=1)
-    vregs_g = 13 * pass_sum + 10 * T_g
+    T_g = np.ones(num_groups, np.int64)
+    if nc:
+        np.maximum.at(T_g, g_k, t + 1)
+    V_g = passes.max(axis=1) if t_max else np.ones(num_groups, np.int64)
+    V_g = np.maximum(V_g, 1)
 
-    group_nnz = np.bincount(rows >> 10, minlength=num_groups) if nnz else np.zeros(num_groups, np.int64)
-    core_per_g = np.bincount(g_c, minlength=num_groups) if nc else np.zeros(num_groups, np.int64)
+    # modeled vector-op cost per group: per occupied tile, ~4.5 vregs per
+    # rounded-up pass (broadcast + gather + mask-acc + chunk loads), plus
+    # the per-tile fixed cost (slots mode pays the 8-way sigma-reduction)
+    tidx = np.broadcast_to(np.arange(t_max)[None, :], passes.shape)
+    real = tidx < T_g[:, None]
+    pass8 = np.where(real, -(-passes // 8) * 8, 0)
+    vregs_g = (9 * pass8.sum(axis=1)) // 2 + (38 if slots else 8) * T_g
+
+    group_nnz = np.bincount(rows_all >> 10, minlength=num_groups) \
+        if nnz else np.zeros(num_groups, np.int64)
+    core_per_g = np.bincount(g_k, minlength=num_groups) \
+        if nc else np.zeros(num_groups, np.int64)
     core_frac_g = core_per_g / np.maximum(group_nnz, 1)
 
     return SgProfile(
-        e_group=g_c,
-        e_flatrow=(t_c * SUBLANES + sig_c),
-        e_lane=lane_c,
+        e_group=g_k,
+        e_flatrow=(t * SUBLANES + pos),
+        e_lane=lane,
         e_md=e_md,
-        e_val=values[src_c],
+        e_val=values[idx],
         T_g=T_g,
-        w0=w0,
-        passes=passes,
+        w0=w0.astype(np.int32),
+        passes=passes.astype(np.int32),
         V_g=V_g,
         vregs_g=vregs_g,
         core_frac_g=core_frac_g,
@@ -307,6 +344,7 @@ def sg_profile(
         far_rows=far_rows,
         far_cols=far_cols,
         far_vals=far_vals,
+        slots=slots,
     )
 
 
@@ -337,9 +375,9 @@ def emit_sg_core(prof: SgProfile, gsub: np.ndarray, Tq: int, Vq: int,
     tiles. Returns SellBin kwargs (the caller wraps — avoids a circular
     import with formats.sell).
 
-    ``Vq > 0``: static kernel; slab_list = (ng, Tq*8) w0 bases, scan = Vq.
-    ``Vq == SG_DYNAMIC``: dynamic kernel; slab_list = (ng, Tq*9) with
-    per-tile layout [8 x w0, pass count rounded up to 8]."""
+    ``Vq > 0``: static kernel; slab_list = (ng, Tq) shared w0 bases, the
+    kernel runs Vq passes per tile. ``Vq == SG_DYNAMIC``: dynamic kernel;
+    slab_list = (ng, Tq*2) per-tile [w0, passes rounded up to 8]."""
     gsub = np.asarray(gsub)
     ng = gsub.size
     ginv_arr = np.full(int(prof.T_g.size), -1, np.int64)
@@ -348,19 +386,21 @@ def emit_sg_core(prof: SgProfile, gsub: np.ndarray, Tq: int, Vq: int,
     t_max = prof.t_max
     assert Tq >= int(prof.T_g[gsub].max()), "cluster Tq below a group's T"
     dyn = Vq == SG_DYNAMIC
-    stride = 9 if dyn else 8
+    stride = 2 if dyn else 1
 
-    # per-cell scan length & clamped bases for THIS bin's static shape
+    # per-tile scan length & clamped bases for THIS bin's static shape
     Tb = min(Tq, t_max)
-    w0b = prof.w0[gsub][:, :Tb]  # (ng, Tb, 8)
+    w0b = prof.w0[gsub][:, :Tb].astype(np.int64)           # (ng, Tb)
     passes = prof.passes[gsub][:, :Tb].astype(np.int64)    # (ng, Tb)
     if dyn:
+        # dynamic: per-tile counts rounded to 8 (chunked rolled loop)
         scan = -(-passes // 8) * 8
     else:
+        # static: every tile runs exactly Vq single-row passes — the clamp
+        # must keep every shifted doff < Vq or entries silently drop
         scan = np.full_like(passes, Vq)
-    w0c = np.minimum(w0b.astype(np.int64),
-                     np.maximum(Rp - scan[:, :, None], 0))
-    delta = w0b.astype(np.int64) - w0c                      # (ng, Tb, 8) >= 0
+    w0c = np.minimum(w0b, np.maximum(Rp - scan, 0))
+    delta = w0b - w0c                                      # (ng, Tb) >= 0
 
     ja = np.zeros((ng, Tq, SUBLANES, LANES), np.int32)
     as_ = np.zeros((ng, Tq, SUBLANES, LANES), value_dtype)
@@ -370,20 +410,22 @@ def emit_sg_core(prof: SgProfile, gsub: np.ndarray, Tq: int, Vq: int,
         gl = ginv_arr[prof.e_group[sel]]
         fr = prof.e_flatrow[sel]
         t = fr // SUBLANES
-        sig = fr - t * SUBLANES
-        md = prof.e_md[sel].astype(np.int64) + delta[gl, t, sig] * LANES
-        ja[gl, t, sig, prof.e_lane[sel]] = md.astype(np.int32)
-        as_[gl, t, sig, prof.e_lane[sel]] = prof.e_val[sel].astype(value_dtype)
+        p = fr - t * SUBLANES
+        md = prof.e_md[sel].astype(np.int64) \
+            + delta[gl, t] * (SUBLANES * LANES)
+        ja[gl, t, p, prof.e_lane[sel]] = md.astype(np.int32)
+        as_[gl, t, p, prof.e_lane[sel]] = prof.e_val[sel].astype(value_dtype)
 
-    # slab table
-    w0_full = np.full((ng, Tq, SUBLANES), Rp - (Vq if not dyn else 8), np.int32)
-    w0_full = np.maximum(w0_full, 0)
+    # slab table: padding tiles read safely at the table tail (zero passes
+    # in dynamic bins; zero values make static reads harmless)
+    pad_w0 = max(Rp - (max(Vq, 1) if not dyn else 8), 0)
+    w0_full = np.full((ng, Tq), pad_w0, np.int32)
     w0_full[:, :Tb] = w0c.astype(np.int32)
     if dyn:
         tab = np.zeros((ng, Tq, stride), np.int32)
-        tab[:, :, :8] = w0_full
-        tab[:, :Tb, 8] = scan.astype(np.int32)
-        tab[:, Tb:, 8] = 0  # padding tiles: zero passes (loop bound 0)
+        tab[:, :, 0] = w0_full
+        tab[:, :Tb, 1] = scan.astype(np.int32)
+        # padding tiles: zero passes (loop bound 0)
     else:
         tab = w0_full
 
@@ -400,5 +442,5 @@ def emit_sg_core(prof: SgProfile, gsub: np.ndarray, Tq: int, Vq: int,
         real_nnz=real,
         span=int(Vq),
         cost_passes=vregs,
+        sg_slots=bool(prof.slots),
     )
-

@@ -74,19 +74,21 @@ class DeviceSellBin:
                              # non-contiguous bins (sigma-sorted scattered
                              # matrices fragment group ids, forcing g_per=1
                              # revolving tiles of a few KB).
+    sg_slots: bool = False   # sg: free sublane-slot positions (sigma-reduce)
 
     def tree_flatten(self):
         return (
             (self.group_ids, self.ja, self.as_, self.slab_list, self.slab_count),
             (self.k, self.n_groups, self.layout, self.span, self.contig_start,
-             self.chunk_k, self.add_into, self.resident_g_per),
+             self.chunk_k, self.add_into, self.resident_g_per, self.sg_slots),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        k, ng, layout, span, contig, ck, add, res = aux
+        k, ng, layout, span, contig, ck, add, res, slots = aux
         return cls(k, ng, layout, span, *children, contig_start=contig,
-                   chunk_k=ck, add_into=add, resident_g_per=res)
+                   chunk_k=ck, add_into=add, resident_g_per=res,
+                   sg_slots=slots)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -153,6 +155,7 @@ def device_put_sell(sell, dtype=jnp.float32, device=None):
                 chunk_k=int(getattr(b, "chunk_k", 8)),
                 add_into=bool(getattr(b, "add_into", False)),
                 resident_g_per=res_g_per,
+                sg_slots=bool(getattr(b, "sg_slots", False)),
             )
         )
     return DeviceSell(sell.nrows, sell.ncols, sell.nnz, sell.num_groups, bins)
@@ -510,24 +513,30 @@ def _kernel_wl(k: int, L: int, NW: int, g_per: int = 1,
 
 
 def _kernel_sg(T: int, V: int, g_per: int = 1, accumulate: bool = False,
-               resident: bool = False):
+               resident: bool = False, slots: bool = True):
     """SG kernel — the scattered/short-row layout (formats/sg.py; TPU answer
     to the reference's thread-per-row CUDA kernel, csr_matrix_cuda.cu:122-148).
 
-    Per (8,128) tile, entries sit at (sublane, lane) = their destination row
-    within the group, so the per-row reduction is a plain ``y += vals * gath``
-    — no scatter, no sublane reduce. The gather broadcasts rows ``w0 + v`` of
-    the x-table (one scalar-prefetched base per tile-sublane) and accumulates
-    the lane-gather under a ``doff == v`` mask, where ``ja`` packs
-    ``md = doff*128 + m``.
+    Every (8,128) tile has ONE shared x-window ``[w0, w0+V)``: per pass
+    ``v`` the kernel broadcasts x-table row ``w0 + v`` and accumulates the
+    lane-gather under a ``doff == v`` mask, where ``ja`` packs
+    ``md = (doff*8 + sigma)*128 + m`` — ~4 vector ops per pass shared by up
+    to 1024 entries.
 
-    ``V > 0``: static unrolled passes (slab table stride 8: per-tile w0[8]).
-    ``V == 0``: per-tile dynamic pass counts (stride 9: w0[8] + count rounded
-    to a multiple of 8), scanned by a chunked rolled loop of 8 passes per
-    iteration — the k-major rolled-chunk pattern.
+    ``slots=True``: entries sit at free sublane slots of their lane
+    (lane = row % 128); the destination sigma-row comes from md's sigma
+    bits via a per-tile 8-way masked sublane reduction. ``slots=False``
+    (dd-compatible packing): position == destination row, so the tile's
+    products add straight onto the group's (8,128) y tile — no reduction.
+
+    ``V > 0``: static unrolled passes (slab table stride 1: shared w0).
+    ``V == 0``: per-tile dynamic pass counts (stride 2: [w0, count rounded
+    to a multiple of 8]), scanned by a chunked rolled loop of 8 passes per
+    iteration — the k-major rolled-chunk pattern; empty/padding tiles have
+    count 0 and cost only the loop test.
     """
     TB = T * SUBLANES
-    stride = 9 if V == 0 else 8
+    stride = 2 if V == 0 else 1
 
     def kernel(gid_ref, w0_ref, cnt_ref, x_ref, ja_ref, as_ref, yin_ref, y_ref):
         step = pl.program_id(0)
@@ -540,35 +549,47 @@ def _kernel_sg(T: int, V: int, g_per: int = 1, accumulate: bool = False,
                 vals = as_ref[pl.ds(off, SUBLANES), :]
                 m = md & (LANES - 1)
                 zero = jnp.zeros((SUBLANES, LANES), dtype)
+                w0 = w0_ref[_g, t * stride]
                 if V == 1:
-                    # every entry's slab == its cell base by construction
-                    W = jnp.stack([x_ref[w0_ref[_g, t * 8 + i], :]
-                                   for i in range(SUBLANES)])
+                    # doff == 0 for every entry by construction: no mask
+                    xrow = x_ref[w0, :]
+                    W = jnp.broadcast_to(xrow[None, :], (SUBLANES, LANES))
                     gath = jnp.take_along_axis(W, m, axis=1)
                 elif V == 0:
-                    doff = md >> 7
+                    doff = md >> 10
 
-                    def chunk(c, gacc, _t=t, _g2=_g, _m=m, _d=doff):
+                    def chunk(c, gacc, _m=m, _d=doff, _w0=w0):
                         for v8 in range(8):
                             v = c * 8 + v8
-                            W = jnp.stack([
-                                x_ref[w0_ref[_g2, _t * stride + i] + v, :]
-                                for i in range(SUBLANES)])
+                            xrow = x_ref[_w0 + v, :]
+                            W = jnp.broadcast_to(xrow[None, :],
+                                                 (SUBLANES, LANES))
                             gat = jnp.take_along_axis(W, _m, axis=1)
                             gacc = gacc + jnp.where(_d == v, gat, 0)
                         return gacc
 
-                    vc = w0_ref[_g, t * stride + 8]  # multiple of 8
+                    vc = w0_ref[_g, t * 2 + 1]  # multiple of 8 (0 = empty)
                     gath = jax.lax.fori_loop(0, vc // 8, chunk, zero)
                 else:
-                    doff = md >> 7
+                    doff = md >> 10
                     gath = zero
                     for v in range(V):  # static unroll
-                        W = jnp.stack([x_ref[w0_ref[_g, t * 8 + i] + v, :]
-                                       for i in range(SUBLANES)])
+                        xrow = x_ref[w0 + v, :]
+                        W = jnp.broadcast_to(xrow[None, :], (SUBLANES, LANES))
                         gat = jnp.take_along_axis(W, m, axis=1)
                         gath = gath + jnp.where(doff == v, gat, 0)
-                return acc + vals * gath
+                prod = vals * gath
+                if not slots:
+                    return acc + prod
+                # sigma-reduction: land each slot's product on its
+                # destination sigma-row (masked sublane reduces)
+                sig = (md >> 7) & (SUBLANES - 1)
+                rows = [
+                    jnp.sum(jnp.where(sig == s, prod, 0), axis=0,
+                            keepdims=True)
+                    for s in range(SUBLANES)
+                ]
+                return acc + jnp.concatenate(rows, axis=0)
 
             # keep bodies bounded: full unroll only while the step's total
             # unrolled pass count stays within the Mosaic compile budget
@@ -659,7 +680,8 @@ def _bin_call(bin_: DeviceSellBin, x_tab, y, num_groups: int, interpret: bool,
         kernel = _kernel_wl(K, bin_.span, bin_.chunk_k, g_per, accumulate)
     elif bin_.layout == "sg":
         kernel = _kernel_sg(K, bin_.span, g_per, accumulate,
-                            resident=resident > 1)
+                            resident=resident > 1,
+                            slots=bool(getattr(bin_, "sg_slots", False)))
     else:
         kernel = _kernel_k_major(K, g_per, accumulate, resident=resident > 1)
 

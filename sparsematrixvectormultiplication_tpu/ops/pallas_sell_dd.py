@@ -101,6 +101,12 @@ def device_put_sell_dd(sell, device=None):
 
     bins = []
     for b in sell.bins:
+        if b.layout == "sg" and getattr(b, "sg_slots", False):
+            raise ValueError(
+                "dd kernels need row-unique sg positions (their error-free "
+                "transforms sum at most one product per output); convert "
+                "with SellMatrix.from_csr(..., sg_slots=False) for the dd "
+                "stage")
         gids = np.asarray(b.group_ids, np.int64)
         contig = (
             int(gids[0])
@@ -418,14 +424,14 @@ def _kernel_wl_dd(k: int, L: int, NW: int, interpret: bool = False,
 def _kernel_sg_dd(T: int, V: int, interpret: bool = False, g_per: int = 1,
                   accumulate: bool = False, resident: bool = False):
     """DD twin of the SG kernel (ops/pallas_sell.py _kernel_sg): hi/lo x
-    tables gathered per window pass, double-double accumulation per tile
-    straight into the (8,128) y pair (the layout is scatter-free: entry
+    tables gathered per shared-window pass, double-double accumulation per
+    tile straight into the (8,128) y pair (the layout is scatter-free: entry
     position == destination row). The per-pass masked gather sums are exact
     (each entry matches exactly one pass), so only the tile accumulation
     needs error-free transforms — kept rolled under interpret (XLA CPU folds
     unrolled EFTs; Mosaic preserves them)."""
     TB = T * SUBLANES
-    stride = 9 if V == 0 else 8
+    stride = 2 if V == 0 else 1
 
     def kernel(gid_ref, w0_ref, cnt_ref, xh_ref, xl_ref, ja_ref, ah_ref, al_ref,
                yinh_ref, yinl_ref, yh_ref, yl_ref):
@@ -440,26 +446,26 @@ def _kernel_sg_dd(T: int, V: int, interpret: bool = False, g_per: int = 1,
                 vl = al_ref[pl.ds(off, SUBLANES), :]
                 m = md & (LANES - 1)
                 zero = jnp.zeros((SUBLANES, LANES), jnp.float32)
+                w0 = w0_ref[_g, t * stride]
                 if V == 1:
-                    Wh = jnp.stack([xh_ref[w0_ref[_g, t * 8 + i], :]
-                                    for i in range(SUBLANES)])
-                    Wl = jnp.stack([xl_ref[w0_ref[_g, t * 8 + i], :]
-                                    for i in range(SUBLANES)])
+                    # doff == 0 for every entry by construction: no mask
+                    Wh = jnp.broadcast_to(xh_ref[w0, :][None, :],
+                                          (SUBLANES, LANES))
+                    Wl = jnp.broadcast_to(xl_ref[w0, :][None, :],
+                                          (SUBLANES, LANES))
                     g_h = jnp.take_along_axis(Wh, m, axis=1)
                     g_l = jnp.take_along_axis(Wl, m, axis=1)
                 elif V == 0:
-                    doff = md >> 7
+                    doff = md >> 10
 
-                    def chunk(c, gg, _t=t, _g2=_g, _m=m, _d=doff):
+                    def chunk(c, gg, _m=m, _d=doff, _w0=w0):
                         g_h, g_l = gg
                         for v8 in range(8):
                             v = c * 8 + v8
-                            Wh = jnp.stack([
-                                xh_ref[w0_ref[_g2, _t * stride + i] + v, :]
-                                for i in range(SUBLANES)])
-                            Wl = jnp.stack([
-                                xl_ref[w0_ref[_g2, _t * stride + i] + v, :]
-                                for i in range(SUBLANES)])
+                            Wh = jnp.broadcast_to(xh_ref[_w0 + v, :][None, :],
+                                                  (SUBLANES, LANES))
+                            Wl = jnp.broadcast_to(xl_ref[_w0 + v, :][None, :],
+                                                  (SUBLANES, LANES))
                             mask = _d == v
                             g_h = g_h + jnp.where(
                                 mask, jnp.take_along_axis(Wh, _m, axis=1), 0)
@@ -467,16 +473,16 @@ def _kernel_sg_dd(T: int, V: int, interpret: bool = False, g_per: int = 1,
                                 mask, jnp.take_along_axis(Wl, _m, axis=1), 0)
                         return g_h, g_l
 
-                    vc = w0_ref[_g, t * stride + 8]
+                    vc = w0_ref[_g, t * 2 + 1]  # multiple of 8 (0 = empty)
                     g_h, g_l = jax.lax.fori_loop(0, vc // 8, chunk, (zero, zero))
                 else:
-                    doff = md >> 7
+                    doff = md >> 10
                     g_h, g_l = zero, zero
                     for v in range(V):
-                        Wh = jnp.stack([xh_ref[w0_ref[_g, t * 8 + i] + v, :]
-                                        for i in range(SUBLANES)])
-                        Wl = jnp.stack([xl_ref[w0_ref[_g, t * 8 + i] + v, :]
-                                        for i in range(SUBLANES)])
+                        Wh = jnp.broadcast_to(xh_ref[w0 + v, :][None, :],
+                                              (SUBLANES, LANES))
+                        Wl = jnp.broadcast_to(xl_ref[w0 + v, :][None, :],
+                                              (SUBLANES, LANES))
                         mask = doff == v
                         g_h = g_h + jnp.where(
                             mask, jnp.take_along_axis(Wh, m, axis=1), 0)

@@ -58,7 +58,8 @@ class SpmdSell:
 
 def _bin_key(b):
     return (b.layout, int(b.k), int(b.span), int(getattr(b, "chunk_k", 8)),
-            bool(getattr(b, "add_into", False)))
+            bool(getattr(b, "add_into", False)),
+            bool(getattr(b, "sg_slots", False)))
 
 
 def _pad_groups(arr_list, ng_max, pad_block):
@@ -132,11 +133,12 @@ def build_spmd_sell(
     keys.sort(key=lambda t: (t[4], t[1], t[0], t[2], t[3]))
 
     stacked_bins = []
-    for layout, K, span, ck, add_into in keys:
+    for layout, K, span, ck, add_into, sg_slots in keys:
         per_shard = []
         for s in sells:
             match = [b for b in s.bins
-                     if _bin_key(b) == (layout, K, span, ck, add_into)]
+                     if _bin_key(b) == (layout, K, span, ck, add_into,
+                                        sg_slots)]
             per_shard.append(match[0] if match else None)
         g_max = max((b.n_groups if b else 0) for b in per_shard)
         if g_max == 0:
@@ -150,7 +152,7 @@ def build_spmd_sell(
         elif layout == "wl":
             w = SUBLANES * ck * 8  # ck carries NW for wl bins
         elif layout == "sg":
-            w = K * (9 if span == 0 else 8)  # per-tile w0 bases (+pass count)
+            w = K * (2 if span == 0 else 1)  # shared w0 per tile (+pass count)
         else:  # sb-list
             w = SUBLANES * (K // ck) * span
 
@@ -215,6 +217,7 @@ def build_spmd_sell(
                 contig_start=-1,   # group ids are shard-local and padded
                 chunk_k=ck,
                 add_into=add_into,
+                sg_slots=sg_slots,
             )
         )
 
