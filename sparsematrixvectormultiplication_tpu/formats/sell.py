@@ -78,6 +78,7 @@ _VREG_OP_S = 2.6e-10  # recalibrated against the r2 bench sb-list regression
 _LAUNCH_BYTES = int(_LAUNCH_S * _PALLAS_BW)  # padding bytes worth one launch
 _SMEM_LIST_BYTES = 512 * 1024  # scalar-prefetch table budget per bin
 _MAX_STATIC_SPAN = 40  # widest unrolled gather-pass count for sb kernels
+_SG_MAX_STATIC = 48    # sg static rung cap (8-aligned w0 widens cap-40 + 7)
 _MAX_STATIC_BODIES = 320  # nchunks*span cap: the Mosaic compile helper
                           # crashed at ~408 unrolled bodies (sigma-fem3d
                           # sb-list); 288-body kernels (K=96, span 24)
@@ -364,10 +365,113 @@ class SellMatrix:
                                       minlength=padded_rows).astype(np.int64) \
                 if sg_prof.far_rows.size else np.zeros(padded_rows, np.int64)
             far_kg = far_per_row.reshape(num_groups, GROUP_ROWS).max(axis=1)
-            sg_far_vregs_g = 5 * far_slab_count.astype(np.int64) \
-                * np.maximum(far_kg, 1) * (far_kg > 0)
+            # modeled far cost matches the K-binned emission: per group, one
+            # slab scan per PRESENT row-rung (K in {1,2,4,...}), so a single
+            # worst row no longer multiplies the whole group's scan
+            sg_far_vregs_g = np.zeros(num_groups, np.int64)
+            if sg_prof.far_rows.size:
+                fr = sg_prof.far_rows.astype(np.int64)
+                newr = np.ones(fr.size, bool)
+                newr[1:] = fr[1:] != fr[:-1]
+                rstart = np.flatnonzero(newr)
+                rcnt = np.diff(np.concatenate([rstart, [fr.size]]))
+                rrows = fr[rstart]
+                rung = np.maximum(
+                    1, 1 << np.ceil(np.log2(rcnt)).astype(np.int64))
+                gr = rrows // GROUP_ROWS
+                pair = gr * 64 + np.minimum(
+                    np.log2(rung).astype(np.int64), 63)
+                upair = np.unique(pair)
+                ug = upair // 64
+                uk = np.int64(1) << (upair % 64)
+                np.add.at(sg_far_vregs_g, ug,
+                          5 * far_slab_count[ug].astype(np.int64) * uk)
 
         bins = []
+        sg_far_groups: list = []  # union of sg-routed groups (far emitted
+                                  # ONCE globally after all bins)
+
+        def _emit_sg_far(gsub):
+            """Far-remainder k-major bins for ``gsub`` (accumulate onto
+            the sg core bin's y tiles; see formats/sg.py far split).
+
+            Rows are K-BINNED by their far-entry count ({1,2,4,...}):
+            the k-major kernel's cost is 5 ops x slabs x K, and one
+            unbinned K=max bin multiplied every group's slab scan by
+            its worst row (TPU-measured 12-24 ops per far entry on
+            road links; K-binned ~5-6)."""
+            fg = (sg_prof.far_rows.astype(np.int64) // GROUP_ROWS)
+            ginv_f = np.full(num_groups, -1, np.int64)
+            ginv_f[gsub] = 0
+            fsel = np.flatnonzero(ginv_f[fg] >= 0)
+            if fsel.size == 0:
+                return
+            rows_f = sg_prof.far_rows[fsel].astype(np.int64)
+            cols_f = sg_prof.far_cols[fsel].astype(np.int64)
+            vals_f = sg_prof.far_vals[fsel]
+            # within-row occurrence + row far-count (CSR order)
+            newr = np.ones(rows_f.size, bool)
+            newr[1:] = rows_f[1:] != rows_f[:-1]
+            rstart = np.flatnonzero(newr)
+            rid = np.cumsum(newr) - 1
+            occ = np.arange(rows_f.size) - rstart[rid]
+            rcnt_run = np.diff(np.concatenate(
+                [rstart, [rows_f.size]]))
+            rcnt = rcnt_run[rid]          # per-entry row far-count
+            # K ladder rung per entry's row
+            rung = np.maximum(
+                1, 1 << np.ceil(np.log2(rcnt)).astype(np.int64))
+            for Kf64 in np.unique(rung):
+                Kf = int(Kf64)
+                esel = rung == Kf64
+                fgk = fg[fsel][esel]
+                gsub_far = np.unique(fgk).astype(np.int32)
+                ginv_c = np.full(num_groups, -1, np.int64)
+                ginv_c[gsub_far] = np.arange(gsub_far.size)
+                ngf = gsub_far.size
+                ja_f = np.full((ngf, Kf, SUBLANES, LANES),
+                               np.int32((Rp - 1) * LANES))
+                as_f = np.zeros((ngf, Kf, SUBLANES, LANES), value_dtype)
+                gl = ginv_c[fgk]
+                lr = rows_f[esel] - fgk * GROUP_ROWS
+                i = lr // LANES
+                j = lr - i * LANES
+                ja_f[gl, occ[esel], i, j] = cols_f[esel].astype(np.int32)
+                as_f[gl, occ[esel], i, j] = vals_f[esel].astype(value_dtype)
+                cnt_f = far_slab_count[gsub_far]
+                wv = max(int(cnt_f.max()), 1)
+                wv = -(-wv // 8) * 8
+                lst = far_slab_list[gsub_far]
+                if lst.shape[1] < wv:
+                    lst = np.concatenate(
+                        [lst, np.full((ngf, wv - lst.shape[1]), Rp - 1,
+                                      np.int32)], axis=1)
+                else:
+                    lst = lst[:, :wv]
+                lst = np.where(lst >= Rp, np.int32(Rp - 1), lst)
+                far_nnz_g = np.bincount(gl, minlength=ngf).astype(np.int64)
+                per_call = max(1, _SMEM_LIST_BYTES // (wv * 4))
+                for c0 in range(0, ngf, per_call):
+                    sc = slice(c0, c0 + per_call)
+                    bins.append(
+                        SellBin(
+                            k=Kf,
+                            layout="k-major",
+                            group_ids=gsub_far[sc],
+                            ja=np.ascontiguousarray(
+                                ja_f[sc]).reshape(-1, LANES),
+                            as_=np.ascontiguousarray(
+                                as_f[sc]).reshape(-1, LANES),
+                            slab_list=np.ascontiguousarray(lst[sc]),
+                            slab_count=cnt_f[sc].astype(np.int32),
+                            real_nnz=int(far_nnz_g[sc].sum()),
+                            cost_passes=int(
+                                (5 * cnt_f[sc].astype(np.int64)
+                                 * Kf).sum()),
+                            add_into=True,
+                        )
+                    )
+
         for b_id in np.unique(bin_of_group) if num_groups else []:
             if b_id < 0:
                 continue  # skip_empty: groups with no entries get no bin
@@ -485,8 +589,12 @@ class SellMatrix:
                     (T_b + np.maximum(far_kg[gids_all], 0)) * bpr / _PALLAS_BW,
                     cost_sg_g * _VREG_OP_S,
                 )
-                sg_ok = sg_prof.core_frac_g[gids_all] >= 0.5
-                sec_sg_c = np.where(sg_ok, sec_sg, big)
+                # admissible at ANY core fraction: a mostly-far group still
+                # beats plain k-major, whose cost multiplies every slab pass
+                # by the group's worst row while the K-binned far rungs pay
+                # only the rungs present (sec_sg prices both parts)
+                sg_ok = np.ones(ng, bool)
+                sec_sg_c = sec_sg
             else:
                 sec_sg_c = np.full(ng, big)
                 sg_ok = np.zeros(ng, bool)
@@ -533,70 +641,6 @@ class SellMatrix:
                     np.ascontiguousarray(ast).reshape(-1, LANES),
                 )
 
-            def _emit_sg_far(gsub):
-                """Far-remainder k-major bins for ``gsub`` (accumulate onto
-                the sg core bin's y tiles; see formats/sg.py far split)."""
-                fg = (sg_prof.far_rows.astype(np.int64) // GROUP_ROWS)
-                ginv_f = np.full(num_groups, -1, np.int64)
-                ginv_f[gsub] = 0
-                fsel = np.flatnonzero(ginv_f[fg] >= 0)
-                if fsel.size == 0:
-                    return
-                rows_f = sg_prof.far_rows[fsel].astype(np.int64)
-                cols_f = sg_prof.far_cols[fsel].astype(np.int64)
-                vals_f = sg_prof.far_vals[fsel]
-                # within-row occurrence (entries stay in CSR order)
-                newr = np.ones(rows_f.size, bool)
-                newr[1:] = rows_f[1:] != rows_f[:-1]
-                rstart = np.flatnonzero(newr)
-                rid = np.cumsum(newr) - 1
-                occ = np.arange(rows_f.size) - rstart[rid]
-                Kf = int(occ.max()) + 1
-                gsub_far = np.unique(fg[fsel]).astype(np.int32)
-                ginv_c = np.full(num_groups, -1, np.int64)
-                ginv_c[gsub_far] = np.arange(gsub_far.size)
-                ngf = gsub_far.size
-                ja_f = np.full((ngf, Kf, SUBLANES, LANES),
-                               np.int32((Rp - 1) * LANES))
-                as_f = np.zeros((ngf, Kf, SUBLANES, LANES), value_dtype)
-                gl = ginv_c[fg[fsel]]
-                lr = rows_f - (fg[fsel]) * GROUP_ROWS
-                i = lr // LANES
-                j = lr - i * LANES
-                ja_f[gl, occ, i, j] = cols_f.astype(np.int32)
-                as_f[gl, occ, i, j] = vals_f.astype(value_dtype)
-                cnt_f = far_slab_count[gsub_far]
-                wv = max(int(cnt_f.max()), 1)
-                wv = -(-wv // 8) * 8
-                lst = far_slab_list[gsub_far]
-                if lst.shape[1] < wv:
-                    lst = np.concatenate(
-                        [lst, np.full((ngf, wv - lst.shape[1]), Rp - 1,
-                                      np.int32)], axis=1)
-                else:
-                    lst = lst[:, :wv]
-                lst = np.where(lst >= Rp, np.int32(Rp - 1), lst)
-                far_nnz_g = np.bincount(gl, minlength=ngf).astype(np.int64)
-                per_call = max(1, _SMEM_LIST_BYTES // (wv * 4))
-                for c0 in range(0, ngf, per_call):
-                    sc = slice(c0, c0 + per_call)
-                    nsc = min(per_call, ngf - c0)
-                    bins.append(
-                        SellBin(
-                            k=Kf,
-                            layout="k-major",
-                            group_ids=gsub_far[sc],
-                            ja=np.ascontiguousarray(ja_f[sc]).reshape(-1, LANES),
-                            as_=np.ascontiguousarray(as_f[sc]).reshape(-1, LANES),
-                            slab_list=np.ascontiguousarray(lst[sc]),
-                            slab_count=cnt_f[sc].astype(np.int32),
-                            real_nnz=int(far_nnz_g[sc].sum()),
-                            cost_passes=int(
-                                (5 * cnt_f[sc].astype(np.int64) * Kf).sum()),
-                            add_into=True,
-                        )
-                    )
-
             def emit(mask, lay, span_val, nw_val=0):
                 sub = np.flatnonzero(mask)
                 if sub.size == 0:
@@ -613,7 +657,9 @@ class SellMatrix:
                         gsc = gsub[c0 : c0 + per_call]
                         kw = emit_sg_core(sg_prof, gsc, Tq, Vq, Rp, value_dtype)
                         bins.append(SellBin(**kw))
-                        _emit_sg_far(gsc)
+                    # far remainder deferred: emitted ONCE globally after
+                    # every bin (each far bin is a pallas call)
+                    sg_far_groups.append(gsub)
                 elif lay == "wl":
                     ginv_c = np.full(num_groups, -1, dtype=np.int64)
                     ginv_c[gsub] = np.arange(gsub.size)
@@ -758,7 +804,9 @@ class SellMatrix:
 
                 sgsel = choice == 4
                 Tq_g = quantize_T(sg_prof.T_g[gids_all])
-                Vq_g = quantize_V(sg_prof.V_g[gids_all], _MAX_STATIC_SPAN)
+                # sg statics go one rung past the sb cap: the 8-aligned w0
+                # can widen a span_cap(40)-trimmed window to at most 47
+                Vq_g = quantize_V(sg_prof.V_g[gids_all], _SG_MAX_STATIC)
                 for tqv in np.unique(Tq_g[sgsel]):
                     tsel = sgsel & (Tq_g == tqv)
                     for vqv in np.unique(Vq_g[tsel]):
@@ -773,8 +821,16 @@ class SellMatrix:
                     return float(SUBLANES * nw * (_WL_WIN_VREGS + 4 * span)
                                  * idx.size)
                 if lay == "sg":
-                    return float((sg_prof.vregs_g[gids_all[idx]]
-                                  + sg_far_vregs_g[gids_all[idx]]).sum())
+                    if span > 0:
+                        # static candidate: every tile runs `span` passes —
+                        # merged clusters must price the widened rung, or
+                        # the merger collapses everything to one V=48 bin
+                        core = float(
+                            (sg_prof.T_g[gids_all[idx]]
+                             * (9 * span // 2 + 38)).sum())
+                    else:
+                        core = float(sg_prof.vregs_g[gids_all[idx]].sum())
+                    return core + float(sg_far_vregs_g[gids_all[idx]].sum())
                 per_chunk = (5 if lay == "sb-major" else 6) * span + 2
                 return float(SUBLANES * nchunks * per_chunk * idx.size)
 
@@ -789,13 +845,17 @@ class SellMatrix:
                     width = Kp
                 bw = _PALLAS_BW_WL if lay == "wl" else _PALLAS_BW
                 dma = width * GROUP_ROWS * 8 * idx.size / bw
-                launches = 2 * _LAUNCH_S if lay == "sg" else _LAUNCH_S
+                # sg clusters each cost a core call plus a share of the far
+                # rung calls; measured in-jit per-call cost is ~3x the bare
+                # launch constant (probes/sg_bins_road2.out) — price it so
+                # the merger collapses near-identical (Tq, Vq) clusters
+                launches = 4 * _LAUNCH_S if lay == "sg" else _LAUNCH_S
                 return max(dma, _vregs(lay, span, nw, idx) * _VREG_OP_S) \
                     + launches
 
             def _valid(lay, span, nw, idx):
                 if lay == "sg":
-                    return span == 0 or span <= _MAX_STATIC_SPAN
+                    return span == 0 or span <= _SG_MAX_STATIC
                 if lay == "wl":
                     return (nw <= _WL_MAX_NW and span <= _WL_MAX_L
                             and nw * span <= _WL_MAX_TILES
@@ -822,27 +882,34 @@ class SellMatrix:
                             cands.append(cand)
                     return min(cands, key=lambda c: _cost(*c)) if cands else None
                 if l1 == "sg" or l2 == "sg":
-                    # sg merges only with sg; a dynamic member (span 0) makes
-                    # the merged bin dynamic
-                    if l1 == "sg" and l2 == "sg":
-                        sv = 0 if (s1 == 0 or s2 == 0) else max(s1, s2)
+                    # sg merges only with sg, and static only with static:
+                    # one dynamic member would put every merged group on the
+                    # rolled dynamic kernel (measured 6x slower than static)
+                    if l1 == "sg" and l2 == "sg" and (s1 == 0) == (s2 == 0):
+                        sv = 0 if s1 == 0 else max(s1, s2)
                         cand = ("sg", sv, max(n1, n2), idx)
                         if _valid(*cand):
                             cands.append(cand)
                     return min(cands, key=lambda c: _cost(*c)) if cands else None
                 # sb-major covers any group via its slab RANGE (s_q);
-                # sb-list covers any group via its DISTINCT count (d_q)
+                # sb-list covers any group via its DISTINCT count (d_q).
+                # Under a forced layout, only same-layout merges are legal.
                 span_sb = int(s_q[idx].max())
-                if _valid("sb-major", span_sb, 0, idx):
+                if (not forced or layout == "sb-major") \
+                        and _valid("sb-major", span_sb, 0, idx):
                     cands.append(("sb-major", span_sb, 0, idx))
                 span_sl = int(d_q[idx].max())
-                if _valid("sb-list", span_sl, 0, idx):
+                if (not forced or layout == "sb-list") \
+                        and _valid("sb-list", span_sl, 0, idx):
                     cands.append(("sb-list", span_sl, 0, idx))
                 if not cands:
                     return None
                 return min(cands, key=lambda c: _cost(*c))
 
-            improved = merge_bins and not forced and len(clusters) > 1
+            # merging applies under forced layouts too (it only ever merges
+            # same-layout clusters, so the forced choice is preserved; the
+            # r2 guard left forced-sg sweeps fragmented into ~10 calls)
+            improved = merge_bins and len(clusters) > 1
             while improved:
                 improved = False
                 best = None
@@ -864,6 +931,9 @@ class SellMatrix:
                 mask = np.zeros(ng, dtype=bool)
                 mask[idx] = True
                 emit(mask, lay, int(span), nw)
+
+        if sg_far_groups:
+            _emit_sg_far(np.unique(np.concatenate(sg_far_groups)))
 
         return cls(nrows=M, ncols=N, nnz=csr.nnz, bins=bins,
                    num_groups=num_groups, row_perm=row_perm)

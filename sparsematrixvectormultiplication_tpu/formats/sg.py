@@ -60,15 +60,19 @@ GROUP_ROWS = LANES * SUBLANES
 # slack below tile capacity so same-row conflicts resolve in shallow layers
 # (~λ=0.75 occupancy per row per window on uniform-random)
 _TILE_ENTRIES = 768
-_SPAN_CAP = 48           # shed target: best cap-wide window per wide tile
+# shed target: best cap-wide window per wide tile. MUST be <= the static
+# ladder's top (_V_LADDER[-1] == sell._MAX_STATIC_SPAN): shed output one
+# slab past the static max lands the whole group in the 6x-slower rolled
+# dynamic kernel (measured: road bin span=0 1.39 ms vs span=4 0.22 ms for
+# the same entry count)
+_SPAN_CAP = 40
 _SHED_ROUNDS = 2         # shed -> repack rounds (far set only grows)
 # profit rule: shed when 4*(V-cap) > _FAR_COST_PER_ENTRY*n_out + margin.
-# The far remainder is served by k-major add_into bins whose real cost is
-# ~5 ops per (distinct slab x K_far) — measured ~12-14 ops per far entry on
-# road-class link sets. 12 keeps genuinely diffuse tiles (power-law tails,
-# uniform spill) in sg as wide dynamic tiles (~4 ops per pass) instead of
-# degenerating the matrix back to the k-major slab scan.
-_FAR_COST_PER_ENTRY = 12
+# The far remainder is served by K-binned k-major add_into bins: most far
+# rows hold 1-2 entries, so the slab scan costs ~5-6 ops per far entry
+# (TPU-measured after the K-binned far emission; an unbinned K=max far bin
+# multiplied every slab pass by the worst row and cost 12-24/entry).
+_FAR_COST_PER_ENTRY = 6
 _SHED_MARGIN = 16
 
 SG_DYNAMIC = 0  # SellBin.span value marking the dynamic-pass-count kernel
@@ -258,15 +262,35 @@ def sg_profile(
             bstart[cell_o[bi[::-1]]] = slab_o[bi[::-1]]
         size_t = np.bincount(cell_o, minlength=num_groups * t_max)
         n_out = size_t - best
-        shed_tile = wide & (
+        # two shed moves per wide tile, both priced against the K-binned
+        # k-major far cost (~_FAR_COST_PER_ENTRY ops/entry):
+        #   trim:  keep the best cap-window, shed the n_out outside it
+        #   whole: shed the entire tile (predominantly diffuse tiles —
+        #          power-law tails — where the window scan would pay
+        #          4*span for few entries; the far slab scan is cheaper)
+        # prefer the move with the larger net saving: whole beats trim iff
+        # 4*cap > far_cost*best_count, i.e. the best cap-window itself holds
+        # too few entries to be worth scanning (mixed band+link windows keep
+        # their band; pure-diffuse windows leave wholesale)
+        # ...and only for sparsely-filled tiles: a FULL diffuse tile (768
+        # entries over thousands of slabs — power-law tails) is served
+        # better by the sg dynamic window scan than by the k-major far
+        # path, whose per-(group,plane) SMEM slab lists fragment into
+        # dozens of pallas calls at that volume
+        whole_tile = wide & (
+            4 * span_t > _FAR_COST_PER_ENTRY * size_t + _SHED_MARGIN
+        ) & (_FAR_COST_PER_ENTRY * best < 4 * span_cap) \
+            & (size_t < _TILE_ENTRIES // 2)
+        trim_tile = wide & ~whole_tile & (
             4 * (span_t - span_cap)
             > _FAR_COST_PER_ENTRY * n_out + _SHED_MARGIN
         )
-        if not shed_tile.any():
+        if not (trim_tile | whole_tile).any():
             break
         lo = bstart[cell_o]
-        offender = shed_tile[cell_o] & (
-            (slab_o < lo) | (slab_o >= lo + span_cap)
+        offender = whole_tile[cell_o] | (
+            trim_tile[cell_o]
+            & ((slab_o < lo) | (slab_o >= lo + span_cap))
         )
         if not offender.any():
             break
@@ -285,17 +309,18 @@ def sg_profile(
     g_k = rows >> 10
     cell = g_k * t_max + t
 
-    # per-tile pass counts; empty tiles (w0=Rp-1, cmax=0) -> 0 passes
+    # per-tile pass counts; empty tiles (w0=Rp-1, cmax=0) -> 0 passes.
+    # w0 is kept 8-ALIGNED (the kernel loads the window in aligned 8-row
+    # chunks — unaligned VMEM multi-row reads split) and clamped so every
+    # chunk read stays inside the x table.
     occupied = np.zeros(num_groups * t_max, bool)
     if nc:
         occupied[cell] = True
     occ = occupied.reshape(num_groups, t_max)
+    w0 = w0 & ~np.int64(7)
     passes = np.where(occ, np.maximum(cmax - w0 + 1, 1), 0).astype(np.int64)
-    # clamp w0 so every 8-row chunk read stays inside the x table: the
-    # kernel reads [w0, w0 + roundup8(passes)); after the shift the span
-    # grows by delta but stays <= the rounded scan (slab <= Rp-1)
     scan8 = -(-passes // 8) * 8
-    w0 = np.minimum(w0, np.maximum(Rp - scan8, 0))
+    w0 = np.minimum(w0, np.maximum(Rp - scan8, 0) & ~np.int64(7))
     passes = np.where(occ, cmax - w0 + 1, 0)
 
     e_md = np.zeros(nc, np.int32)
@@ -348,10 +373,16 @@ def sg_profile(
     )
 
 
-# quantization ladders for bin-static kernel shapes
-_T_LADDER = tuple(range(1, 9)) + (10, 12, 14, 16, 20, 24, 32, 40, 48, 64,
-                                  96, 128, 192, 256, 384, 512, 768, 1024)
-_V_LADDER = (1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 40)
+# quantization ladders for bin-static kernel shapes. COARSE on purpose:
+# every distinct (Tq, Vq) pair is a separate bin = a separate pallas call
+# (~0.1 ms inside one jit, TPU-measured probes/sg_bins_road2.out); padding
+# a tile to the next rung costs far less than another launch.
+_T_LADDER = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024)
+# static spans are MULTIPLES OF 8 (plus the 1-slab special case): the
+# kernel reads the window in aligned 8-row chunks — one dynamic VMEM load
+# per 8 passes instead of one per pass (per-pass dynamic row reads stall
+# ~20 cycles and dominated the kernel; TPU-measured, road 7.7 -> ~2 ms)
+_V_LADDER = (1, 8, 16, 24, 32, 40, 48)
 
 
 def quantize_T(T: np.ndarray) -> np.ndarray:

@@ -239,6 +239,23 @@ def pack_x_table(x, ncols: int):
     return x.reshape(Rp, LANES)
 
 
+def device_put_x(x, ncols: int, dtype=jnp.float32, device=None):
+    """Upload x PRE-PACKED as the (Rp, 128) slab table.
+
+    The in-jit 1-D -> (Rp, 128) reshape is a physical relayout that XLA TPU
+    executes at ~10 GB/s — 392 us for N=1M, the dominant fixed cost of every
+    spmv call (TPU-measured, probes/sg_overhead.out). Packing on the host at
+    upload matches the reference's methodology (x is memcpy'd to the device
+    once before timing, main_cuda.cu:134-145); :func:`sell_spmv_pallas`
+    accepts the packed table directly (x.ndim == 2)."""
+    x = np.asarray(x)
+    R = -(-ncols // LANES)
+    Rp = (R // SUBLANES + 1) * SUBLANES
+    tab = np.zeros((Rp * LANES,), np.dtype(jnp.dtype(dtype).name))
+    tab[: x.shape[0]] = x
+    return jax.device_put(jnp.asarray(tab.reshape(Rp, LANES)), device)
+
+
 # ---------------------------------------------------------------------------
 # k-major slab-list kernel
 # ---------------------------------------------------------------------------
@@ -559,25 +576,33 @@ def _kernel_sg(T: int, V: int, g_per: int = 1, accumulate: bool = False,
                     doff = md >> 10
 
                     def chunk(c, gacc, _m=m, _d=doff, _w0=w0):
+                        # ONE dynamic 8-row window load per chunk: per-pass
+                        # dynamic single-row reads stall ~20 cycles each and
+                        # dominated the whole kernel (TPU-measured, road
+                        # 7.7 ms); static sublane extracts pipeline
+                        W8 = x_ref[pl.ds(_w0 + c * 8, 8), :]
                         for v8 in range(8):
-                            v = c * 8 + v8
-                            xrow = x_ref[_w0 + v, :]
-                            W = jnp.broadcast_to(xrow[None, :],
+                            W = jnp.broadcast_to(W8[v8 : v8 + 1],
                                                  (SUBLANES, LANES))
                             gat = jnp.take_along_axis(W, _m, axis=1)
-                            gacc = gacc + jnp.where(_d == v, gat, 0)
+                            gacc = gacc + jnp.where(_d == c * 8 + v8, gat, 0)
                         return gacc
 
                     vc = w0_ref[_g, t * 2 + 1]  # multiple of 8 (0 = empty)
                     gath = jax.lax.fori_loop(0, vc // 8, chunk, zero)
                 else:
+                    # static V: a multiple of 8 by the quantize_V ladder, so
+                    # the 8-row chunk reads stay inside the clamped window
+                    assert V % 8 == 0, "static sg spans must be multiples of 8"
                     doff = md >> 10
                     gath = zero
-                    for v in range(V):  # static unroll
-                        xrow = x_ref[w0 + v, :]
-                        W = jnp.broadcast_to(xrow[None, :], (SUBLANES, LANES))
-                        gat = jnp.take_along_axis(W, m, axis=1)
-                        gath = gath + jnp.where(doff == v, gat, 0)
+                    for c in range(V // 8):
+                        W8 = x_ref[pl.ds(w0 + c * 8, 8), :]
+                        for v8 in range(8):
+                            W = jnp.broadcast_to(W8[v8 : v8 + 1],
+                                                 (SUBLANES, LANES))
+                            gat = jnp.take_along_axis(W, m, axis=1)
+                            gath = gath + jnp.where(doff == c * 8 + v8, gat, 0)
                 prod = vals * gath
                 if not slots:
                     return acc + prod
@@ -592,8 +617,11 @@ def _kernel_sg(T: int, V: int, g_per: int = 1, accumulate: bool = False,
                 return acc + jnp.concatenate(rows, axis=0)
 
             # keep bodies bounded: full unroll only while the step's total
-            # unrolled pass count stays within the Mosaic compile budget
-            unroll = T if (T <= 16 and g_per * T * max(V, 1) <= 160) else 1
+            # unrolled pass count stays within the Mosaic compile budget.
+            # Resident mode rolls the group loop (fori), so its body holds
+            # ONE group's tile loop — g_per doesn't multiply the budget.
+            mult = 1 if resident else g_per
+            unroll = T if (T <= 32 and mult * T * max(V, 1) <= 320) else 1
             return jax.lax.fori_loop(
                 0, T, tile_body, jnp.zeros((SUBLANES, LANES), dtype),
                 unroll=unroll,
@@ -701,24 +729,30 @@ def _bin_call(bin_: DeviceSellBin, x_tab, y, num_groups: int, interpret: bool,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "assembly"))
-def sell_spmv_pallas(dsell, x, *, interpret: bool = False, assembly: str = "chain"):
+def sell_spmv_pallas(dsell, x, *, interpret: bool = False, assembly: str = "auto"):
     """SpMV over the binned SELL layout; returns y[:nrows] in natural order.
 
     Accepts a :class:`DeviceSell` (single x-table in VMEM) or a
     :class:`DevicePanelSell` (column panels for N beyond the VMEM budget —
     parity with the reference's unbounded-N kernels, src/csr_matrix.c:130-139).
 
-    ``assembly``: bins write disjoint (8,128) y tiles. ``"sum"`` gives each
-    bin its own zero y buffer and adds them — the calls are data-independent,
-    so the runtime can overlap their DMA/compute (measured: two independent
-    pallas_calls stream 2.15 GB in the wall time of one, probes/kernel_probe4).
-    ``"chain"`` threads one aliased buffer through every call (serial; the
-    r1 behavior).
+    ``assembly``:
+      ``"auto"`` (default): core bins (write-disjoint tiles) chain one
+      aliased buffer; each add_into bin (sg far remainder) writes its OWN
+      zero buffer with plain writes, summed at the end. Accumulating into a
+      resident whole-y window forces an 8 MB read-modify-write per grid
+      step (TPU-measured ~28 us/step vs ~7 pure-write,
+      probes/sg_bins_road2.out) — private buffers keep far bins pure-write.
+      ``"sum"``: every bin gets its own zero buffer (data-independent calls
+      overlap DMA/compute; probes/kernel_probe4).
+      ``"chain"``: one aliased buffer through every call (serial; r1).
     """
     if isinstance(dsell, DevicePanelSell):
         return _panel_spmv(dsell, x, interpret)
-    x_tab = pack_x_table(x, dsell.ncols)
+    # 2-D input = already the packed (Rp, 128) slab table (device_put_x)
+    x_tab = x if x.ndim == 2 else pack_x_table(x, dsell.ncols)
     y = jnp.zeros((dsell.num_groups * SUBLANES, LANES), dtype=x_tab.dtype)
+    has_far = any(b.add_into for b in dsell.bins)
     if assembly == "sum" and len(dsell.bins) > 1:
         # every bin writes its own zero buffer (add_into bins included — the
         # final sum assembles overlapping groups exactly)
@@ -728,6 +762,14 @@ def sell_spmv_pallas(dsell, x, *, interpret: bool = False, assembly: str = "chai
         ]
         for yb in ys:
             y = y + yb
+    elif assembly == "auto" and has_far:
+        for bin_ in dsell.bins:
+            if not bin_.add_into:
+                y = _bin_call(bin_, x_tab, y, dsell.num_groups, interpret)
+        for bin_ in dsell.bins:
+            if bin_.add_into:
+                y = y + _bin_call(bin_, x_tab, jnp.zeros_like(y),
+                                  dsell.num_groups, interpret)
     else:
         for bin_ in dsell.bins:
             y = _bin_call(bin_, x_tab, y, dsell.num_groups, interpret,

@@ -459,14 +459,17 @@ def _kernel_sg_dd(T: int, V: int, interpret: bool = False, g_per: int = 1,
                     doff = md >> 10
 
                     def chunk(c, gg, _m=m, _d=doff, _w0=w0):
+                        # one dynamic 8-row window load per chunk (per-pass
+                        # dynamic row reads stall ~20 cycles; see f32 twin)
                         g_h, g_l = gg
+                        W8h = xh_ref[pl.ds(_w0 + c * 8, 8), :]
+                        W8l = xl_ref[pl.ds(_w0 + c * 8, 8), :]
                         for v8 in range(8):
-                            v = c * 8 + v8
-                            Wh = jnp.broadcast_to(xh_ref[_w0 + v, :][None, :],
+                            Wh = jnp.broadcast_to(W8h[v8 : v8 + 1],
                                                   (SUBLANES, LANES))
-                            Wl = jnp.broadcast_to(xl_ref[_w0 + v, :][None, :],
+                            Wl = jnp.broadcast_to(W8l[v8 : v8 + 1],
                                                   (SUBLANES, LANES))
-                            mask = _d == v
+                            mask = _d == c * 8 + v8
                             g_h = g_h + jnp.where(
                                 mask, jnp.take_along_axis(Wh, _m, axis=1), 0)
                             g_l = g_l + jnp.where(
@@ -476,23 +479,30 @@ def _kernel_sg_dd(T: int, V: int, interpret: bool = False, g_per: int = 1,
                     vc = w0_ref[_g, t * 2 + 1]  # multiple of 8 (0 = empty)
                     g_h, g_l = jax.lax.fori_loop(0, vc // 8, chunk, (zero, zero))
                 else:
+                    assert V % 8 == 0, "static sg spans must be multiples of 8"
                     doff = md >> 10
                     g_h, g_l = zero, zero
-                    for v in range(V):
-                        Wh = jnp.broadcast_to(xh_ref[w0 + v, :][None, :],
-                                              (SUBLANES, LANES))
-                        Wl = jnp.broadcast_to(xl_ref[w0 + v, :][None, :],
-                                              (SUBLANES, LANES))
-                        mask = doff == v
-                        g_h = g_h + jnp.where(
-                            mask, jnp.take_along_axis(Wh, m, axis=1), 0)
-                        g_l = g_l + jnp.where(
-                            mask, jnp.take_along_axis(Wl, m, axis=1), 0)
+                    for c in range(V // 8):
+                        W8h = xh_ref[pl.ds(w0 + c * 8, 8), :]
+                        W8l = xl_ref[pl.ds(w0 + c * 8, 8), :]
+                        for v8 in range(8):
+                            Wh = jnp.broadcast_to(W8h[v8 : v8 + 1],
+                                                  (SUBLANES, LANES))
+                            Wl = jnp.broadcast_to(W8l[v8 : v8 + 1],
+                                                  (SUBLANES, LANES))
+                            mask = doff == c * 8 + v8
+                            g_h = g_h + jnp.where(
+                                mask, jnp.take_along_axis(Wh, m, axis=1), 0)
+                            g_l = g_l + jnp.where(
+                                mask, jnp.take_along_axis(Wl, m, axis=1), 0)
                 return _dd_chunk_accumulate(acc_h, acc_l, vh, vl, g_h, g_l)
 
             zero = jnp.zeros((SUBLANES, LANES), jnp.float32)
+            # resident mode rolls the group loop: g_per doesn't multiply the
+            # compile budget (see the f32 twin)
+            mult = 1 if resident else g_per
             unroll = 1 if interpret else (
-                T if (T <= 16 and g_per * T * max(V, 1) <= 160) else 1)
+                T if (T <= 16 and mult * T * max(V, 1) <= 160) else 1)
             return jax.lax.fori_loop(
                 0, T, tile_body, (zero, zero), unroll=unroll)
 
@@ -657,8 +667,9 @@ def sell_spmv_pallas_dd(dsell, xh, xl, *, interpret: bool = False):
                                       dsell.num_groups, interpret,
                                       accumulate=True)
         return yh.reshape(-1)[: dsell.nrows], yl.reshape(-1)[: dsell.nrows]
-    xh_tab = pack_x_table(xh, dsell.ncols)
-    xl_tab = pack_x_table(xl, dsell.ncols)
+    # 2-D inputs = already packed (Rp, 128) tables (pallas_sell.device_put_x)
+    xh_tab = xh if xh.ndim == 2 else pack_x_table(xh, dsell.ncols)
+    xl_tab = xl if xl.ndim == 2 else pack_x_table(xl, dsell.ncols)
     yh = jnp.zeros((dsell.num_groups * SUBLANES, LANES), jnp.float32)
     yl = jnp.zeros_like(yh)
     for bin_ in dsell.bins:
