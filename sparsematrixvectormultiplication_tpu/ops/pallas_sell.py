@@ -210,6 +210,9 @@ def _resident_pad(b, num_groups: int, value_itemsize: int):
 # ~1.4 GB SINGLE arrays (xla_csr, HLL repack); many-array SELL structures up
 # to ~1.9 GB uploaded fine in r1 (119M-nnz dd) — budget set between
 _MAX_UPLOAD_BYTES = 2200 * 1024 * 1024
+# single-array transfer cap: the observed worker-killers were ~1.4 GB SINGLE
+# arrays; bin-by-bin uploads below this ran fine up to ~1.9 GB total (r1)
+_MAX_ARRAY_BYTES = 1200 * 1024 * 1024
 
 
 def pack_x_table(x, ncols: int):

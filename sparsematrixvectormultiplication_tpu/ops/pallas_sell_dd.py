@@ -90,13 +90,23 @@ def device_put_sell_dd(sell, device=None):
     PanelSellMatrix inputs route to :func:`device_put_panel_sell_dd`."""
     if hasattr(sell, "panels"):
         return device_put_panel_sell_dd(sell, device=device)
-    from .pallas_sell import _MAX_UPLOAD_BYTES
+    from .pallas_sell import _MAX_ARRAY_BYTES, _MAX_UPLOAD_BYTES
 
+    # per-ARRAY cap: the observed worker-killers were ~1.4 GB single
+    # transfers; many-array structures up to 1.9 GB uploaded fine (r1
+    # 119M-nnz dd). Uploads happen bin-by-bin below (incremental), so the
+    # total cap is the looser memory-pressure bound — this re-admits the
+    # reference's own headline scale (fp64 at 127M nnz, result_cuda.csv:3)
+    # that r2's all-or-nothing 2.2 GB total guard skipped.
+    biggest = max((max(b.ja.nbytes, b.as_.nbytes) for b in sell.bins),
+                  default=0)
     total = sum(b.ja.nbytes + 2 * b.as_.nbytes for b in sell.bins)
-    if total > _MAX_UPLOAD_BYTES:
+    if biggest > _MAX_ARRAY_BYTES or total > 2 * _MAX_UPLOAD_BYTES:
         raise MemoryError(
-            f"dd SELL device arrays {total/2**20:.0f} MiB > "
-            f"{_MAX_UPLOAD_BYTES/2**20:.0f} MiB — worker-crash guard")
+            f"dd SELL device arrays: biggest {biggest/2**20:.0f} MiB / "
+            f"total {total/2**20:.0f} MiB exceed the worker-crash guard "
+            f"({_MAX_ARRAY_BYTES/2**20:.0f} / "
+            f"{2*_MAX_UPLOAD_BYTES/2**20:.0f} MiB)")
     from .pallas_sell import _resident_pad
 
     bins = []
