@@ -21,7 +21,7 @@ from sparsematrixvectormultiplication_tpu.ops.pallas_sell import (
     device_put_sell, device_put_x, sell_spmv_pallas)
 from sparsematrixvectormultiplication_tpu.models import synthetic as syn
 from sparsematrixvectormultiplication_tpu.utils.timing import (
-    time_device_fn_batched)
+    time_device_fn_slope)
 from sparsematrixvectormultiplication_tpu.utils.validation import (
     difference_metrics)
 
@@ -58,7 +58,7 @@ for name in cases:
                                     minlength=csr.nrows)[: csr.nrows]
                 y = y[: csr.nrows]
                 dm = difference_metrics(y_ref, y)
-                sec, _ = time_device_fn_batched(
+                sec, _ = time_device_fn_slope(
                     lambda dd, xx: sell_spmv_pallas(dd, xx), d, xd,
                     reps=64, rounds=3)
                 gf = 2 * csr.nnz / sec / 1e9

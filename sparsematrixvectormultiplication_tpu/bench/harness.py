@@ -32,7 +32,8 @@ from ..formats.sell import SellMatrix
 from ..ops.pallas_sell import device_put_sell, sell_spmv_pallas
 from ..ops.xla import device_put_csr, device_put_ell
 from ..utils.metrics import calculate_flops
-from ..utils.timing import ITERATION_SKIP, time_device_fn_batched
+from ..utils.timing import (ITERATION_SKIP, time_device_fn_batched,
+                            time_device_fn_slope)
 from ..utils.validation import (
     DEFAULT_ABS_TOL,
     DEFAULT_REL_TOL,
@@ -203,19 +204,25 @@ def run_matrix(
         )
         log(f"[{name}] serial_hll: {sec*1e3:.3f} ms, sig_diffs={stages['serial_hll'].diff.significant_diffs}")
 
-    def run_device_stage(stage, fn, *args, perm=None):
+    def run_device_stage(stage, fn, *args, perm=None, time_fn=None):
         # per-STAGE failure tolerance: one kernel failing (e.g. a prefetch
         # table exceeding SMEM on an adversarial matrix) must not lose the
         # other stages' rows (finer-grained than the reference's per-matrix
         # recovery, main.c:54-75). ``perm`` validates row-permuted kernel
-        # output (auto-sigma) against the permuted oracle.
+        # output (auto-sigma) against the permuted oracle. ``time_fn`` (if
+        # given) is what gets TIMED — used to keep host-reducible epilogues
+        # (heavy-row segment reduction) out of the timed kernel path.
         try:
             if cfg.flush_between_stages:
                 flush_hbm()
             y = np.asarray(fn(*args))  # correctness pass (also compiles)
             dm = validate(y, perm)
-            sec, _ = time_device_fn_batched(fn, *args, reps=cfg.iterations,
-                                            rounds=cfg.rounds)
+            # slope timing cancels the tunnel's fixed ~32 ms per-invocation
+            # cost, which inflates every sub-ms kernel by fixed/reps at
+            # one-point timing (utils/timing.py time_device_fn_slope)
+            sec, _ = time_device_fn_slope(time_fn or fn, *args,
+                                          reps=cfg.iterations,
+                                          rounds=cfg.rounds)
         except Exception as e:  # noqa: BLE001
             log(f"[{name}] {stage} FAILED: {type(e).__name__}: {str(e)[:300]}")
             return
@@ -327,7 +334,10 @@ def run_matrix(
                 y = jax.ops.segment_sum(y, _ids, num_segments=M)
             return y
 
-        run_device_stage("pallas_sell", _sell_fn, dsell, _x_for(sell))
+        run_device_stage(
+            "pallas_sell", _sell_fn, dsell, _x_for(sell),
+            time_fn=lambda d, xx: sell_spmv_pallas(d, xx,
+                                                   interpret=not on_tpu))
       except MemoryError as e:
         log(f"[{name}] pallas_sell skipped: {e}")
 
@@ -377,8 +387,9 @@ def run_matrix(
             flush_hbm()
         x_sig = _x_for(sell_sig)
         dm = validate(_sig_fn(dsig, x_sig))
-        sec, _ = time_device_fn_batched(
-            _sig_fn, dsig, x_sig, reps=cfg.iterations, rounds=cfg.rounds,
+        sec, _ = time_device_fn_slope(
+            lambda d, xx: sell_spmv_pallas(d, xx, interpret=not on_tpu),
+            dsig, x_sig, reps=cfg.iterations, rounds=cfg.rounds,
         )
         stages["pallas_sell_sigma"] = StageResult(
             "pallas_sell_sigma", sec, calculate_flops(nnz, sec) / 1e9, dm,
@@ -429,8 +440,10 @@ def run_matrix(
             y64 = np.bincount(np.asarray(ids_dd), weights=y64,
                               minlength=M)[:M]
         dm = validate(y64)
-        sec, _ = time_device_fn_batched(dd_fn, dsell_dd, xh_d, xl_d,
-                                        reps=cfg.iterations, rounds=cfg.rounds)
+        sec, _ = time_device_fn_slope(
+            lambda d, hh, ll: sell_spmv_pallas_dd(
+                d, hh, ll, interpret=not on_tpu)[0],
+            dsell_dd, xh_d, xl_d, reps=cfg.iterations, rounds=cfg.rounds)
         stages["pallas_sell_dd"] = StageResult(
             "pallas_sell_dd", sec, calculate_flops(nnz, sec) / 1e9, dm
         )

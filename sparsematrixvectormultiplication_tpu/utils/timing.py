@@ -117,3 +117,23 @@ def time_device_fn_batched(fn, *args, reps: int = 20, rounds: int = 3, checksum=
         force_readback(chained(*args))
         times.append((time.perf_counter() - t0) / reps)
     return min(times), times
+
+
+def time_device_fn_slope(fn, *args, reps: int = 64, rounds: int = 3):
+    """Per-call time free of the tunnel's fixed per-invocation cost.
+
+    A chained-jit invocation through the axon tunnel costs a FIXED ~32 ms
+    regardless of rep count (measured: a trivial (8,128) add reads 504
+    us/rep at 64 reps but 65 us/rep at 512 — the whole round is ~32 ms
+    either way). One-point timing therefore inflates every sub-millisecond
+    kernel by fixed/reps. This helper times rounds at ``reps`` and
+    ``2*reps`` and returns the SLOPE ``(T2 - T1) / reps`` — the fixed cost
+    cancels exactly. Returns (best_seconds_per_call, (t1_list, t2_list)).
+    """
+    t1_best, t1 = time_device_fn_batched(fn, *args, reps=reps, rounds=rounds)
+    t2_best, t2 = time_device_fn_batched(fn, *args, reps=2 * reps,
+                                         rounds=rounds)
+    # totals: T1 = fixed + reps*t, T2 = fixed + 2*reps*t
+    slope = (min(t2) * 2 * reps - min(t1) * reps) / reps
+    # guard: negative slopes (noise on ~fixed-cost-dominated tiny fns)
+    return max(slope, 0.0), (t1, t2)
