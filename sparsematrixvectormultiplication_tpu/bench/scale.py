@@ -21,7 +21,7 @@ import numpy as np
 
 from ..formats.csr import CSRMatrix
 from ..utils.metrics import calculate_flops
-from ..utils.timing import time_device_fn_batched
+from ..utils.timing import time_device_fn_slope
 from ..utils.validation import DEFAULT_ABS_TOL, DEFAULT_REL_TOL, difference_metrics
 from .csv_report import OPENMP_HEADER, _append_row, _fmt
 
@@ -69,7 +69,7 @@ def run_device_scale_sweep(
         dm = difference_metrics(y_ref, np.asarray(y, np.float64),
                                 DEFAULT_ABS_TOL, DEFAULT_REL_TOL)
         xr = jax.device_put(xd, NamedSharding(mesh, P()))
-        sec, _ = time_device_fn_batched(
+        sec, _ = time_device_fn_slope(
             lambda st, xx: _spmd_run(st, xx, mesh=mesh, axis=spmd.axis,
                                      interpret=not on_tpu),
             spmd.stacked, xr, reps=iterations, rounds=rounds,
@@ -140,7 +140,7 @@ def run_ladder_sweep(
         y = np.asarray(fn(dsell, xd), np.float64)
         dm = difference_metrics(y_ref, y[: csr.nrows],
                                 DEFAULT_ABS_TOL, DEFAULT_REL_TOL)
-        sec, _ = time_device_fn_batched(fn, dsell, xd, reps=iterations,
+        sec, _ = time_device_fn_slope(fn, dsell, xd, reps=iterations,
                                         rounds=rounds)
         gf = calculate_flops(csr.nnz, sec) / 1e9
         log(f"[{name}] pallas_sell@{ladder}: {sec*1e3:.3f} ms = {gf:.3f} GFLOPS "

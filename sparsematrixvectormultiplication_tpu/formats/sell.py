@@ -75,6 +75,7 @@ _PALLAS_BW = 300e9
 # LOST 46 us to span inflation). Merge only near-free bins.
 _LAUNCH_S = 3e-5
 _VREG_OP_S = 2.6e-10  # recalibrated against the r2 bench sb-list regression
+_SG_OP_S = 2.0e-9     # sg pass-ops: ~2 cycles/op measured (r3 road prefix)
 _LAUNCH_BYTES = int(_LAUNCH_S * _PALLAS_BW)  # padding bytes worth one launch
 _SMEM_LIST_BYTES = 512 * 1024  # scalar-prefetch table budget per bin
 _MAX_STATIC_SPAN = 40  # widest unrolled gather-pass count for sb kernels
@@ -438,10 +439,16 @@ class SellMatrix:
                 j = lr - i * LANES
                 ja_f[gl, occ[esel], i, j] = cols_f[esel].astype(np.int32)
                 as_f[gl, occ[esel], i, j] = vals_f[esel].astype(value_dtype)
-                cnt_f = far_slab_count[gsub_far]
+                # per-RUNG slab lists (this rung's entries only): the shared
+                # per-group far list made every higher rung re-scan slabs
+                # that only rung-1 rows touch (road: the K=2 bin re-scanned
+                # ~164 slabs/group to serve ~17 entries/group)
+                lst_r, cnt_r = _build_slab_lists_global(
+                    rows_f[esel], cols_f[esel], num_groups)
+                cnt_f = cnt_r[gsub_far]
                 wv = max(int(cnt_f.max()), 1)
                 wv = -(-wv // 8) * 8
-                lst = far_slab_list[gsub_far]
+                lst = lst_r[gsub_far]
                 if lst.shape[1] < wv:
                     lst = np.concatenate(
                         [lst, np.full((ngf, wv - lst.shape[1]), Rp - 1,
@@ -850,7 +857,12 @@ class SellMatrix:
                 # launch constant (probes/sg_bins_road2.out) — price it so
                 # the merger collapses near-identical (Tq, Vq) clusters
                 launches = 4 * _LAUNCH_S if lay == "sg" else _LAUNCH_S
-                return max(dma, _vregs(lay, span, nw, idx) * _VREG_OP_S) \
+                # sg pass-ops measure ~2 cycles/op (road prefix probe) —
+                # ~8x the sb calibration; pricing them at the global
+                # constant made the merger collapse every static cluster
+                # into one max-V bin that runs 48 passes on 8-pass tiles
+                op_s = _SG_OP_S if lay == "sg" else _VREG_OP_S
+                return max(dma, _vregs(lay, span, nw, idx) * op_s) \
                     + launches
 
             def _valid(lay, span, nw, idx):

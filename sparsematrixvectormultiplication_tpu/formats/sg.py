@@ -469,7 +469,10 @@ def emit_sg_core(prof: SgProfile, gsub: np.ndarray, Tq: int, Vq: int,
         ja=ja.reshape(-1, LANES),
         as_=as_.reshape(-1, LANES),
         slab_list=np.ascontiguousarray(tab.reshape(ng, -1)),
-        slab_count=prof.V_g[gsub].astype(np.int32),
+        # per-group REAL tile count: the kernel bounds its tile loop by it
+        # when Tq >> T_g (pow2 Tq quantization would otherwise scan every
+        # padding tile at the full static pass count)
+        slab_count=np.minimum(prof.T_g[gsub], Tq).astype(np.int32),
         real_nnz=real,
         span=int(Vq),
         cost_passes=vregs,

@@ -623,10 +623,14 @@ def _kernel_sg(T: int, V: int, g_per: int = 1, accumulate: bool = False,
             # unrolled pass count stays within the Mosaic compile budget.
             # Resident mode rolls the group loop (fori), so its body holds
             # ONE group's tile loop — g_per doesn't multiply the budget.
+            # Wide-Tq bins bound the (rolled) tile loop by the group's REAL
+            # tile count (slab_count): pow2 Tq quantization would otherwise
+            # scan every padding tile at the full static pass count.
             mult = 1 if resident else g_per
             unroll = T if (T <= 32 and mult * T * max(V, 1) <= 320) else 1
+            bound = cnt_ref[g] if (unroll == 1 and T > 8) else T
             return jax.lax.fori_loop(
-                0, T, tile_body, jnp.zeros((SUBLANES, LANES), dtype),
+                0, bound, tile_body, jnp.zeros((SUBLANES, LANES), dtype),
                 unroll=unroll,
             )
 

@@ -509,12 +509,14 @@ def _kernel_sg_dd(T: int, V: int, interpret: bool = False, g_per: int = 1,
 
             zero = jnp.zeros((SUBLANES, LANES), jnp.float32)
             # resident mode rolls the group loop: g_per doesn't multiply the
-            # compile budget (see the f32 twin)
+            # compile budget; wide-Tq bins bound the rolled tile loop by the
+            # group's real tile count (see the f32 twin)
             mult = 1 if resident else g_per
             unroll = 1 if interpret else (
                 T if (T <= 16 and mult * T * max(V, 1) <= 160) else 1)
+            bound = cnt_ref[g] if (unroll == 1 and T > 8) else T
             return jax.lax.fori_loop(
-                0, T, tile_body, (zero, zero), unroll=unroll)
+                0, bound, tile_body, (zero, zero), unroll=unroll)
 
         if resident:
             @pl.when(step == 0)
