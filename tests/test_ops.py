@@ -51,6 +51,7 @@ def test_xla_sell_f64(problem):
     assert np.allclose(y, s.tocsr() @ x, rtol=1e-12, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_pallas_sell_matches_xla_twin_exactly(problem):
     """Pallas kernel vs the jnp twin on identical f32 data: bitwise-same
     layout and reduction order -> results must agree to f32 roundoff."""
@@ -63,6 +64,7 @@ def test_pallas_sell_matches_xla_twin_exactly(problem):
     assert np.max(np.abs(y_xla - y_pal)) < 1e-5
 
 
+@pytest.mark.slow
 def test_pallas_sell_f32_accuracy(problem):
     coo, s, x = problem
     dsell = device_put_sell(SellMatrix.from_coo(coo), dtype=jnp.float32)
@@ -72,6 +74,7 @@ def test_pallas_sell_f32_accuracy(problem):
     assert dm.mean_rel_err < 1e-5  # f32 with ~25 nnz/row
 
 
+@pytest.mark.slow
 def test_pallas_sell_f64_interpret(problem):
     coo, s, x = problem
     dsell = device_put_sell(SellMatrix.from_coo(coo), dtype=jnp.float64)
@@ -93,6 +96,7 @@ def test_pallas_sell_shapes(make_random_coo, shape, density):
     assert np.allclose(y, s.tocsr() @ x, rtol=1e-11, atol=1e-11)
 
 
+@pytest.mark.slow
 def test_pallas_multi_bin(make_random_coo):
     """Matrix engineered to span several K bins: mixes short and long rows."""
     import scipy.sparse as sp
@@ -156,6 +160,7 @@ def test_validation_identical_is_zero():
     assert dm.significant_diffs == 0 and dm.mean_rel_err == 0.0
 
 
+@pytest.mark.slow
 def test_sb_list_layout_forced(make_random_coo):
     """sb-list hybrid kernel: per-chunk distinct slab lists."""
     from sparsematrixvectormultiplication_tpu.models.synthetic import fem_3d
@@ -185,6 +190,7 @@ def test_sb_list_auto_choice_on_stencil():
         [(b.layout, b.k, b.span) for b in sell.bins]
 
 
+@pytest.mark.slow
 def test_sb_list_dd(make_random_coo):
     from sparsematrixvectormultiplication_tpu.models.synthetic import fem_3d
     from sparsematrixvectormultiplication_tpu.ops.pallas_sell_dd import (

@@ -159,8 +159,10 @@ def test_sg_cost_model_picks_sg_on_scattered(rng):
 
 @pytest.mark.parametrize("name,builder", [
     ("road", lambda: road_network(8000, seed=5)),
-    ("powerlaw", lambda: power_law(8000, 3, seed=6)),
-    ("uniform", lambda: random_general(6000, 6000, 8e-4, seed=8)),
+    pytest.param("powerlaw", lambda: power_law(8000, 3, seed=6),
+                 marks=pytest.mark.slow),
+    pytest.param("uniform", lambda: random_general(6000, 6000, 8e-4, seed=8),
+                 marks=pytest.mark.slow),
 ])
 def test_sg_kernel_matches_scipy(rng, name, builder):
     coo = builder()
@@ -176,6 +178,7 @@ def test_sg_kernel_matches_scipy(rng, name, builder):
     assert spans, "no sg bins emitted"
 
 
+@pytest.mark.slow
 def test_sg_kernel_sum_assembly(rng):
     coo = road_network(8000, seed=5)
     csr = CSRMatrix.from_coo(coo)
