@@ -52,6 +52,27 @@ class TuneResult:
     table: list = field(default_factory=list)  # (name, seconds, stats) rows
 
 
+# tune on a row-prefix subsample beyond this: each candidate re-converts
+# and re-uploads the matrix, and a 119M-nnz matrix makes that hours
+_TUNE_NNZ_CAP = 20_000_000
+
+
+def _tune_sample(csr: CSRMatrix, x):
+    """Group-aligned row prefix of ~_TUNE_NNZ_CAP nnz (tuning measures
+    RELATIVE candidate cost; a structurally-representative prefix ranks
+    identically at a fraction of the conversion/upload time)."""
+    if csr.nnz <= _TUNE_NNZ_CAP:
+        return csr, x
+    cut_rows = int(np.searchsorted(csr.row_ptr, _TUNE_NNZ_CAP))
+    cut_rows = max(1024, (cut_rows // 1024) * 1024)
+    cut_rows = min(cut_rows, csr.nrows)
+    p1 = int(csr.row_ptr[cut_rows])
+    sub = CSRMatrix(cut_rows, csr.ncols,
+                    csr.row_ptr[: cut_rows + 1].copy(),
+                    csr.col_idx[:p1], csr.values[:p1])
+    return sub, x
+
+
 def autotune_sell(
     csr: CSRMatrix,
     x=None,
@@ -63,7 +84,8 @@ def autotune_sell(
     """Measure each (ladder, layout) candidate's SpMV time; return the winner.
 
     On non-TPU backends falls back to the host cost model (conversion-only,
-    no device timing) so tests stay fast.
+    no device timing) so tests stay fast. Matrices beyond ~20M nnz tune on
+    a group-aligned row-prefix subsample (see _tune_sample).
     """
     if candidates is None:
         candidates = [SellCandidate(n, kb) for n, kb in DEFAULT_LADDERS.items()]
@@ -76,6 +98,7 @@ def autotune_sell(
     on_tpu = jax.devices()[0].platform == "tpu"
     if x is None:
         x = np.ones(csr.ncols)
+    csr, x = _tune_sample(csr, x)
 
     table = []
     best = None
@@ -132,6 +155,7 @@ def autotune_hack_size(
     csr = coo_or_csr if isinstance(coo_or_csr, CSRMatrix) else CSRMatrix.from_coo(coo_or_csr)
     if x is None:
         x = np.ones(csr.ncols)
+    csr, x = _tune_sample(csr, x)
     rows = []
     best = None
     best_area = float("inf")

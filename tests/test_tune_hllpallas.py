@@ -71,3 +71,31 @@ def test_autotune_hack_size():
     # power-law: smaller hacks pad less
     ratios = {h: r for h, r, _ in rows}
     assert ratios[8] <= ratios[128]
+
+
+def test_tune_sample_prefix_caps_nnz():
+    """Big matrices tune on a group-aligned row prefix (~20M nnz cap)."""
+    import numpy as np
+
+    from sparsematrixvectormultiplication_tpu.formats.csr import CSRMatrix
+    from sparsematrixvectormultiplication_tpu.tune.autotune import (
+        _TUNE_NNZ_CAP, _tune_sample)
+
+    nrows = 40_000
+    per_row = 700  # 28M nnz > cap
+    ptr = np.arange(nrows + 1, dtype=np.int64) * per_row
+    cols = np.tile(np.arange(per_row, dtype=np.int64) * 3, nrows)
+    vals = np.ones(nrows * per_row)
+    csr = CSRMatrix(nrows, 2100, ptr, cols, vals)
+    x = np.ones(2100)
+    sub, xs = _tune_sample(csr, x)
+    assert sub.nnz <= _TUNE_NNZ_CAP + per_row * 1024
+    assert sub.nrows % 1024 == 0
+    assert xs is x
+    # prefix is exact: same leading rows
+    np.testing.assert_array_equal(sub.row_ptr, ptr[: sub.nrows + 1])
+    # small matrices pass through untouched
+    small = CSRMatrix(1024, 2100, ptr[:1025], cols[: ptr[1024]],
+                      vals[: ptr[1024]])
+    same, _ = _tune_sample(small, x)
+    assert same is small
