@@ -103,13 +103,22 @@ def iter_matrices(args):
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
+    import jax
+
     if args.force_cpu_devices:
         # must run before any jax backend initialization (this environment's
         # TPU plugin ignores the JAX_PLATFORMS env var — CLAUDE.md)
-        import jax
-
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_num_cpu_devices", int(args.force_cpu_devices))
+    # persistent compile cache: a cold Mosaic TPU compile is 1-3 minutes
+    # through this runtime's tunnel, and a sweep touches dozens of kernel
+    # shapes (same dir bench.py uses)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.dirname(os.path.abspath(__file__)))),
+                          ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from .csv_report import (
         write_cuda_style_row,
