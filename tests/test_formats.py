@@ -109,7 +109,8 @@ def test_hll_rect_memory_guard(make_random_coo):
     ((100, 80), 0.05),
     ((1024, 1024), 0.01),
     ((2050, 1999), 0.02),
-    ((5000, 200000), 0.0005),  # many slabs
+    pytest.param((5000, 200000), 0.0005,  # many slabs
+                 marks=pytest.mark.slow),
 ])
 def test_sell_spmv_oracle(make_random_coo, shape, density):
     coo, s = make_random_coo(*shape, density)

@@ -86,7 +86,8 @@ def test_pallas_sell_f64_interpret(problem):
     ((1024, 1024), 0.02),
     ((1030, 777), 0.03),     # partial last group, odd N
     ((100, 100), 0.05),      # single group, tiny
-    ((4096, 131072), 0.0005),  # slab-heavy
+    pytest.param((4096, 131072), 0.0005,  # slab-heavy
+                 marks=pytest.mark.slow),
 ])
 def test_pallas_sell_shapes(make_random_coo, shape, density):
     coo, s = make_random_coo(*shape, density)
