@@ -26,7 +26,7 @@ from sparsematrixvectormultiplication_tpu.utils.validation import (
     difference_metrics)
 
 rng = np.random.default_rng(1)
-cases = ["road_full", "uni_full", "dmix_full", "plaw_full"]
+cases = ["road_full", "uni_full", "dmix_full", "plaw_full", "webbase_full"]
 which = sys.argv[1:] or cases
 for name in cases:
     if name not in which:
