@@ -164,6 +164,7 @@ def run_matrix(
             else device_put_x(x, N, dt)
 
     sell_kw = {"layout": cfg.sell_layout}
+    assembly = "auto"  # bin-assembly mode (autotune may pick "sum")
     if cfg.sell_k_bins:
         sell_kw["k_bins"] = tuple(cfg.sell_k_bins)
     hack_size = cfg.hack_size  # local: autotune must not leak into the shared
@@ -176,11 +177,13 @@ def run_matrix(
         if tr.best is not None:
             sell_kw = {"layout": tr.best.layout, "k_bins": tr.best.k_bins,
                        "merge_bins": tr.best.merge_bins}
+        assembly = tr.assembly
         best_hack, hack_rows = autotune_hack_size(csr, log=log)
         hack_size = best_hack or hack_size
         fstats["tune"] = {
             "ladder": tr.best.name if tr.best else "",
             "layout": tr.best.layout if tr.best else "",
+            "assembly": tr.assembly,
             "hack_size": best_hack,
             "table": [(n, s) for n, s, _ in tr.table],
             "hack_table": hack_rows,
@@ -329,15 +332,16 @@ def run_matrix(
         ids = _kernel_ids(sell)
 
         def _sell_fn(d, xx, _ids=ids):
-            y = sell_spmv_pallas(d, xx, interpret=not on_tpu)
+            y = sell_spmv_pallas(d, xx, interpret=not on_tpu,
+                                 assembly=assembly)
             if _ids is not None:
                 y = jax.ops.segment_sum(y, _ids, num_segments=M)
             return y
 
         run_device_stage(
             "pallas_sell", _sell_fn, dsell, _x_for(sell),
-            time_fn=lambda d, xx: sell_spmv_pallas(d, xx,
-                                                   interpret=not on_tpu))
+            time_fn=lambda d, xx: sell_spmv_pallas(
+                d, xx, interpret=not on_tpu, assembly=assembly))
       except MemoryError as e:
         log(f"[{name}] pallas_sell skipped: {e}")
 

@@ -50,6 +50,7 @@ class TuneResult:
     best: SellCandidate
     best_seconds: float
     table: list = field(default_factory=list)  # (name, seconds, stats) rows
+    assembly: str = "auto"  # measured bin-assembly choice for the winner
 
 
 # tune on a row-prefix subsample beyond this: each candidate re-converts
@@ -136,7 +137,32 @@ def autotune_sell(
                 f"bins={stats['num_bins']}")
         if sec < best_sec:
             best, best_sec = cand, sec
-    return TuneResult(best=best, best_seconds=best_sec, table=table)
+
+    # assembly A/B on the winner: "sum" gives every bin its own zero buffer
+    # (data-independent calls overlap DMA/compute — measured 386 GB/s
+    # two-call overlap, probes/kernel_probe4); "auto" chains core bins and
+    # isolates add_into bins. Only worth measuring on TPU with >1 bin.
+    assembly = "auto"
+    if on_tpu and best is not None:
+        try:
+            sell = SellMatrix.from_csr(csr, k_bins=best.k_bins,
+                                       layout=best.layout,
+                                       merge_bins=best.merge_bins)
+            if len(sell.bins) > 1:
+                dsell = device_put_sell(sell, dtype=dtype)
+                xd = jnp.asarray(x, dtype)
+                s_sum, _ = time_device_fn_batched(
+                    lambda d, xx: sell_spmv_pallas(d, xx, assembly="sum"),
+                    dsell, xd, reps=reps, rounds=2)
+                if log:
+                    log(f"[tune] assembly: auto {best_sec*1e3:.3f} ms vs "
+                        f"sum {s_sum*1e3:.3f} ms")
+                if s_sum < best_sec:
+                    assembly = "sum"
+        except Exception:  # noqa: BLE001 — assembly tuning is best-effort
+            pass
+    return TuneResult(best=best, best_seconds=best_sec, table=table,
+                      assembly=assembly)
 
 
 def autotune_hack_size(

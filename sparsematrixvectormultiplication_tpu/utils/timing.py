@@ -135,5 +135,9 @@ def time_device_fn_slope(fn, *args, reps: int = 64, rounds: int = 3):
                                          rounds=rounds)
     # totals: T1 = fixed + reps*t, T2 = fixed + 2*reps*t
     slope = (min(t2) * 2 * reps - min(t1) * reps) / reps
-    # guard: negative slopes (noise on ~fixed-cost-dominated tiny fns)
-    return max(slope, 0.0), (t1, t2)
+    if slope <= 0:
+        # noise swamped the fixed-cost-dominated measurement (tiny fns /
+        # CPU interpret): fall back to the lower per-rep estimate, which
+        # still bounds the true time from above and stays positive
+        slope = min(min(t1), min(t2))
+    return slope, (t1, t2)

@@ -2,9 +2,11 @@
 ops/pallas_sell.py _kernel_sg, ops/pallas_sell_dd.py _kernel_sg_dd).
 
 The SG layout is the TPU answer to the reference's thread-per-row CUDA
-kernel (cuda_src/csr_matrix_cuda.cu:122-148): entries sit at their
-destination (sublane, lane), gathers ride per-tile x-windows, and isolated
-entries split into accumulate k-major "far" bins. Every test is a
+kernel (cuda_src/csr_matrix_cuda.cu:122-148): entries pack into
+shared-window tiles at free sublane slots of their lane (f32; a per-tile
+sigma-reduction lands products on their row) or at row-unique positions
+(dd; error-free transforms need exact selection), and isolated entries
+shed into K-binned accumulate k-major "far" bins. Every test is a
 differential against scipy / the host fp64 oracle (SURVEY §4 strategy).
 """
 
