@@ -147,3 +147,27 @@ def test_fem_3d_structure():
     assert counts.max() == 27 * 2
     # corner node couples to 8 nodes * dof
     assert counts.min() == 8 * 2
+
+
+def test_webbase_like_locality():
+    """webbase_like must have the locality powerlaw_web destroys: markedly
+    more entries per (row-group, column-slab) pair (the quantity that sets
+    the broadcast-kernel floor; docs/DESIGN.md round-3 facts)."""
+    import numpy as np
+
+    from sparsematrixvectormultiplication_tpu.models.synthetic import (
+        power_law, webbase_like)
+
+    def density(coo):
+        g = (coo.row.astype(np.int64) // 1024)
+        slab = coo.col.astype(np.int64) // 128
+        pairs = np.unique(g * (1 << 20) + slab).size
+        return coo.nnz / pairs
+
+    web = webbase_like(100_000, 3, seed=9)
+    plaw = power_law(100_000, 3, seed=6)
+    # ratio grows with n (2.9x at the suite's 1M rows); 1.4x at this size
+    assert density(web) > 1.4 * density(plaw)
+    # power-law degree structure retained
+    deg = np.bincount(web.row)
+    assert deg.max() > 20 * np.median(deg[deg > 0])
