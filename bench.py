@@ -42,10 +42,27 @@ def main():
     from sparsematrixvectormultiplication_tpu.models.synthetic import banded, fem_3d
 
     t_all = time.time()
-    # absorb the one-time transfer warm-up stall before timing anything
-    t0 = time.time()
-    float(np.asarray(jnp.sum(jax.device_put(np.ones(1024, np.float32)))))
-    log(f"transfer warm-up: {time.time()-t0:.0f}s")
+    # absorb the one-time transfer warm-up stall before timing anything;
+    # if the tunneled TPU worker is unavailable (observed mid-r3: backend
+    # init fails for ~1-2 h after a worker crash), retry for a while and
+    # emit a well-formed JSON failure line instead of a stack trace
+    warm_deadline = time.time() + 1800
+    while True:
+        try:
+            t0 = time.time()
+            float(np.asarray(jnp.sum(jax.device_put(np.ones(1024, np.float32)))))
+            log(f"transfer warm-up: {time.time()-t0:.0f}s")
+            break
+        except Exception as e:  # noqa: BLE001
+            if time.time() > warm_deadline:
+                print(json.dumps({
+                    "metric": "pallas_sell_f32_gflops_fem3d_51Mnnz",
+                    "value": 0.0, "unit": "GFLOPS", "vs_baseline": 0.0,
+                    "error": f"TPU backend unavailable: {type(e).__name__}",
+                }), flush=True)
+                return
+            log(f"TPU unavailable ({type(e).__name__}); retrying...")
+            time.sleep(60)
 
     cfg = BenchConfig(
         iterations=256,
