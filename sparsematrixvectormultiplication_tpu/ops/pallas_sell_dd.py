@@ -684,9 +684,21 @@ def sell_spmv_pallas_dd(dsell, xh, xl, *, interpret: bool = False):
     xl_tab = xl if xl.ndim == 2 else pack_x_table(xl, dsell.ncols)
     yh = jnp.zeros((dsell.num_groups * SUBLANES, LANES), jnp.float32)
     yl = jnp.zeros_like(yh)
+    # like the f32 twin's assembly="auto": add_into bins (sg far remainders)
+    # write PRIVATE zero buffers and combine with an exact dd two-sum at the
+    # end — accumulating into a resident whole-y window re-DMAs ~8 MB per
+    # grid step (read-modify-write; probes/sg_bins_road2.out)
     for bin_ in dsell.bins:
-        yh, yl = _bin_call_dd(bin_, xh_tab, xl_tab, yh, yl, dsell.num_groups,
-                              interpret, accumulate=bin_.add_into)
+        if not bin_.add_into:
+            yh, yl = _bin_call_dd(bin_, xh_tab, xl_tab, yh, yl,
+                                  dsell.num_groups, interpret)
+    for bin_ in dsell.bins:
+        if bin_.add_into:
+            fh = jnp.zeros_like(yh)
+            fl = jnp.zeros_like(yl)
+            fh, fl = _bin_call_dd(bin_, xh_tab, xl_tab, fh, fl,
+                                  dsell.num_groups, interpret)
+            yh, yl = dd_add_dd(yh, yl, fh, fl)
     return yh.reshape(-1)[: dsell.nrows], yl.reshape(-1)[: dsell.nrows]
 
 
