@@ -1,0 +1,295 @@
+"""PR (permutation-routed) SpMV layout — the zero-locality kernel.
+
+The scattered-regime kernels (formats/sg.py, k-major) pay >=1 broadcast
+vector-op per (row-group, distinct column-slab) pair — on matrices with no
+column locality (~1 distinct slab per entry) that is a ~0.5 GFLOPS VPU
+ceiling (docs/DESIGN.md round-3 "diffuse floor"). The reference GPU serves
+this regime with its native per-lane gather unit
+(cuda_src/csr_matrix_cuda.cu:122-196). PR is the TPU-native replacement:
+
+1. **Gather in column order.** Entries are sorted by column slab and each
+   slab's count padded to a multiple of 128, so every row of the
+   ``(n_rows, 128)`` source array reads exactly ONE x-slab. Each x-slab is
+   visited once GLOBALLY (not once per row-group): the gather costs
+   ~R + n_tiles broadcast passes total instead of ~nnz.
+2. **Route to row order.** Products move from column order to a k-major
+   row layout by a host-precomputed permutation executed as 128
+   independent Beneš networks (one per lane) + one final lane gather —
+   all TPU-fast primitives (pr_route.py). ~2*log2(n_rows)-1 roll+select
+   stages over a VMEM-resident array.
+3. **Reduce.** The destination IS a k-major SELL slot array (sigma-sorted
+   rows, K-binned groups), so the reduction is the standard masked
+   sublane k-sum into y.
+
+Capacity: one PR problem routes ``n_rows <= 2**16`` Beneš rows (≈8.4M
+padded entries) — enough for the whole scattered suite; larger matrices
+would panel by destination row-slices (independent sub-problems).
+
+Reference parity: replaces the CUDA thread-per-row / warp CSR kernels on
+scattered matrices (cuda_src/csr_matrix_cuda.cu:122-148, BASELINE.md
+webbase-1M / roadNet-PA rows).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .coo import COOMatrix
+from .csr import CSRMatrix
+from .sell import DEFAULT_K_BINS, GROUP_ROWS, LANES, SUBLANES
+
+__all__ = ["PRMatrix", "MAX_PR_ROWS"]
+
+MAX_PR_ROWS = 1 << 16          # mask bit-packing holds <= 31 stages
+_NEAR_WIN = 16                  # x rows per near-tile window read
+
+
+@dataclass(frozen=True)
+class PRMatrix:
+    """Host-side PR conversion product (see module docstring)."""
+
+    nrows: int
+    ncols: int
+    nnz: int
+    n_rows: int                 # Beneš array rows (power of two)
+    win: int                    # static x-window rows for near tiles (8/16)
+    val: np.ndarray             # (n_rows, 128) float64 — element values
+    md: np.ndarray              # (n_rows, 128) int32 — dslab*128 + lane
+    tile_base: np.ndarray       # (n_rows//8,) int32 — 8-aligned x base row
+    tile_far: np.ndarray        # (n_rows//8,) int32 — 1 = per-row x loads
+    row_slab: np.ndarray        # (n_rows,) int32 — absolute x slab per row
+    masks: np.ndarray           # (n_rows, 128) int32 — Beneš swap bitplanes
+    final_lane: np.ndarray      # (n_rows, 128) int32 — dest lane gather idx
+    bins: tuple                 # ((K, n_groups, dest_row_off, group_off), ...)
+    y_rows: int                 # output rows = total_groups * 8
+    row_perm: np.ndarray        # (nrows,) sigma: y_natural[row_perm] = y_kernel
+    padding_ratio: float
+
+    @property
+    def shape(self):
+        return (self.nrows, self.ncols)
+
+    @property
+    def n_stages(self) -> int:
+        p = int(self.n_rows).bit_length() - 1
+        return max(2 * p - 1, 0)
+
+    def unpermute(self, y: np.ndarray) -> np.ndarray:
+        """Kernel output (sigma row order) -> natural row order."""
+        out = np.empty(self.nrows, dtype=y.dtype)
+        out[self.row_perm] = y[: self.nrows]
+        return out
+
+    def memory_stats(self) -> dict:
+        dev = (self.val.size * 4 + self.md.size * 4 + self.masks.size * 4
+               + self.final_lane.size * 4 + self.row_slab.size * 4
+               + self.tile_base.size * 8)
+        return {"bytes": int(dev), "padded_nnz": int(self.n_rows * 128),
+                "padding_ratio": float(self.padding_ratio)}
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_csr(cls, csr: CSRMatrix, k_bins: tuple = DEFAULT_K_BINS,
+                 native: bool = True) -> "PRMatrix":
+        nr, nc, nnz = csr.nrows, csr.ncols, csr.nnz
+        if nnz == 0:
+            raise ValueError("PR layout needs at least one entry")
+        nnz_per_row = np.diff(csr.row_ptr).astype(np.int64)
+
+        # ----- destination: sigma-sorted rows, K-binned k-major groups
+        row_perm = np.argsort(-nnz_per_row, kind="stable").astype(np.int64)
+        inv_perm = np.empty(nr, dtype=np.int64)
+        inv_perm[row_perm] = np.arange(nr)
+        n_groups = -(-nr // GROUP_ROWS)
+        glen = nnz_per_row[row_perm]
+        # per-group max nnz -> ladder edge
+        gmax = np.zeros(n_groups, dtype=np.int64)
+        for g in range(n_groups):
+            seg = glen[g * GROUP_ROWS:(g + 1) * GROUP_ROWS]
+            gmax[g] = seg.max() if seg.size else 0
+        edges = np.asarray(sorted(set(int(k) for k in k_bins)), dtype=np.int64)
+        kg = np.empty(n_groups, dtype=np.int64)
+        for g in range(n_groups):
+            bigger = edges[edges >= max(gmax[g], 1)]
+            kg[g] = bigger[0] if bigger.size else -(-gmax[g] // 8) * 8
+        # groups are sigma-ordered (nnz desc) so kg is non-increasing:
+        # contiguous bins
+        bins = []
+        dest_off = 0
+        g0 = 0
+        while g0 < n_groups:
+            g1 = g0
+            while g1 < n_groups and kg[g1] == kg[g0]:
+                g1 += 1
+            bins.append((int(kg[g0]), g1 - g0, dest_off, g0))
+            dest_off += int(kg[g0]) * SUBLANES * (g1 - g0)
+            g0 = g1
+        d_rows = dest_off
+
+        # per-entry destination (row, lane) in the flat dest array
+        rows_of_entries = np.repeat(np.arange(nr, dtype=np.int64), nnz_per_row)
+        # k = rank within row (CSR order)
+        k_rank = np.arange(nnz, dtype=np.int64) - np.repeat(
+            csr.row_ptr[:-1].astype(np.int64), nnz_per_row)
+        sp = inv_perm[rows_of_entries]              # sigma position
+        g_of = sp // GROUP_ROWS
+        loc = sp % GROUP_ROWS
+        sub_i = loc // LANES
+        dst_lane_real = (loc % LANES).astype(np.int64)
+        kg_of = kg[g_of]
+        # dest row offset of the entry's group
+        goff = np.zeros(n_groups + 1, dtype=np.int64)
+        np.cumsum(kg * SUBLANES, out=goff[1:])
+        dst_row_real = goff[g_of] + k_rank * SUBLANES + sub_i
+        assert (k_rank < kg_of).all()
+
+        # ----- source: slab-sorted, slab counts padded to x128
+        col = csr.col_idx.astype(np.int64)
+        slab = col >> 7
+        lane_m = col & 127
+        order = np.argsort(slab, kind="stable")
+        R = -(-nc // LANES)
+        Rp = (R // SUBLANES + 1) * SUBLANES
+        cnt = np.bincount(slab, minlength=R)
+        occ = np.flatnonzero(cnt)                   # populated slabs
+        rows_per_slab = -(-cnt[occ] // LANES)
+        s_rows = int(rows_per_slab.sum())
+        n_rows = 1
+        while n_rows < max(s_rows, d_rows, 2):
+            n_rows <<= 1
+        if n_rows > MAX_PR_ROWS:
+            raise ValueError(
+                f"PR problem needs {n_rows} Beneš rows (> {MAX_PR_ROWS}); "
+                "panel decomposition not implemented")
+        n_total = n_rows * LANES
+
+        # source row of each real entry: sequential within its slab's rows
+        slab_row_off = np.zeros(occ.size + 1, dtype=np.int64)
+        np.cumsum(rows_per_slab, out=slab_row_off[1:])
+        slab_to_occ = np.full(R, -1, dtype=np.int64)
+        slab_to_occ[occ] = np.arange(occ.size)
+        rank_in_slab = np.empty(nnz, dtype=np.int64)
+        sorted_slabs = slab[order]
+        # rank within equal-slab runs of the sorted sequence
+        run_start = np.zeros(nnz, dtype=np.int64)
+        starts = np.flatnonzero(np.diff(sorted_slabs)) + 1
+        run_start[starts] = starts
+        np.maximum.accumulate(run_start, out=run_start)
+        rank_sorted = np.arange(nnz, dtype=np.int64) - run_start
+        rank_in_slab[order] = rank_sorted
+        src_row_real = (slab_row_off[slab_to_occ[slab]]
+                        + rank_in_slab // LANES)
+
+        # per-row absolute slab
+        row_slab = np.zeros(n_rows, dtype=np.int64)
+        row_slab[:s_rows] = np.repeat(occ, rows_per_slab)
+        if s_rows and s_rows < n_rows:
+            row_slab[s_rows:] = row_slab[s_rows - 1]  # dummy rows: keep near
+
+        # ----- dummies fill both sides exactly
+        src_fill = np.bincount(src_row_real, minlength=n_rows)
+        assert src_fill.max() <= LANES
+        dst_fill = np.bincount(dst_row_real, minlength=n_rows)
+        assert dst_fill.max() <= LANES
+        n_dummy = n_total - nnz
+        # dummy source rows: repeat each row id for its free slots
+        src_row_dummy = np.repeat(np.arange(n_rows, dtype=np.int64),
+                                  LANES - src_fill)
+        # dummy dest slots: enumerate free (row, lane) positions
+        taken = np.zeros((n_rows, LANES), dtype=bool)
+        taken[dst_row_real, dst_lane_real] = True
+        free_flat = np.flatnonzero(~taken.ravel())
+        assert free_flat.size == n_dummy == src_row_dummy.size
+        dst_row_dummy = free_flat // LANES
+        dst_lane_dummy = free_flat % LANES
+
+        src_row_all = np.concatenate([src_row_real, src_row_dummy])
+        dst_row_all = np.concatenate([dst_row_real, dst_row_dummy])
+        dst_lane_all = np.concatenate([dst_lane_real, dst_lane_dummy])
+
+        # ----- routing (coloring + Beneš masks + final lane gather)
+        src_lane, masks, final_lane = _route(
+            src_row_all, dst_row_all, dst_lane_all, n_rows, native=native)
+
+        # ----- place values / column metadata at (src_row, src_lane)
+        val = np.zeros((n_rows, LANES), dtype=np.float64)
+        val[src_row_real, src_lane[:nnz]] = csr.values
+        md_lane = np.zeros((n_rows, LANES), dtype=np.int64)
+        md_lane[src_row_real, src_lane[:nnz]] = lane_m
+
+        # ----- near/far tiles + window bases
+        win = _NEAR_WIN if Rp >= _NEAR_WIN else SUBLANES
+        n_tiles = n_rows // SUBLANES
+        t_first = row_slab[0::SUBLANES]
+        t_last = row_slab[SUBLANES - 1::SUBLANES]
+        base = (t_first // SUBLANES) * SUBLANES
+        base = np.minimum(base, Rp - win)
+        np.maximum(base, 0, out=base)
+        far = ((t_last - base) >= win).astype(np.int64)
+        # md delta: near tiles encode slab - base; far tiles read per row
+        d_of_row = row_slab - np.repeat(base, SUBLANES)
+        far_rows = np.repeat(far.astype(bool), SUBLANES)
+        d_of_row[far_rows] = 0
+        assert (d_of_row >= 0).all() and (d_of_row < win).all()
+        md = md_lane + (d_of_row[:, None]) * 128
+
+        padding = n_total / max(nnz, 1)
+        return cls(
+            nrows=nr, ncols=nc, nnz=nnz, n_rows=n_rows, win=int(win),
+            val=val, md=md.astype(np.int32),
+            tile_base=base.astype(np.int32), tile_far=far.astype(np.int32),
+            row_slab=row_slab.astype(np.int32),
+            masks=masks.astype(np.int32), final_lane=final_lane.astype(np.int32),
+            bins=tuple(bins), y_rows=n_groups * SUBLANES,
+            row_perm=row_perm, padding_ratio=float(padding),
+        )
+
+    @classmethod
+    def from_coo(cls, coo: COOMatrix, **kw) -> "PRMatrix":
+        return cls.from_csr(CSRMatrix.from_coo(coo), **kw)
+
+    # ------------------------------------------------------------------
+    def spmv(self, x: np.ndarray) -> np.ndarray:
+        """Host oracle twin of the device kernel (float64, same routing)."""
+        from .pr_route import benes_stage_distances
+
+        xpad = np.zeros(((self.ncols + 127) // 128 + 1) * 128, dtype=np.float64)
+        xpad[: self.ncols] = x
+        xtab = xpad.reshape(-1, 128)
+        # gather phase: every source row reads its single slab
+        gathered = xtab[np.minimum(self.row_slab, xtab.shape[0] - 1)]
+        prod = self.val * np.take_along_axis(
+            gathered, (self.md & 127).astype(np.int64), axis=1)
+        # route
+        a = prod
+        for s, d in enumerate(benes_stage_distances(self.n_rows)):
+            idx = np.arange(self.n_rows)
+            partner = a[idx ^ d]
+            swap = ((self.masks >> s) & 1).astype(bool)
+            a = np.where(swap, partner, a)
+        a = np.take_along_axis(a, self.final_lane.astype(np.int64), axis=1)
+        # reduce
+        y = np.zeros(self.y_rows * LANES, dtype=np.float64)
+        for (K, G, off, g0) in self.bins:
+            blk = a[off:off + G * K * SUBLANES].reshape(G, K, SUBLANES, LANES)
+            ysub = blk.sum(axis=1)                       # (G, 8, 128)
+            y[g0 * GROUP_ROWS:(g0 + G) * GROUP_ROWS] = ysub.reshape(-1)
+        return self.unpermute(y)
+
+
+def _route(src_row, dst_row, dst_lane, n_rows, native=True):
+    """Dispatch to the native router when available; numpy reference
+    otherwise (slow — O(n log n) python, fine for tests)."""
+    if native:
+        try:
+            from ..native.build import load_fast_route
+            lib = load_fast_route()
+        except Exception:  # noqa: BLE001
+            lib = None
+        if lib is not None:
+            from ..native.build import run_fast_route
+            return run_fast_route(lib, src_row, dst_row, dst_lane, n_rows)
+    from .pr_route import route_elements
+    return route_elements(src_row, dst_row, dst_lane, n_rows)
