@@ -405,6 +405,46 @@ def run_matrix(
       except Exception as e:  # noqa: BLE001
         log(f"[{name}] pallas_sell_sigma FAILED: {type(e).__name__}: {str(e)[:300]}")
 
+    if "pallas_pr" in cfg.kernels:
+      # PR permutation-routed kernel: gather in column order (each x-slab
+      # visited once globally), route products to k-major row order by a
+      # precomputed Beneš network, reduce. The zero-locality answer to the
+      # reference's thread-per-row CUDA kernel (csr_matrix_cuda.cu:122-148)
+      # — broadcast-scan kernels hit the diffuse floor there
+      # (docs/DESIGN.md round-3). Output is in PR sigma row order.
+      try:
+        from ..formats.pr import PRMatrix
+        from ..ops.pallas_pr import device_put_pr, pr_spmv_pallas
+
+        t0 = time.perf_counter()
+        pr = PRMatrix.from_csr(csr_k)
+        fstats["convert_pr_s"] = time.perf_counter() - t0
+        fstats["pr"] = pr.memory_stats()
+        dpr = device_put_pr(pr, dtype=dt)
+        x_pr = device_put_x(x, N, dt)
+        if cfg.flush_between_stages:
+            flush_hbm()
+        y_pr = np.asarray(
+            pr_spmv_pallas(dpr, x_pr, interpret=not on_tpu), np.float64)
+        if seg_map is not None:  # host-exact heavy-row segment reduction
+            ids = np.asarray(seg_map)[pr.row_perm]
+            dm = validate(np.bincount(ids, weights=y_pr, minlength=M)[:M])
+        else:
+            dm = validate(y_pr, perm=pr.row_perm)
+        sec, _ = time_device_fn_slope(
+            lambda d, xx: pr_spmv_pallas(d, xx, interpret=not on_tpu),
+            dpr, x_pr, reps=cfg.iterations, rounds=cfg.rounds)
+        stages["pallas_pr"] = StageResult(
+            "pallas_pr", sec, calculate_flops(nnz, sec) / 1e9, dm,
+            extra={"padding_ratio": pr.padding_ratio})
+        log(f"[{name}] pallas_pr: {sec*1e3:.3f} ms = "
+            f"{stages['pallas_pr'].gflops:.3f} GFLOPS, "
+            f"pad={pr.padding_ratio:.2f}, sig_diffs={dm.significant_diffs}")
+        del dpr
+        gc.collect()
+      except Exception as e:  # noqa: BLE001
+        log(f"[{name}] pallas_pr FAILED: {type(e).__name__}: {str(e)[:300]}")
+
     if "pallas_sell_dd" in cfg.kernels and sell is not None:
       # fp64-class double-double kernel (≙ the reference's fp64 kernels);
       # split/combine host-side so no x64 mode is required on device

@@ -171,8 +171,70 @@ def coo_to_csr_native(row, col, val, nrows: int, num_threads: int = 0):
     return row_ptr, col_out, val_out
 
 
+_ROUTE_SRC = os.path.join(_DIR, "fast_route.cpp")
+_ROUTE_LIB = os.path.join(_DIR, "libfastroute.so")
+_route_lib = None
+_route_tried = False
+
+
+def build_route(force: bool = False) -> str | None:
+    return _compile(_ROUTE_SRC, _ROUTE_LIB, "fast_route", force)
+
+
+def load_fast_route():
+    """Return the ctypes-wrapped PR router (fast_route.cpp), or None."""
+    global _route_lib, _route_tried
+    with _lock:
+        if _route_lib is not None or _route_tried:
+            return _route_lib
+        _route_tried = True
+        path = build_route()
+        if path is None:
+            return None
+        try:
+            lib = ctypes.CDLL(path)
+            fn = lib.pr_route
+            fn.restype = ctypes.c_int
+            fn.argtypes = [
+                ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+            ]
+            _route_lib = fn
+        except OSError as e:
+            sys.stderr.write(f"fast_route load failed ({e}); using numpy path\n")
+            _route_lib = None
+        return _route_lib
+
+
+def run_fast_route(fn, src_row, dst_row, dst_lane, n_rows: int):
+    """Native PR routing (formats/pr.py). Mirrors
+    formats/pr_route.py:route_elements — returns (src_lane, packed_masks,
+    final_lane); raises on router failure (callers fall back to numpy)."""
+    import numpy as np
+
+    n = int(src_row.size)
+    i32 = lambda a: np.ascontiguousarray(a, dtype=np.int32)
+    sr, dr, dl = i32(src_row), i32(dst_row), i32(dst_lane)
+    src_lane = np.empty(n, dtype=np.int32)
+    packed = np.empty((n_rows, 128), dtype=np.int32)
+    final_lane = np.empty((n_rows, 128), dtype=np.int32)
+    ptr = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    rc = fn(n, int(n_rows), ptr(sr), ptr(dr), ptr(dl),
+            ptr(src_lane), ptr(packed), ptr(final_lane))
+    if rc != 0:
+        raise RuntimeError(f"pr_route failed with code {rc}")
+    return src_lane, packed, final_lane
+
+
 if __name__ == "__main__":
     out = build(force=True)
     out_csr = build_csr(force=True)
+    out_route = build_route(force=True)
     print(f"built: {out}" if out else "fast_mmio build FAILED")
     print(f"built: {out_csr}" if out_csr else "fast_csr build FAILED")
+    print(f"built: {out_route}" if out_route else "fast_route build FAILED")

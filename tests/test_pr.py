@@ -1,0 +1,202 @@
+"""PR (permutation-routed) layout tests — routing, conversion, kernel.
+
+The PR layout (formats/pr.py, ops/pallas_pr.py) is the zero-locality
+scattered-regime kernel: gather in column order, Beneš-route products to a
+k-major row layout, reduce. Covers the reference's thread-per-row CUDA
+regime (cuda_src/csr_matrix_cuda.cu:122-148).
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+from sparsematrixvectormultiplication_tpu.formats.csr import CSRMatrix
+from sparsematrixvectormultiplication_tpu.formats.pr import PRMatrix
+from sparsematrixvectormultiplication_tpu.formats.pr_route import (
+    apply_benes,
+    benes_masks,
+    benes_stage_distances,
+    edge_color_128,
+    route_elements,
+)
+from sparsematrixvectormultiplication_tpu.models import synthetic as syn
+
+sys.setrecursionlimit(200_000)
+
+
+# ---------------------------------------------------------------------------
+# routing primitives
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("n", [2, 8, 64, 512])
+def test_benes_realizes_random_permutations(rng, n):
+    for _ in range(4):
+        perm = rng.permutation(n)
+        masks = benes_masks(perm)
+        assert masks.shape == (2 * (int(n).bit_length() - 1) - 1, n)
+        out = apply_benes(np.arange(n), masks)
+        # element initially at i ends at position perm[i]
+        assert np.array_equal(out[perm], np.arange(n))
+
+
+def test_benes_stage_distances_symmetric():
+    assert benes_stage_distances(16) == [8, 4, 2, 1, 2, 4, 8]
+
+
+@pytest.mark.parametrize("deg", [2, 8, 32])
+def test_edge_coloring_proper(rng, deg):
+    n_rows = 24
+    src = np.repeat(np.arange(n_rows), deg)
+    dst = rng.permutation(src.copy())
+    col = edge_color_128(src, dst, n_rows, degree=deg)
+    for r in range(n_rows):
+        assert len(set(col[src == r])) == deg
+        assert len(set(col[dst == r])) == deg
+
+
+def _check_routing(src_row, dst_row, dst_lane, n_rows, router):
+    src_lane, packed, final_lane = router(src_row, dst_row, dst_lane, n_rows)
+    rng = np.random.default_rng(7)
+    vals = rng.standard_normal(n_rows * 128).astype(np.float32)
+    a = np.zeros((n_rows, 128), np.float32)
+    a[src_row, src_lane] = vals
+    for s, d in enumerate(benes_stage_distances(n_rows)):
+        partner = a[np.arange(n_rows) ^ d]
+        a = np.where(((packed >> s) & 1).astype(bool), partner, a)
+    out = np.take_along_axis(a, final_lane.astype(np.int64), axis=1)
+    ref = np.zeros((n_rows, 128), np.float32)
+    ref[dst_row, dst_lane] = vals
+    assert np.array_equal(out, ref)
+
+
+def test_route_elements_python_reference(rng):
+    n_rows = 16
+    pos = rng.permutation(n_rows * 128)
+    _check_routing(np.repeat(np.arange(n_rows), 128), pos // 128, pos % 128,
+                   n_rows, route_elements)
+
+
+def test_route_elements_native_matches_semantics(rng):
+    """The native router may pick different colors than python — verify it
+    realizes the same element movement (the only contract)."""
+    from sparsematrixvectormultiplication_tpu.native.build import (
+        load_fast_route,
+        run_fast_route,
+    )
+
+    lib = load_fast_route()
+    if lib is None:
+        pytest.skip("native toolchain unavailable")
+    n_rows = 32
+    pos = rng.permutation(n_rows * 128)
+    _check_routing(
+        np.repeat(np.arange(n_rows), 128), pos // 128, pos % 128, n_rows,
+        lambda s, d, l, nr: run_fast_route(lib, s, d, l, nr))
+
+
+# ---------------------------------------------------------------------------
+# conversion + host oracle
+# ---------------------------------------------------------------------------
+
+CASES = [
+    ("random", lambda: syn.random_general(500, 400, 0.01, seed=2)),
+    ("powerlaw", lambda: syn.power_law(1500, 3, seed=3)),
+    ("banded", lambda: syn.banded(800, 5, 50, seed=4)),
+    ("road", lambda: syn.road_network(1200, seed=5)),
+]
+
+
+@pytest.mark.parametrize("name,builder", CASES)
+def test_pr_host_oracle(rng, name, builder):
+    csr = CSRMatrix.from_coo(builder())
+    pr = PRMatrix.from_csr(csr, native=False)
+    x = rng.standard_normal(csr.ncols)
+    np.testing.assert_allclose(pr.spmv(x), csr.spmv(x), rtol=1e-12, atol=1e-12)
+    # structural invariants
+    assert pr.n_rows & (pr.n_rows - 1) == 0
+    assert pr.n_stages <= 31
+    ks = [b[0] for b in pr.bins]
+    assert ks == sorted(ks, reverse=True)  # sigma groups -> contiguous bins
+
+
+def test_pr_conversion_uses_native_router(rng):
+    from sparsematrixvectormultiplication_tpu.native.build import load_fast_route
+
+    if load_fast_route() is None:
+        pytest.skip("native toolchain unavailable")
+    csr = CSRMatrix.from_coo(syn.power_law(1500, 3, seed=3))
+    pr_n = PRMatrix.from_csr(csr, native=True)
+    x = rng.standard_normal(csr.ncols)
+    np.testing.assert_allclose(pr_n.spmv(x), csr.spmv(x), rtol=1e-12, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel (interpret mode on CPU)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("name,builder", CASES)
+def test_pr_kernel_vs_oracle(rng, name, builder):
+    from sparsematrixvectormultiplication_tpu.ops.pallas_pr import (
+        device_put_pr,
+        pr_spmv_pallas,
+    )
+    from sparsematrixvectormultiplication_tpu.ops.pallas_sell import device_put_x
+
+    csr = CSRMatrix.from_coo(builder())
+    pr = PRMatrix.from_csr(csr, native=False)
+    dpr = device_put_pr(pr)
+    x = rng.standard_normal(csr.ncols)
+    y = np.asarray(
+        pr_spmv_pallas(dpr, device_put_x(x, csr.ncols), interpret=True),
+        np.float64)
+    y_nat = pr.unpermute(y)
+    ref = csr.spmv(x)
+    rel = np.abs(y_nat - ref) / np.maximum(1.0, np.abs(ref))
+    assert rel.max() < 5e-6, f"{name}: max rel {rel.max():.2e}"
+
+
+def test_pr_kernel_far_tiles(rng):
+    """Sparse column occupancy creates slab gaps -> far tiles take the
+    per-row dynamic-load path."""
+    from sparsematrixvectormultiplication_tpu.formats.coo import COOMatrix
+    from sparsematrixvectormultiplication_tpu.ops.pallas_pr import (
+        device_put_pr,
+        pr_spmv_pallas,
+    )
+    from sparsematrixvectormultiplication_tpu.ops.pallas_sell import device_put_x
+
+    n, m = 600, 2_000_000  # few, very scattered columns -> big slab gaps
+    row = rng.integers(0, n, 1600).astype(np.int32)
+    col = rng.integers(0, m, 1600).astype(np.int32)
+    val = rng.standard_normal(1600)
+    coo = COOMatrix(n, m, row, col, val)
+    csr = CSRMatrix.from_coo(coo)
+    pr = PRMatrix.from_csr(csr, native=False)
+    assert pr.tile_far.sum() > 0, "case must exercise the far path"
+    dpr = device_put_pr(pr)
+    x = rng.standard_normal(m)
+    y = pr.unpermute(np.asarray(
+        pr_spmv_pallas(dpr, device_put_x(x, m), interpret=True), np.float64))
+    ref = csr.spmv(x)
+    rel = np.abs(y - ref) / np.maximum(1.0, np.abs(ref))
+    assert rel.max() < 5e-6
+
+
+# ---------------------------------------------------------------------------
+# harness stage
+# ---------------------------------------------------------------------------
+
+def test_harness_pallas_pr_stage(rng):
+    from sparsematrixvectormultiplication_tpu.bench.harness import (
+        BenchConfig,
+        run_matrix,
+    )
+
+    coo = syn.dense_rows_mix(1200, seed=9)  # heavy rows -> seg_map path
+    cfg = BenchConfig(iterations=2, rounds=1, flush_between_stages=False,
+                      kernels=("serial_csr", "pallas_pr"))
+    res = run_matrix("pr_smoke", coo, cfg, log=lambda *_: None)
+    st = res.stage("pallas_pr")
+    assert st is not None, "pallas_pr stage missing"
+    assert st.diff.significant_diffs == 0
