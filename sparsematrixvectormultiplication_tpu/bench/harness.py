@@ -413,11 +413,11 @@ def run_matrix(
       # — broadcast-scan kernels hit the diffuse floor there
       # (docs/DESIGN.md round-3). Output is in PR sigma row order.
       try:
-        from ..formats.pr import PRMatrix
+        from ..formats.pr import pr_from_csr
         from ..ops.pallas_pr import device_put_pr, pr_spmv_pallas
 
         t0 = time.perf_counter()
-        pr = PRMatrix.from_csr(csr_k)
+        pr = pr_from_csr(csr_k)
         fstats["convert_pr_s"] = time.perf_counter() - t0
         fstats["pr"] = pr.memory_stats()
         dpr = device_put_pr(pr, dtype=dt)

@@ -40,9 +40,11 @@ from .coo import COOMatrix
 from .csr import CSRMatrix
 from .sell import DEFAULT_K_BINS, GROUP_ROWS, LANES, SUBLANES
 
-__all__ = ["PRMatrix", "MAX_PR_ROWS"]
+__all__ = ["PRMatrix", "PanelPRMatrix", "pr_from_csr", "MAX_PR_ROWS",
+           "PANEL_TARGET_ROWS"]
 
 MAX_PR_ROWS = 1 << 16          # mask bit-packing holds <= 31 stages
+PANEL_TARGET_ROWS = 1 << 15    # per-panel Beneš rows (VMEM residency)
 _NEAR_WIN = 16                  # x rows per near-tile window read
 
 
@@ -277,6 +279,113 @@ class PRMatrix:
             ysub = blk.sum(axis=1)                       # (G, 8, 128)
             y[g0 * GROUP_ROWS:(g0 + G) * GROUP_ROWS] = ysub.reshape(-1)
         return self.unpermute(y)
+
+
+@dataclass(frozen=True)
+class PanelPRMatrix:
+    """Destination-sliced PR decomposition for matrices beyond one PR
+    problem's Beneš capacity (row-slice panels; each panel is an
+    independent PRMatrix over a contiguous chunk of globally sigma-sorted
+    rows, all sharing the x table). ≙ the reference's unbounded-N CSR
+    kernels (src/csr_matrix.c:130-139) on the row axis."""
+
+    nrows: int
+    ncols: int
+    nnz: int
+    panels: tuple               # (PRMatrix, ...)
+    row_perm: np.ndarray        # kernel concat order -> original row
+    padding_ratio: float
+
+    @property
+    def shape(self):
+        return (self.nrows, self.ncols)
+
+    def unpermute(self, y: np.ndarray) -> np.ndarray:
+        out = np.empty(self.nrows, dtype=y.dtype)
+        out[self.row_perm] = y[: self.nrows]
+        return out
+
+    def memory_stats(self) -> dict:
+        stats = [p.memory_stats() for p in self.panels]
+        return {"bytes": int(sum(s["bytes"] for s in stats)),
+                "padded_nnz": int(sum(s["padded_nnz"] for s in stats)),
+                "padding_ratio": float(self.padding_ratio),
+                "panels": len(self.panels)}
+
+    @classmethod
+    def from_csr(cls, csr: CSRMatrix, k_bins: tuple = DEFAULT_K_BINS,
+                 native: bool = True,
+                 target_rows: int = PANEL_TARGET_ROWS) -> "PanelPRMatrix":
+        nnz_per_row = np.diff(csr.row_ptr).astype(np.int64)
+        order = np.argsort(-nnz_per_row, kind="stable")
+        # greedy contiguous chunks of sigma rows, sized so the panel's
+        # Beneš rows stay near target_rows: both sides are bounded by
+        # entries/128 plus padding, so budget entries ~ 0.7 * capacity
+        cap_entries = int(target_rows * LANES * 0.7)
+        chunks = []
+        start = 0
+        acc = 0
+        for i, r in enumerate(order):
+            acc += int(nnz_per_row[r])
+            # chunk boundaries on group multiples keep sigma groups intact
+            if acc >= cap_entries and (i + 1 - start) % GROUP_ROWS == 0:
+                chunks.append(order[start:i + 1])
+                start, acc = i + 1, 0
+        if start < order.size:
+            chunks.append(order[start:])
+
+        panels = []
+        perms = []
+        for rows in chunks:
+            sub = _sub_csr(csr, rows)
+            p = PRMatrix.from_csr(sub, k_bins=k_bins, native=native)
+            panels.append(p)
+            perms.append(np.asarray(rows)[p.row_perm])
+        total_pad = sum(p.n_rows * LANES for p in panels)
+        return cls(nrows=csr.nrows, ncols=csr.ncols, nnz=csr.nnz,
+                   panels=tuple(panels),
+                   row_perm=np.concatenate(perms),
+                   padding_ratio=float(total_pad / max(csr.nnz, 1)))
+
+    def spmv(self, x: np.ndarray) -> np.ndarray:
+        parts = [_panel_kernel_order(p, x) for p in self.panels]
+        return self.unpermute(np.concatenate(parts))
+
+
+def _panel_kernel_order(p: PRMatrix, x: np.ndarray) -> np.ndarray:
+    """Panel oracle output in KERNEL (sigma) order, length p.nrows."""
+    y_nat = p.spmv(x)          # PRMatrix.spmv returns natural sub order
+    return y_nat[p.row_perm]
+
+
+def _sub_csr(csr: CSRMatrix, rows: np.ndarray) -> CSRMatrix:
+    """Row-subset CSR (rows appear in the given order)."""
+    rows = np.asarray(rows, dtype=np.int64)
+    lens = (csr.row_ptr[rows + 1] - csr.row_ptr[rows]).astype(np.int64)
+    ptr = np.zeros(rows.size + 1, dtype=csr.row_ptr.dtype)
+    np.cumsum(lens, out=ptr[1:])
+    idx = np.repeat(csr.row_ptr[rows].astype(np.int64), lens) + (
+        np.arange(int(lens.sum()), dtype=np.int64)
+        - np.repeat(ptr[:-1].astype(np.int64), lens))
+    return CSRMatrix(rows.size, csr.ncols, ptr, csr.col_idx[idx],
+                     csr.values[idx])
+
+
+def pr_from_csr(csr: CSRMatrix, k_bins: tuple = DEFAULT_K_BINS,
+                native: bool = True):
+    """PRMatrix when one Beneš problem suffices, PanelPRMatrix beyond."""
+    # quick bound: padded entries ~ nnz * 1.6 is the common case; try the
+    # single problem first and fall back on the capacity guard. A single
+    # problem above PANEL_TARGET_ROWS would hold (with its two scratches,
+    # masks and gather table) more VMEM than the chip has.
+    if csr.nnz <= PANEL_TARGET_ROWS * LANES * 0.7:
+        try:
+            pr = PRMatrix.from_csr(csr, k_bins=k_bins, native=native)
+            if pr.n_rows <= PANEL_TARGET_ROWS:
+                return pr
+        except ValueError:
+            pass
+    return PanelPRMatrix.from_csr(csr, k_bins=k_bins, native=native)
 
 
 def _route(src_row, dst_row, dst_lane, n_rows, native=True):

@@ -34,12 +34,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..formats.pr import PRMatrix
+from ..formats.pr import PanelPRMatrix, PRMatrix
 from ..formats.pr_route import benes_stage_distances
 from ..formats.sell import LANES, SUBLANES
 from .pallas_sell import _MAX_UPLOAD_BYTES, pack_x_table
 
-__all__ = ["DevicePR", "device_put_pr", "pr_spmv_pallas"]
+__all__ = ["DevicePR", "DevicePanelPR", "device_put_pr", "pr_spmv_pallas"]
 
 _UNROLL_K = 16          # static reduce unroll bound (k-major convention)
 
@@ -78,9 +78,36 @@ class DevicePR:
         return pr_spmv_pallas(self, x)
 
 
-def device_put_pr(pr: PRMatrix, dtype=jnp.float32, device=None) -> DevicePR:
-    """Upload a host PRMatrix (guards the tunneled worker's upload crash
-    threshold like device_put_sell)."""
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class DevicePanelPR:
+    """Row-slice panels (formats/pr.py PanelPRMatrix); y = concat of the
+    panels' sigma-order outputs."""
+
+    nrows: int
+    ncols: int
+    nnz: int
+    panels: tuple
+
+    def tree_flatten(self):
+        return (self.panels,), (self.nrows, self.ncols, self.nnz)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*aux, children[0])
+
+    def spmv(self, x):
+        return pr_spmv_pallas(self, x)
+
+
+def device_put_pr(pr, dtype=jnp.float32, device=None):
+    """Upload a host PRMatrix / PanelPRMatrix (guards the tunneled
+    worker's upload crash threshold like device_put_sell)."""
+    if isinstance(pr, PanelPRMatrix):
+        return DevicePanelPR(
+            nrows=pr.nrows, ncols=pr.ncols, nnz=pr.nnz,
+            panels=tuple(device_put_pr(p, dtype=dtype, device=device)
+                         for p in pr.panels))
     total = (pr.val.size * jnp.dtype(dtype).itemsize
              + pr.md.nbytes // 2 + pr.masks.nbytes + pr.final_lane.nbytes)
     if total > _MAX_UPLOAD_BYTES:
@@ -184,10 +211,16 @@ def _kernel_pr(n_rows: int, win: int, bins: tuple, TB: int, n_blocks: int,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def pr_spmv_pallas(dpr: DevicePR, x, *, interpret: bool = False):
+def pr_spmv_pallas(dpr, x, *, interpret: bool = False):
     """SpMV over the PR layout. Returns y[:nrows] in SIGMA row order (like
-    the sigma SELL stages — callers unpermute with PRMatrix.unpermute)."""
+    the sigma SELL stages — callers unpermute with the host matrix's
+    ``unpermute`` / ``row_perm``). Panel inputs concatenate their panels'
+    sigma outputs (matching PanelPRMatrix.row_perm)."""
     x_tab = x if x.ndim == 2 else pack_x_table(x, dpr.ncols)
+    if isinstance(dpr, DevicePanelPR):
+        return jnp.concatenate(
+            [pr_spmv_pallas(p, x_tab, interpret=interpret)
+             for p in dpr.panels])
     R = x_tab.shape[0]
     n_rows = dpr.n_rows
     n_tiles = n_rows // SUBLANES

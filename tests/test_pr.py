@@ -184,6 +184,38 @@ def test_pr_kernel_far_tiles(rng):
 
 
 # ---------------------------------------------------------------------------
+# panels (capacity beyond one Beneš problem)
+# ---------------------------------------------------------------------------
+
+def test_pr_panels_host_and_kernel(rng):
+    from sparsematrixvectormultiplication_tpu.formats.pr import (
+        PanelPRMatrix,
+        pr_from_csr,
+    )
+    from sparsematrixvectormultiplication_tpu.ops.pallas_pr import (
+        device_put_pr,
+        pr_spmv_pallas,
+    )
+    from sparsematrixvectormultiplication_tpu.ops.pallas_sell import device_put_x
+
+    csr = CSRMatrix.from_coo(syn.random_general(3000, 2500, 0.01, seed=11))
+    # force tiny panels so several are exercised
+    pp = PanelPRMatrix.from_csr(csr, native=False, target_rows=256)
+    assert len(pp.panels) >= 3
+    x = rng.standard_normal(csr.ncols)
+    np.testing.assert_allclose(pp.spmv(x), csr.spmv(x), rtol=1e-12, atol=1e-12)
+    dpp = device_put_pr(pp)
+    y = np.asarray(
+        pr_spmv_pallas(dpp, device_put_x(x, csr.ncols), interpret=True),
+        np.float64)
+    ref = csr.spmv(x)
+    rel = np.abs(pp.unpermute(y) - ref) / np.maximum(1.0, np.abs(ref))
+    assert rel.max() < 5e-6
+    # dispatcher picks the single-problem path for small matrices
+    assert not isinstance(pr_from_csr(csr, native=False), PanelPRMatrix)
+
+
+# ---------------------------------------------------------------------------
 # harness stage
 # ---------------------------------------------------------------------------
 
