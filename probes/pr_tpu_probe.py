@@ -15,7 +15,8 @@ sys.path.insert(0, REPO)
 
 OUT_DIR = os.path.join(REPO, "result_tpu_r3_pr")
 SUITE_DIR = os.path.join(REPO, "suite_mtx")
-MATRICES = ["powerlaw_web", "webbase_like", "road_like", "dense_rows_mix"]
+MATRICES = ["powerlaw_web", "webbase_like", "road_like", "dense_rows_mix",
+            "random_uniform"]
 
 
 def main() -> None:
@@ -40,7 +41,7 @@ def main() -> None:
             done = {r[0] for r in list(_csv.reader(f))[1:] if r}
 
     cfg = BenchConfig(iterations=32, rounds=2,
-                      kernels=("serial_csr", "pallas_pr"))
+                      kernels=("serial_csr", "pallas_pr", "pallas_pr_dd"))
     for name in MATRICES:
         if name in done:
             print(f"[{name}] already done, skipping", flush=True)

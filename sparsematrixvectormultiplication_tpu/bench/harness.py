@@ -445,6 +445,53 @@ def run_matrix(
       except Exception as e:  # noqa: BLE001
         log(f"[{name}] pallas_pr FAILED: {type(e).__name__}: {str(e)[:300]}")
 
+    if "pallas_pr_dd" in cfg.kernels:
+      # fp64-class PR: dd products ride the same Beneš routing (the dd
+      # answer to the reference's fp64 kernels on zero-locality matrices,
+      # where broadcast dd kernels sit at the diffuse floor)
+      try:
+        from ..formats.pr import pr_from_csr
+        from ..ops.pallas_pr_dd import (
+            DD_PANEL_TARGET_ROWS,
+            device_put_pr_dd,
+            pr_spmv_pallas_dd,
+        )
+
+        t0 = time.perf_counter()
+        pr_dd = pr_from_csr(csr_k, target_rows=DD_PANEL_TARGET_ROWS)
+        fstats["convert_pr_dd_s"] = time.perf_counter() - t0
+        dprd = device_put_pr_dd(pr_dd)
+        xh = np.asarray(x, np.float32)
+        xl = np.asarray(x - xh.astype(np.float64), np.float32)
+        xh_d = device_put_x(xh, N, jnp.float32)
+        xl_d = device_put_x(xl, N, jnp.float32)
+        if cfg.flush_between_stages:
+            flush_hbm()
+        yh, yl = pr_spmv_pallas_dd(dprd, xh_d, xl_d, interpret=not on_tpu)
+        y64 = np.asarray(yh, np.float64) + np.asarray(yl, np.float64)
+        if seg_map is not None:  # host-exact heavy-row segment reduction
+            ids = np.asarray(seg_map)[pr_dd.row_perm]
+            dm = validate(np.bincount(ids, weights=y64, minlength=M)[:M])
+        else:
+            dm = validate(y64, perm=pr_dd.row_perm)
+
+        def prdd_fn(d, xh_, xl_):
+            yh_, yl_ = pr_spmv_pallas_dd(d, xh_, xl_, interpret=not on_tpu)
+            return yh_ + yl_  # timing checksum path; accuracy combines in f64
+
+        sec, _ = time_device_fn_slope(prdd_fn, dprd, xh_d, xl_d,
+                                      reps=cfg.iterations, rounds=cfg.rounds)
+        stages["pallas_pr_dd"] = StageResult(
+            "pallas_pr_dd", sec, calculate_flops(nnz, sec) / 1e9, dm,
+            extra={"padding_ratio": pr_dd.padding_ratio})
+        log(f"[{name}] pallas_pr_dd: {sec*1e3:.3f} ms = "
+            f"{stages['pallas_pr_dd'].gflops:.3f} GFLOPS, "
+            f"pad={pr_dd.padding_ratio:.2f}, sig_diffs={dm.significant_diffs}")
+        del dprd
+        gc.collect()
+      except Exception as e:  # noqa: BLE001
+        log(f"[{name}] pallas_pr_dd FAILED: {type(e).__name__}: {str(e)[:300]}")
+
     if "pallas_sell_dd" in cfg.kernels and sell is not None:
       # fp64-class double-double kernel (≙ the reference's fp64 kernels);
       # split/combine host-side so no x64 mode is required on device

@@ -372,20 +372,23 @@ def _sub_csr(csr: CSRMatrix, rows: np.ndarray) -> CSRMatrix:
 
 
 def pr_from_csr(csr: CSRMatrix, k_bins: tuple = DEFAULT_K_BINS,
-                native: bool = True):
-    """PRMatrix when one Beneš problem suffices, PanelPRMatrix beyond."""
+                native: bool = True, target_rows: int = PANEL_TARGET_ROWS):
+    """PRMatrix when one Beneš problem suffices, PanelPRMatrix beyond.
+    ``target_rows`` caps a problem's Beneš rows (dd kernels hold four
+    scratch planes and pass a smaller cap)."""
     # quick bound: padded entries ~ nnz * 1.6 is the common case; try the
     # single problem first and fall back on the capacity guard. A single
-    # problem above PANEL_TARGET_ROWS would hold (with its two scratches,
-    # masks and gather table) more VMEM than the chip has.
-    if csr.nnz <= PANEL_TARGET_ROWS * LANES * 0.7:
+    # problem above target_rows would hold (with its scratches, masks and
+    # gather table) more VMEM than the chip has.
+    if csr.nnz <= target_rows * LANES * 0.7:
         try:
             pr = PRMatrix.from_csr(csr, k_bins=k_bins, native=native)
-            if pr.n_rows <= PANEL_TARGET_ROWS:
+            if pr.n_rows <= target_rows:
                 return pr
         except ValueError:
             pass
-    return PanelPRMatrix.from_csr(csr, k_bins=k_bins, native=native)
+    return PanelPRMatrix.from_csr(csr, k_bins=k_bins, native=native,
+                                  target_rows=target_rows)
 
 
 def _route(src_row, dst_row, dst_lane, n_rows, native=True):

@@ -216,6 +216,34 @@ def test_pr_panels_host_and_kernel(rng):
 
 
 # ---------------------------------------------------------------------------
+# dd twin
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("panel", [False, True])
+def test_pr_dd_kernel_fp64_class(rng, panel):
+    from sparsematrixvectormultiplication_tpu.formats.pr import PanelPRMatrix
+    from sparsematrixvectormultiplication_tpu.ops.pallas_pr_dd import (
+        device_put_pr_dd,
+        pr_spmv_pallas_dd,
+    )
+    from sparsematrixvectormultiplication_tpu.ops.pallas_sell import device_put_x
+
+    csr = CSRMatrix.from_coo(syn.power_law(1500, 3, seed=3))
+    pr = (PanelPRMatrix.from_csr(csr, native=False, target_rows=512)
+          if panel else PRMatrix.from_csr(csr, native=False))
+    dpr = device_put_pr_dd(pr)
+    x = rng.standard_normal(csr.ncols)
+    xh = np.asarray(x, np.float32)
+    xl = np.asarray(x - xh.astype(np.float64), np.float32)
+    yh, yl = pr_spmv_pallas_dd(dpr, device_put_x(xh, csr.ncols),
+                               device_put_x(xl, csr.ncols), interpret=True)
+    y = pr.unpermute(np.asarray(yh, np.float64) + np.asarray(yl, np.float64))
+    ref = csr.spmv(x)
+    rel = np.abs(y - ref) / np.maximum(1.0, np.abs(ref))
+    assert rel.max() < 1e-11, f"dd accuracy {rel.max():.2e}"  # fp64-class
+
+
+# ---------------------------------------------------------------------------
 # harness stage
 # ---------------------------------------------------------------------------
 
@@ -227,8 +255,9 @@ def test_harness_pallas_pr_stage(rng):
 
     coo = syn.dense_rows_mix(1200, seed=9)  # heavy rows -> seg_map path
     cfg = BenchConfig(iterations=2, rounds=1, flush_between_stages=False,
-                      kernels=("serial_csr", "pallas_pr"))
+                      kernels=("serial_csr", "pallas_pr", "pallas_pr_dd"))
     res = run_matrix("pr_smoke", coo, cfg, log=lambda *_: None)
-    st = res.stage("pallas_pr")
-    assert st is not None, "pallas_pr stage missing"
-    assert st.diff.significant_diffs == 0
+    for stage in ("pallas_pr", "pallas_pr_dd"):
+        st = res.stage(stage)
+        assert st is not None, f"{stage} stage missing"
+        assert st.diff.significant_diffs == 0
