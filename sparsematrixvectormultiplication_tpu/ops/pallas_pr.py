@@ -128,8 +128,12 @@ def device_put_pr(pr, dtype=jnp.float32, device=None):
 
 
 def _kernel_pr(n_rows: int, win: int, bins: tuple, TB: int, n_blocks: int,
-               stages: tuple):
-    """See module docstring. TB = tiles per grid step."""
+               stages: tuple, phases: str = "all"):
+    """See module docstring. TB = tiles per grid step. ``phases`` trims the
+    kernel for phase-cost probes: "gather" stops after products, "route"
+    adds the Beneš stages + lane gather, "all" (default) adds the
+    reduction. Trimmed variants write whatever the spare scratch holds —
+    NOT a valid SpMV, probe timing only."""
 
     def kernel(base_ref, far_ref, rslab_ref, x_ref, val_ref, md_ref,
                mask_ref, fl_ref, y_ref, p_ref, q_ref):
@@ -174,6 +178,9 @@ def _kernel_pr(n_rows: int, win: int, bins: tuple, TB: int, n_blocks: int,
         # ---- phases 2+3 at the last step (products complete)
         @pl.when(step == n_blocks - 1)
         def _():
+            if phases == "gather":  # probe: flush products, skip route
+                y_ref[:] = p_ref[pl.ds(0, y_ref.shape[0]), :]
+                return
             src, dst = p_ref, q_ref
             for s, d in enumerate(stages):  # static Beneš schedule
                 a = src[:]
@@ -188,6 +195,9 @@ def _kernel_pr(n_rows: int, win: int, bins: tuple, TB: int, n_blocks: int,
             # final per-row lane gather into the spare scratch
             dst[:] = jnp.take_along_axis(src[:], fl_ref[:], axis=1)
             red = dst
+            if phases == "route":  # probe: skip the reduction
+                y_ref[:] = red[pl.ds(0, y_ref.shape[0]), :]
+                return
             # reduce: k-major slot sums per bin
             for (K, G, off, g0) in bins:  # static bin list
                 def gbody(gg, _, _K=K, _off=off, _g0=g0):
@@ -210,16 +220,17 @@ def _kernel_pr(n_rows: int, win: int, bins: tuple, TB: int, n_blocks: int,
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def pr_spmv_pallas(dpr, x, *, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "phases"))
+def pr_spmv_pallas(dpr, x, *, interpret: bool = False, phases: str = "all"):
     """SpMV over the PR layout. Returns y[:nrows] in SIGMA row order (like
     the sigma SELL stages — callers unpermute with the host matrix's
     ``unpermute`` / ``row_perm``). Panel inputs concatenate their panels'
-    sigma outputs (matching PanelPRMatrix.row_perm)."""
+    sigma outputs (matching PanelPRMatrix.row_perm). ``phases`` != "all"
+    trims the kernel for phase-cost probes (output NOT a valid SpMV)."""
     x_tab = x if x.ndim == 2 else pack_x_table(x, dpr.ncols)
     if isinstance(dpr, DevicePanelPR):
         return jnp.concatenate(
-            [pr_spmv_pallas(p, x_tab, interpret=interpret)
+            [pr_spmv_pallas(p, x_tab, interpret=interpret, phases=phases)
              for p in dpr.panels])
     R = x_tab.shape[0]
     n_rows = dpr.n_rows
@@ -250,7 +261,8 @@ def pr_spmv_pallas(dpr, x, *, interpret: bool = False):
             pltpu.VMEM((n_rows, LANES), x_tab.dtype),
         ],
     )
-    kernel = _kernel_pr(n_rows, dpr.win, dpr.bins, TB, n_blocks, stages)
+    kernel = _kernel_pr(n_rows, dpr.win, dpr.bins, TB, n_blocks, stages,
+                        phases=phases)
     y = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
