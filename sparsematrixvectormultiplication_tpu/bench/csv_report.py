@@ -162,33 +162,42 @@ CUDA_HEADER = (
 # (cuda_src/utility.cu:115-123) — a duplicate mapping would emit
 # byte-identical columns and let downstream tooling compare a kernel
 # against itself:
-#   row_csr         <- xla_csr           (thread-per-row analogue: segment sum)
+#   row_csr         <- pallas_pr | xla_csr (thread-per-row analogue: the PR
+#                      permutation-routed kernel when measured, else the
+#                      XLA segment-sum)
 #   warp_csr        <- pallas_sell       (lane-per-row analogue, f32)
 #   warp_shared_csr <- pallas_sell_sigma (row-sorted SELL-C-sigma variant)
 #   row_hll         <- xla_ell           (padded-HLL device kernel)
-#   warp_hll        <- pallas_sell_dd    (lane-per-row, fp64-class double-double)
+#   warp_hll        <- pallas_sell_dd | pallas_pr_dd (fp64-class double-double)
 #   warp_shared_hll <- pallas_hll        (Pallas kernel on the HLL work profile)
 _CUDA_MAP = {
-    "row_csr": "xla_csr",
-    "warp_csr": "pallas_sell",
-    "warp_shared_csr": "pallas_sell_sigma",
-    "row_hll": "xla_ell",
-    "warp_hll": "pallas_sell_dd",
-    "warp_shared_hll": "pallas_hll",
+    "row_csr": ("pallas_pr", "xla_csr"),
+    "warp_csr": ("pallas_sell",),
+    "warp_shared_csr": ("pallas_sell_sigma",),
+    "row_hll": ("xla_ell",),
+    "warp_hll": ("pallas_sell_dd", "pallas_pr_dd"),
+    "warp_shared_hll": ("pallas_hll",),
 }
 
 
 def write_cuda_style_row(path: str, result: MatrixResult):
+    def _stage(role):
+        for cand in _CUDA_MAP.get(role, (role,)):
+            s = result.stages.get(cand)
+            if s:
+                return s
+        return None
+
     def sec(role):
-        s = result.stages.get(_CUDA_MAP.get(role, role))
+        s = _stage(role)
         return s.seconds if s else 0.0
 
     def gf(role):
-        s = result.stages.get(_CUDA_MAP.get(role, role))
+        s = _stage(role)
         return s.gflops * 1e9 if s else 0.0
 
     def err(role):
-        s = result.stages.get(_CUDA_MAP.get(role, role))
+        s = _stage(role)
         return (s.diff.mean_rel_err, s.diff.mean_abs_err) if s else (0.0, 0.0)
 
     def sser(stage):
