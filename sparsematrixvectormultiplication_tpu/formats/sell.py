@@ -566,15 +566,19 @@ class SellMatrix:
             nw_b = wl_nwin_g[gids_all]
             L_b = wl_L_g[gids_all]
             cost_wl_g = SUBLANES * nw_b * (_WL_WIN_VREGS + 4 * L_b)
+            # fill guard: wl slots within 3x the group's real entries —
+            # scattered/uniform-random groups would stream mostly padding
+            # even at wl's higher effective BW (uniform-random 41/row
+            # chose wl at 4.7x padding under a 6x guard). A FORCED wl
+            # (layout="wl" — the autotuner's measured candidate) relaxes
+            # the cap to 8x: padding only wastes measurable bandwidth,
+            # while the NW/L/tile guards (Mosaic compile safety) stay.
+            fill_cap = 8 if layout == "wl" else 3
             wl_ok = (
                 (nw_b <= _WL_MAX_NW) & (L_b <= _WL_MAX_L)
                 & (nw_b * L_b <= _WL_MAX_TILES) & (nw_b > 0)
-                # fill guard: wl slots within 3x the group's real entries —
-                # scattered/uniform-random groups would stream mostly padding
-                # even at wl's higher effective BW (uniform-random 41/row
-                # chose wl at 4.7x padding under a 6x guard)
                 & (wl_kw_g[gids_all] * GROUP_ROWS
-                   <= 3 * np.maximum(group_nnz_all[gids_all], 1))
+                   <= fill_cap * np.maximum(group_nnz_all[gids_all], 1))
             )
             # compare as SECONDS: layouts stream different volumes (wl slots
             # per row = 8*NW*L, independent of K)

@@ -94,6 +94,10 @@ def autotune_sell(
             SellCandidate("default-kmajor", DEFAULT_K_BINS, "k-major"),
             SellCandidate("default-sbmajor", DEFAULT_K_BINS, "sb-major"),
             SellCandidate("default-sblist", DEFAULT_K_BINS, "sb-list"),
+            # forced wl relaxes the fill guard to 8x (formats/sell.py) so
+            # moderately-banded groups get a MEASURED shot at wl's ~430 GB/s
+            # streaming (VERDICT r2 item 2)
+            SellCandidate("default-wl", DEFAULT_K_BINS, "wl"),
             SellCandidate("default-nomerge", DEFAULT_K_BINS, merge_bins=False),
         ]
     on_tpu = jax.devices()[0].platform == "tpu"
