@@ -405,6 +405,7 @@ def run_matrix(
       except Exception as e:  # noqa: BLE001
         log(f"[{name}] pallas_sell_sigma FAILED: {type(e).__name__}: {str(e)[:300]}")
 
+    pr = None  # shared between the f32 and dd PR stages when it fits both
     if "pallas_pr" in cfg.kernels:
       # PR permutation-routed kernel: gather in column order (each x-slab
       # visited once globally), route products to k-major row order by a
@@ -458,7 +459,15 @@ def run_matrix(
         )
 
         t0 = time.perf_counter()
-        pr_dd = pr_from_csr(csr_k, target_rows=DD_PANEL_TARGET_ROWS)
+        # reuse the f32 stage's conversion when every problem fits dd's
+        # four-scratch-plane VMEM cap (the routing is dtype-agnostic)
+        if pr is not None and all(
+            q.n_rows <= DD_PANEL_TARGET_ROWS
+            for q in getattr(pr, "panels", (pr,))
+        ):
+            pr_dd = pr
+        else:
+            pr_dd = pr_from_csr(csr_k, target_rows=DD_PANEL_TARGET_ROWS)
         fstats["convert_pr_dd_s"] = time.perf_counter() - t0
         dprd = device_put_pr_dd(pr_dd)
         xh = np.asarray(x, np.float32)
