@@ -173,14 +173,12 @@ class PRMatrix:
         slab_to_occ = np.full(R, -1, dtype=np.int64)
         slab_to_occ[occ] = np.arange(occ.size)
         rank_in_slab = np.empty(nnz, dtype=np.int64)
-        sorted_slabs = slab[order]
-        # rank within equal-slab runs of the sorted sequence
-        run_start = np.zeros(nnz, dtype=np.int64)
-        starts = np.flatnonzero(np.diff(sorted_slabs)) + 1
-        run_start[starts] = starts
-        np.maximum.accumulate(run_start, out=run_start)
-        rank_sorted = np.arange(nnz, dtype=np.int64) - run_start
-        rank_in_slab[order] = rank_sorted
+        # rank within equal-slab runs: slabs appear sorted, so run starts
+        # are the cumulative present-slab counts
+        occ_counts = cnt[occ]
+        run_starts = np.cumsum(occ_counts) - occ_counts
+        rank_in_slab[order] = (np.arange(nnz, dtype=np.int64)
+                               - np.repeat(run_starts, occ_counts))
         src_row_real = (slab_row_off[slab_to_occ[slab]]
                         + rank_in_slab // LANES)
 
@@ -192,20 +190,33 @@ class PRMatrix:
 
         # ----- dummies fill both sides exactly
         src_fill = np.bincount(src_row_real, minlength=n_rows)
-        assert src_fill.max() <= LANES
-        dst_fill = np.bincount(dst_row_real, minlength=n_rows)
-        assert dst_fill.max() <= LANES
         n_dummy = n_total - nnz
         # dummy source rows: repeat each row id for its free slots
         src_row_dummy = np.repeat(np.arange(n_rows, dtype=np.int64),
                                   LANES - src_fill)
-        # dummy dest slots: enumerate free (row, lane) positions
-        taken = np.zeros((n_rows, LANES), dtype=bool)
-        taken[dst_row_real, dst_lane_real] = True
-        free_flat = np.flatnonzero(~taken.ravel())
-        assert free_flat.size == n_dummy == src_row_dummy.size
-        dst_row_dummy = free_flat // LANES
-        dst_lane_dummy = free_flat % LANES
+        # dummy dest slots, constructed analytically (no occupancy scan):
+        # (a) per sigma position, k-slots [len, K_g) are padding; positions
+        # beyond nr (group tail) pad all K_g slots
+        sp_all = np.arange(n_groups * GROUP_ROWS, dtype=np.int64)
+        len_all = np.zeros(n_groups * GROUP_ROWS, dtype=np.int64)
+        len_all[:nr] = glen
+        kg_all = kg[sp_all // GROUP_ROWS]
+        pads = kg_all - len_all
+        tot = int(pads.sum())
+        start_of = np.cumsum(pads) - pads
+        sp_pad = np.repeat(sp_all, pads)
+        k_pad = (np.arange(tot, dtype=np.int64) - np.repeat(start_of, pads)
+                 + np.repeat(len_all, pads))
+        dst_row_pad = (goff[sp_pad // GROUP_ROWS] + k_pad * SUBLANES
+                       + (sp_pad % GROUP_ROWS) // LANES)
+        dst_lane_pad = sp_pad % LANES
+        # (b) whole dummy rows beyond the dest area
+        tail_rows = np.repeat(np.arange(d_rows, n_rows, dtype=np.int64), LANES)
+        tail_lanes = np.tile(np.arange(LANES, dtype=np.int64),
+                             n_rows - d_rows)
+        dst_row_dummy = np.concatenate([dst_row_pad, tail_rows])
+        dst_lane_dummy = np.concatenate([dst_lane_pad, tail_lanes])
+        assert dst_row_dummy.size == n_dummy == src_row_dummy.size
 
         src_row_all = np.concatenate([src_row_real, src_row_dummy])
         dst_row_all = np.concatenate([dst_row_real, dst_row_dummy])
