@@ -41,8 +41,8 @@ constexpr int kLanes = 128;
 // `side`. Nodes: src_row[e] on the left, n_rows + dst_row[e] on the right.
 void euler_split(const int32_t* src_row, const int32_t* dst_row,
                  const int64_t* eids, int64_t m, int64_t n_rows,
-                 std::vector<int64_t>& ptr, std::vector<int64_t>& inc,
-                 std::vector<int64_t>& cursor, std::vector<uint8_t>& used,
+                 std::vector<int32_t>& ptr, std::vector<int32_t>& inc,
+                 std::vector<int32_t>& cursor, std::vector<uint8_t>& used,
                  uint8_t* side) {
   const int64_t n_nodes = 2 * n_rows;
   // build incidence (each edge appears at both endpoints)
@@ -94,8 +94,11 @@ void euler_split(const int32_t* src_row, const int32_t* dst_row,
 // ---------------------------------------------------------------------------
 
 struct Benes {
+  // int32 scratch throughout: n_rows <= 2^16 and edge ids <= 2^23, so
+  // narrow types halve the random-access cache footprint (this runs on a
+  // single core; memory behavior IS the runtime)
   int64_t n, p, n_stages;
-  std::vector<int64_t> inv, lo_perm, hi_perm;
+  std::vector<int32_t> inv, lo_perm, hi_perm;
   std::vector<int8_t> sub;
   int32_t* packed;  // (n,) int32 — bit s = stage s swap bit at this row
 
@@ -112,7 +115,7 @@ struct Benes {
   // route sigma over positions [base, base+size), writing swap bits at
   // stage `level` (input) and n_stages-1-level (output) for those rows.
   // sigma/scratch live in caller-provided arrays indexed [0, size).
-  void route(int level, int64_t base, int64_t size, int64_t* sigma) {
+  void route(int level, int64_t base, int64_t size, int32_t* sigma) {
     if (size == 2) {
       const int s = int(p - 1);
       if (sigma[0] == 1) {
@@ -124,7 +127,7 @@ struct Benes {
     const int64_t h = size / 2;
     const int s_in = level;
     const int s_out = int(n_stages - 1 - level);
-    int64_t* invp = inv.data() + base;
+    int32_t* invp = inv.data() + base;
     int8_t* subp = sub.data() + base;
     for (int64_t i = 0; i < size; ++i) invp[sigma[i]] = i;
     std::memset(subp, -1, size);
@@ -153,18 +156,18 @@ struct Benes {
     }
     // sub-permutations over mid slots (overwrite into lo/hi scratch then
     // copy back into sigma's halves so recursion can reuse the buffer)
-    int64_t* lo = lo_perm.data() + base;
-    int64_t* hi = hi_perm.data() + base;
+    int32_t* lo = lo_perm.data() + base;
+    int32_t* hi = hi_perm.data() + base;
     for (int64_t e = 0; e < size; ++e) {
       const int64_t slot = e % h;
-      const int64_t out = sigma[e] % h;
+      const int32_t out = int32_t(sigma[e] % h);
       if (subp[e] == 0)
         lo[slot] = out;
       else
         hi[slot] = out;
     }
-    std::memcpy(sigma, lo, sizeof(int64_t) * h);
-    std::memcpy(sigma + h, hi, sizeof(int64_t) * h);
+    std::memcpy(sigma, lo, sizeof(int32_t) * h);
+    std::memcpy(sigma + h, hi, sizeof(int32_t) * h);
     route(level + 1, base, h, sigma);
     route(level + 1, base + h, h, sigma + h);
   }
@@ -188,7 +191,7 @@ extern "C" int pr_route(int64_t n, int64_t n_rows, const int32_t* src_row,
   std::vector<int64_t> eids(n), next_eids(n);
   for (int64_t e = 0; e < n; ++e) eids[e] = e;
   std::vector<int64_t> group_ptr = {0, n}, next_ptr;
-  std::vector<int64_t> ptr(2 * n_rows + 1), inc(2 * n), cursor(2 * n_rows);
+  std::vector<int32_t> ptr(2 * n_rows + 1), inc(2 * n), cursor(2 * n_rows);
   std::vector<uint8_t> used(n), side(n);
 
   for (int level = 0; level < 7; ++level) {
@@ -231,7 +234,7 @@ extern "C" int pr_route(int64_t n, int64_t n_rows, const int32_t* src_row,
   std::atomic<int> next_lane{0};
   auto worker = [&]() {
     std::vector<int32_t> lane_packed(n_rows);
-    std::vector<int64_t> sigma(n_rows);
+    std::vector<int32_t> sigma(n_rows);
     Benes benes(n_rows);
     for (;;) {
       const int lane = next_lane.fetch_add(1);
