@@ -42,12 +42,14 @@ def main() -> None:
     x = np.random.default_rng(0).standard_normal(csr.ncols)
     xd = device_put_x(x, csr.ncols)
     gf = lambda s: 2 * csr.nnz / s / 1e9
-    for ph in ("gather", "route", "all"):
-        fn = lambda d, xx, _p=ph: pr_spmv_pallas(d, xx, phases=_p)
-        _ = np.asarray(fn(dpr, xd))  # compile
-        sec, pts = time_device_fn_slope(fn, dpr, xd, reps=32, rounds=2)
-        print(f"{ph:>6}: {sec*1e3:.3f} ms  ({gf(sec):.2f} GF-equivalent)",
-              flush=True)
+    for impl in ("roll", "swap"):
+        for ph in ("gather", "route", "all"):
+            fn = lambda d, xx, _p=ph, _i=impl: pr_spmv_pallas(
+                d, xx, phases=_p, stage_impl=_i)
+            _ = np.asarray(fn(dpr, xd))  # compile
+            sec, pts = time_device_fn_slope(fn, dpr, xd, reps=32, rounds=2)
+            print(f"{impl}/{ph:>6}: {sec*1e3:.3f} ms "
+                  f"({gf(sec):.2f} GF-equivalent)", flush=True)
 
 
 if __name__ == "__main__":

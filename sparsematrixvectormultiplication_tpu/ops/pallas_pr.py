@@ -10,10 +10,11 @@ One ``pallas_call`` executes the three PR phases (formats/pr.py):
    ``(n_rows, 128)`` scratch in column order. Total slab traffic ~R +
    n_tiles window loads for the WHOLE matrix — this is what removes the
    per-(row-group, slab) "diffuse floor" (docs/DESIGN.md round-3).
-2. **Route** (last grid step): 2*log2(n_rows)-1 Beneš exchange stages —
-   two ``pltpu.roll``s + masked selects per stage over the resident
-   products, swap bits streamed as ONE bit-packed int32 plane — then one
-   ``take_along_axis`` delivers every product to its destination lane.
+2. **Route** (last grid step): 2*log2(n_rows)-1 Beneš exchange stages
+   over the resident products — per stage, the xor-partner array (block
+   swap or paired rolls, see _benes_partner) masked-selected by swap bits
+   streamed as ONE bit-packed int32 plane — then one ``take_along_axis``
+   delivers every product to its destination lane.
 3. **Reduce**: the routed array IS a sigma-sorted k-major SELL slot
    buffer; per K-bin masked sublane k-sums write y (sigma row order, like
    the sigma SELL stages; callers unpermute at validation).
@@ -127,13 +128,32 @@ def device_put_pr(pr, dtype=jnp.float32, device=None):
     )
 
 
+def _benes_partner(a, d: int, n_rows: int, impl: str):
+    """The xor-partner array: partner[i] = a[i ^ d] along axis 0.
+
+    ``impl="swap"`` (d a multiple of 8): reshape the sublane axis into
+    (pairs, 2, d) blocks and swap the middle axis — ONE block copy.
+    ``impl="roll"``: two circular rolls selected by the position's d-bit
+    parity (crosses tile boundaries for any d; the fallback for d < 8).
+    """
+    if impl == "swap" and d % SUBLANES == 0:
+        v = a.reshape(n_rows // (2 * d), 2, d, LANES)
+        sw = jnp.concatenate([v[:, 1:2], v[:, 0:1]], axis=1)
+        return sw.reshape(n_rows, LANES)
+    hi = pltpu.roll(a, n_rows - d, axis=0)   # hi[i] = a[i + d]
+    lo = pltpu.roll(a, d, axis=0)            # lo[i] = a[i - d]
+    rowpar = jax.lax.broadcasted_iota(jnp.int32, (n_rows, LANES), 0)
+    return jnp.where((rowpar & d) == 0, hi, lo)
+
+
 def _kernel_pr(n_rows: int, win: int, bins: tuple, TB: int, n_blocks: int,
-               stages: tuple, phases: str = "all"):
+               stages: tuple, phases: str = "all", stage_impl: str = "roll"):
     """See module docstring. TB = tiles per grid step. ``phases`` trims the
     kernel for phase-cost probes: "gather" stops after products, "route"
     adds the Beneš stages + lane gather, "all" (default) adds the
     reduction. Trimmed variants write whatever the spare scratch holds —
-    NOT a valid SpMV, probe timing only."""
+    NOT a valid SpMV, probe timing only. ``stage_impl`` picks the
+    exchange-stage partner computation (see _benes_partner)."""
 
     def kernel(base_ref, far_ref, rslab_ref, x_ref, val_ref, md_ref,
                mask_ref, fl_ref, y_ref, p_ref, q_ref):
@@ -184,11 +204,7 @@ def _kernel_pr(n_rows: int, win: int, bins: tuple, TB: int, n_blocks: int,
             src, dst = p_ref, q_ref
             for s, d in enumerate(stages):  # static Beneš schedule
                 a = src[:]
-                hi = pltpu.roll(a, n_rows - d, axis=0)   # hi[i] = a[i + d]
-                lo = pltpu.roll(a, d, axis=0)            # lo[i] = a[i - d]
-                rowpar = jax.lax.broadcasted_iota(
-                    jnp.int32, (n_rows, LANES), 0)
-                partner = jnp.where((rowpar & d) == 0, hi, lo)
+                partner = _benes_partner(a, d, n_rows, stage_impl)
                 swap = ((mask_ref[:] >> s) & 1) == 1
                 dst[:] = jnp.where(swap, partner, a)
                 src, dst = dst, src
@@ -225,8 +241,10 @@ def _kernel_pr(n_rows: int, win: int, bins: tuple, TB: int, n_blocks: int,
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "phases"))
-def pr_spmv_pallas(dpr, x, *, interpret: bool = False, phases: str = "all"):
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "phases", "stage_impl"))
+def pr_spmv_pallas(dpr, x, *, interpret: bool = False, phases: str = "all",
+                   stage_impl: str = "roll"):
     """SpMV over the PR layout. Returns y[:nrows] in SIGMA row order (like
     the sigma SELL stages — callers unpermute with the host matrix's
     ``unpermute`` / ``row_perm``). Panel inputs concatenate their panels'
@@ -235,7 +253,8 @@ def pr_spmv_pallas(dpr, x, *, interpret: bool = False, phases: str = "all"):
     x_tab = x if x.ndim == 2 else pack_x_table(x, dpr.ncols)
     if isinstance(dpr, DevicePanelPR):
         return jnp.concatenate(
-            [pr_spmv_pallas(p, x_tab, interpret=interpret, phases=phases)
+            [pr_spmv_pallas(p, x_tab, interpret=interpret, phases=phases,
+                            stage_impl=stage_impl)
              for p in dpr.panels])
     R = x_tab.shape[0]
     n_rows = dpr.n_rows
@@ -267,7 +286,7 @@ def pr_spmv_pallas(dpr, x, *, interpret: bool = False, phases: str = "all"):
         ],
     )
     kernel = _kernel_pr(n_rows, dpr.win, dpr.bins, TB, n_blocks, stages,
-                        phases=phases)
+                        phases=phases, stage_impl=stage_impl)
     y = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
