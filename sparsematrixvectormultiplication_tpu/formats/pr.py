@@ -240,10 +240,14 @@ class PRMatrix:
         base = (t_first // SUBLANES) * SUBLANES
         base = np.minimum(base, Rp - win)
         np.maximum(base, 0, out=base)
-        far = ((t_last - base) >= win).astype(np.int64)
+        # tile class: 0 = 8-row window (most tiles: consecutive populated
+        # slabs), 1 = win-row window, 2 = far (per-row dynamic reads)
+        spread = t_last - base
+        far = np.where(spread < SUBLANES, 0,
+                       np.where(spread < win, 1, 2)).astype(np.int64)
         # md delta: near tiles encode slab - base; far tiles read per row
         d_of_row = row_slab - np.repeat(base, SUBLANES)
-        far_rows = np.repeat(far.astype(bool), SUBLANES)
+        far_rows = np.repeat(far == 2, SUBLANES)
         d_of_row[far_rows] = 0
         assert (d_of_row >= 0).all() and (d_of_row < win).all()
         md = md_lane + (d_of_row[:, None]) * 128

@@ -170,21 +170,32 @@ def _kernel_pr(n_rows: int, win: int, bins: tuple, TB: int, n_blocks: int,
             dv = md >> 7
             prow = gt * SUBLANES
 
-            @pl.when(far_ref[gt] == 0)
-            def _():
+            def near(width):
+                # shared window: `width` broadcast+lane-gather passes serve
+                # the whole tile
                 base = pl.multiple_of(base_ref[gt], SUBLANES)
-                chunk = x_ref[pl.ds(base, win), :]
+                chunk = x_ref[pl.ds(base, width), :]
                 gath = jnp.zeros((SUBLANES, LANES), dtype)
-                for v in range(win):  # static unroll
+                for v in range(width):  # static unroll
                     xb = jnp.broadcast_to(chunk[v, :][None, :],
                                           (SUBLANES, LANES))
                     gat = jnp.take_along_axis(xb, m, axis=1)
                     gath = gath + jnp.where(dv == v, gat, 0)
                 p_ref[pl.ds(prow, SUBLANES), :] = vals * gath
 
-            @pl.when(far_ref[gt] == 1)
+            # tile class 0: tight 8-row window (the common case);
+            # class 1: full win-row window; class 2: per-row dynamic reads
+            @pl.when(far_ref[gt] == 0)
             def _():
-                # rare wide-window tiles: 8 per-row dynamic x reads
+                near(SUBLANES)
+
+            if win > SUBLANES:
+                @pl.when(far_ref[gt] == 1)
+                def _():
+                    near(win)
+
+            @pl.when(far_ref[gt] == 2)
+            def _():
                 W = jnp.stack(
                     [x_ref[rslab_ref[gt * SUBLANES + i], :]
                      for i in range(SUBLANES)])

@@ -135,14 +135,13 @@ def _kernel_pr_dd(n_rows: int, win: int, bins: tuple, TB: int,
             dv = md >> 7
             prow = gt * SUBLANES
 
-            @pl.when(far_ref[gt] == 0)
-            def _():
+            def near(width):
                 base = pl.multiple_of(base_ref[gt], SUBLANES)
-                ch = xh_ref[pl.ds(base, win), :]
-                cl = xl_ref[pl.ds(base, win), :]
+                ch = xh_ref[pl.ds(base, width), :]
+                cl = xl_ref[pl.ds(base, width), :]
                 g_h = jnp.zeros((SUBLANES, LANES), jnp.float32)
                 g_l = jnp.zeros((SUBLANES, LANES), jnp.float32)
-                for v in range(win):
+                for v in range(width):
                     sel = dv == v
                     xbh = jnp.broadcast_to(ch[v, :][None, :], (SUBLANES, LANES))
                     xbl = jnp.broadcast_to(cl[v, :][None, :], (SUBLANES, LANES))
@@ -150,7 +149,17 @@ def _kernel_pr_dd(n_rows: int, win: int, bins: tuple, TB: int,
                     g_l = g_l + jnp.where(sel, jnp.take_along_axis(xbl, m, axis=1), 0)
                 dd_store(prow, vh, vl, g_h, g_l)
 
-            @pl.when(far_ref[gt] == 1)
+            # tile classes as in the f32 kernel: 8-row / win-row / far
+            @pl.when(far_ref[gt] == 0)
+            def _():
+                near(SUBLANES)
+
+            if win > SUBLANES:
+                @pl.when(far_ref[gt] == 1)
+                def _():
+                    near(win)
+
+            @pl.when(far_ref[gt] == 2)
             def _():
                 Wh = jnp.stack([xh_ref[rslab_ref[gt * SUBLANES + i], :]
                                 for i in range(SUBLANES)])

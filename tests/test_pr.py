@@ -173,7 +173,7 @@ def test_pr_kernel_far_tiles(rng):
     coo = COOMatrix(n, m, row, col, val)
     csr = CSRMatrix.from_coo(coo)
     pr = PRMatrix.from_csr(csr, native=False)
-    assert pr.tile_far.sum() > 0, "case must exercise the far path"
+    assert (pr.tile_far == 2).any(), "case must exercise the far path"
     dpr = device_put_pr(pr)
     x = rng.standard_normal(m)
     y = pr.unpermute(np.asarray(
