@@ -19,7 +19,7 @@ import numpy as np  # noqa: E402
 
 from sparsematrixvectormultiplication_tpu.formats.csr import CSRMatrix  # noqa: E402
 from sparsematrixvectormultiplication_tpu.formats.pr import pr_from_csr  # noqa: E402
-from sparsematrixvectormultiplication_tpu.io.mmio import read_matrix_market  # noqa: E402
+from sparsematrixvectormultiplication_tpu.formats.coo import COOMatrix  # noqa: E402
 from sparsematrixvectormultiplication_tpu.ops.pallas_pr import (  # noqa: E402
     device_put_pr,
     pr_spmv_pallas,
@@ -36,7 +36,7 @@ def main() -> None:
     import jax
     _ = np.asarray(jax.device_put(np.ones(1024, np.float32)) + 1)
     path = os.path.join(REPO, "suite_mtx", "powerlaw_web.mtx")
-    csr = CSRMatrix.from_coo(read_matrix_market(path))
+    csr = CSRMatrix.from_coo(COOMatrix.from_mtx(path))
     pr = pr_from_csr(csr)
     dpr = device_put_pr(pr)
     x = np.random.default_rng(0).standard_normal(csr.ncols)

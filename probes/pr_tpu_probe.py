@@ -31,7 +31,7 @@ def main() -> None:
         BenchConfig,
         run_matrix,
     )
-    from sparsematrixvectormultiplication_tpu.io.mmio import read_matrix_market
+    from sparsematrixvectormultiplication_tpu.formats.coo import COOMatrix
 
     csv_path = os.path.join(OUT_DIR, "spmv_results.csv")
     done = set()
@@ -51,7 +51,7 @@ def main() -> None:
             print(f"[{name}] missing {path}", flush=True)
             continue
         t0 = time.perf_counter()
-        coo = read_matrix_market(path)
+        coo = COOMatrix.from_mtx(path)
         print(f"[{name}] loaded in {time.perf_counter()-t0:.1f}s", flush=True)
         try:
             res = run_matrix(name, coo, cfg,

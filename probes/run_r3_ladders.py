@@ -48,7 +48,7 @@ def done_matrices(path: str) -> set[str]:
 def main() -> None:
     from sparsematrixvectormultiplication_tpu.bench.scale import run_ladder_sweep
     from sparsematrixvectormultiplication_tpu.formats.csr import CSRMatrix
-    from sparsematrixvectormultiplication_tpu.io.mmio import read_matrix_market
+    from sparsematrixvectormultiplication_tpu.formats.coo import COOMatrix
 
     os.makedirs(os.path.dirname(OUT_CSV), exist_ok=True)
     skip = done_matrices(OUT_CSV)
@@ -61,7 +61,7 @@ def main() -> None:
             print(f"[{name}] no .mtx at {path}, skipping", flush=True)
             continue
         t0 = time.perf_counter()
-        coo = read_matrix_market(path)
+        coo = COOMatrix.from_mtx(path)
         csr = CSRMatrix.from_coo(coo)
         print(f"[{name}] loaded {csr.nnz} nnz in {time.perf_counter()-t0:.1f}s",
               flush=True)
