@@ -94,7 +94,7 @@ class PRMatrix:
     # ------------------------------------------------------------------
     @classmethod
     def from_csr(cls, csr: CSRMatrix, k_bins: tuple = DEFAULT_K_BINS,
-                 native: bool = True) -> "PRMatrix":
+                 native: bool = True, max_rows: int = MAX_PR_ROWS) -> "PRMatrix":
         nr, nc, nnz = csr.nrows, csr.ncols, csr.nnz
         if nnz == 0:
             raise ValueError("PR layout needs at least one entry")
@@ -161,10 +161,12 @@ class PRMatrix:
         n_rows = 1
         while n_rows < max(s_rows, d_rows, 2):
             n_rows <<= 1
-        if n_rows > MAX_PR_ROWS:
+        if n_rows > min(max_rows, MAX_PR_ROWS):
+            # raised BEFORE the expensive routing so pr_from_csr's panel
+            # fallback doesn't pay for a doomed single-problem attempt
             raise ValueError(
-                f"PR problem needs {n_rows} Beneš rows (> {MAX_PR_ROWS}); "
-                "panel decomposition not implemented")
+                f"PR problem needs {n_rows} Beneš rows "
+                f"(> {min(max_rows, MAX_PR_ROWS)})")
         n_total = n_rows * LANES
 
         # source row of each real entry: sequential within its slab's rows
@@ -397,9 +399,8 @@ def pr_from_csr(csr: CSRMatrix, k_bins: tuple = DEFAULT_K_BINS,
     # gather table) more VMEM than the chip has.
     if csr.nnz <= target_rows * LANES * 0.7:
         try:
-            pr = PRMatrix.from_csr(csr, k_bins=k_bins, native=native)
-            if pr.n_rows <= target_rows:
-                return pr
+            return PRMatrix.from_csr(csr, k_bins=k_bins, native=native,
+                                     max_rows=target_rows)
         except ValueError:
             pass
     return PanelPRMatrix.from_csr(csr, k_bins=k_bins, native=native,
