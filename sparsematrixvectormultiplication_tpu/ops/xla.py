@@ -156,7 +156,10 @@ def device_put_csr(csr, dtype=None, device=None) -> DeviceCSR:
     from ..formats.csr import CSRMatrix  # noqa: F401 (typing aid)
 
     vals = csr.values if dtype is None else csr.values.astype(dtype)
-    _check_upload(max(vals.nbytes, csr.col_idx.nbytes, csr.nnz * 4),
+    # nnz*12 ≈ the kernel's EXECUTION working set (x-gather output +
+    # product + values): the r2 worker crash hit at 119M nnz = 1.43 GB,
+    # exactly this bound — per-array upload sizes alone (476 MB) pass
+    _check_upload(max(vals.nbytes, csr.col_idx.nbytes, csr.nnz * 12),
                   "xla_csr array")
     return DeviceCSR(
         jax.device_put(jnp.asarray(vals), device),
