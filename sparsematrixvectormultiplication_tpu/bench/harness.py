@@ -508,7 +508,12 @@ def run_matrix(
         from ..ops.pallas_sell_dd import device_put_sell_dd, sell_spmv_pallas_dd
 
         sell_dd = sell
-        if any(getattr(b, "sg_slots", False) for b in getattr(sell, "bins", [])):
+        # look through column panels too: PanelSellMatrix holds its bins on
+        # .panels[*].bins (a bare .bins getattr saw none and slot-packed sg
+        # panels reached device_put_sell_dd, failing the whole stage)
+        all_bins = [b for part in getattr(sell, "panels", [sell])
+                    for b in getattr(part, "bins", [])]
+        if any(getattr(b, "sg_slots", False) for b in all_bins):
             # slot-packed sg bins are f32-only (the dd error-free transforms
             # need row-unique positions) — rebuild rows-mode for this stage
             t0 = time.perf_counter()

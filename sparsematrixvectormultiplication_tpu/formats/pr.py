@@ -272,6 +272,12 @@ class PRMatrix:
     # ------------------------------------------------------------------
     def spmv(self, x: np.ndarray) -> np.ndarray:
         """Host oracle twin of the device kernel (float64, same routing)."""
+        return self.unpermute(self.spmv_kernel_order(x))
+
+    def spmv_kernel_order(self, x: np.ndarray) -> np.ndarray:
+        """Oracle output in KERNEL (sigma) order — what the device kernel
+        returns (callers unpermute; the panel oracle concatenates these
+        directly, avoiding an unpermute + re-permute roundtrip per panel)."""
         from .pr_route import benes_stage_distances
 
         xpad = np.zeros(((self.ncols + 127) // 128 + 1) * 128, dtype=np.float64)
@@ -295,7 +301,7 @@ class PRMatrix:
             blk = a[off:off + G * K * SUBLANES].reshape(G, K, SUBLANES, LANES)
             ysub = blk.sum(axis=1)                       # (G, 8, 128)
             y[g0 * GROUP_ROWS:(g0 + G) * GROUP_ROWS] = ysub.reshape(-1)
-        return self.unpermute(y)
+        return y[: self.nrows]
 
 
 @dataclass(frozen=True)
@@ -318,8 +324,11 @@ class PanelPRMatrix:
         return (self.nrows, self.ncols)
 
     def unpermute(self, y: np.ndarray) -> np.ndarray:
-        out = np.empty(self.nrows, dtype=y.dtype)
-        out[self.row_perm] = y[: self.nrows]
+        # zeros + row_perm.size: all-zero sigma-tail rows carry no panel
+        # (PanelPRMatrix.from_csr skips empty chunks), so row_perm may cover
+        # only the paneled rows — the rest are exactly 0
+        out = np.zeros(self.nrows, dtype=y.dtype)
+        out[self.row_perm] = y[: self.row_perm.size]
         return out
 
     def memory_stats(self) -> dict:
@@ -353,11 +362,37 @@ class PanelPRMatrix:
 
         panels = []
         perms = []
-        for rows in chunks:
+
+        def build(rows):
+            """Build one panel, splitting further when the Beneš row count
+            exceeds the cap: s_rows is slab-count dominated on zero-locality
+            matrices, so an entry-budgeted chunk can still overflow
+            ``target_rows`` (from_csr's capacity check fires BEFORE the
+            expensive routing, so retries cost only the layout analysis)."""
             sub = _sub_csr(csr, rows)
-            p = PRMatrix.from_csr(sub, k_bins=k_bins, native=native)
+            if sub.nnz == 0:
+                return  # all-zero sigma tail: unpermute zero-fills those rows
+            try:
+                p = PRMatrix.from_csr(sub, k_bins=k_bins,
+                                      native=native, max_rows=target_rows)
+            except ValueError:
+                if rows.size < 16:
+                    # a minimal chunk that still needs more Beneš rows than
+                    # the target (e.g. one long row): build it best-effort —
+                    # upstream heavy-row splitting keeps this far below the
+                    # dd VMEM cap in practice
+                    p = PRMatrix.from_csr(sub, k_bins=k_bins, native=native)
+                else:
+                    half = (rows.size // 2 // GROUP_ROWS) * GROUP_ROWS \
+                        or rows.size // 2
+                    build(rows[:half])
+                    build(rows[half:])
+                    return
             panels.append(p)
             perms.append(np.asarray(rows)[p.row_perm])
+
+        for rows in chunks:
+            build(rows)
         total_pad = sum(p.n_rows * LANES for p in panels)
         return cls(nrows=csr.nrows, ncols=csr.ncols, nnz=csr.nnz,
                    panels=tuple(panels),
@@ -371,8 +406,7 @@ class PanelPRMatrix:
 
 def _panel_kernel_order(p: PRMatrix, x: np.ndarray) -> np.ndarray:
     """Panel oracle output in KERNEL (sigma) order, length p.nrows."""
-    y_nat = p.spmv(x)          # PRMatrix.spmv returns natural sub order
-    return y_nat[p.row_perm]
+    return p.spmv_kernel_order(x)
 
 
 def _sub_csr(csr: CSRMatrix, rows: np.ndarray) -> CSRMatrix:

@@ -109,8 +109,9 @@ def device_put_pr(pr, dtype=jnp.float32, device=None):
             nrows=pr.nrows, ncols=pr.ncols, nnz=pr.nnz,
             panels=tuple(device_put_pr(p, dtype=dtype, device=device)
                          for p in pr.panels))
+    # md is stored int32 by PRMatrix.from_csr and uploads at full size
     total = (pr.val.size * jnp.dtype(dtype).itemsize
-             + pr.md.nbytes // 2 + pr.masks.nbytes + pr.final_lane.nbytes)
+             + pr.md.nbytes + pr.masks.nbytes + pr.final_lane.nbytes)
     if total > _MAX_UPLOAD_BYTES:
         raise MemoryError(
             f"PR device arrays {total/2**20:.0f} MiB > "

@@ -565,15 +565,31 @@ def _bin_call_dd(bin_, xh_tab, xl_tab, yh, yl, num_groups: int, interpret: bool,
     from .pallas_sell import _pick_g_per
 
     ng, K = bin_.n_groups, bin_.k
-    g_per = _pick_g_per(bin_, bytes_per_entry=12)  # JA i32 + AS hi/lo f32
+    # resident-y mode (device_put_sell_dd pads group lists with gid=-1 via
+    # _resident_pad): both y planes stay whole-buffer VMEM windows and the
+    # kernels predicate padding groups' writes off — same wiring as the f32
+    # twin's _bin_call (a revolving out_map with gid=-1 would clobber a real
+    # group's tile with zeros)
+    resident = int(getattr(bin_, "resident_g_per", 0) or 0)
+    if resident > 1:
+        g_per = resident
+    else:
+        g_per = _pick_g_per(bin_, bytes_per_entry=12)  # JA i32 + AS hi/lo f32
     KB = K * SUBLANES * g_per
     R = xh_tab.shape[0]
 
-    if g_per == 1:
+    if resident > 1:
+        yrows = yh.shape[0]
+        out_map_spec = pl.BlockSpec((yrows, LANES), lambda g, *r: (0, 0),
+                                    memory_space=pltpu.VMEM)
+    elif g_per == 1:
         out_map = lambda g, refs0, refs1, refs2: (refs0[g], 0)
+        out_map_spec = pl.BlockSpec((SUBLANES, LANES), out_map,
+                                    memory_space=pltpu.VMEM)
     else:
         out_map = lambda g, refs0, refs1, refs2: (refs0[g * g_per] // g_per, 0)
-    OUTB = SUBLANES * g_per
+        out_map_spec = pl.BlockSpec((SUBLANES * g_per, LANES), out_map,
+                                    memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(ng // g_per,),
@@ -583,13 +599,10 @@ def _bin_call_dd(bin_, xh_tab, xl_tab, yh, yl, num_groups: int, interpret: bool,
             pl.BlockSpec((KB, LANES), lambda g, *r: (g, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((KB, LANES), lambda g, *r: (g, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((KB, LANES), lambda g, *r: (g, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((OUTB, LANES), out_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((OUTB, LANES), out_map, memory_space=pltpu.VMEM),
+            out_map_spec,
+            out_map_spec,
         ],
-        out_specs=(
-            pl.BlockSpec((OUTB, LANES), out_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((OUTB, LANES), out_map, memory_space=pltpu.VMEM),
-        ),
+        out_specs=(out_map_spec, out_map_spec),
     )
 
     if bin_.layout == "sb-major":
@@ -602,9 +615,11 @@ def _bin_call_dd(bin_, xh_tab, xl_tab, yh, yl, num_groups: int, interpret: bool,
         kernel = _kernel_wl_dd(K, bin_.span, bin_.chunk_k, interpret, g_per,
                                accumulate)
     elif bin_.layout == "sg":
-        kernel = _kernel_sg_dd(K, bin_.span, interpret, g_per, accumulate)
+        kernel = _kernel_sg_dd(K, bin_.span, interpret, g_per, accumulate,
+                               resident=resident > 1)
     else:
-        kernel = _kernel_k_major_dd(K, interpret, g_per, accumulate)
+        kernel = _kernel_k_major_dd(K, interpret, g_per, accumulate,
+                                    resident=resident > 1)
 
     return pl.pallas_call(
         kernel,

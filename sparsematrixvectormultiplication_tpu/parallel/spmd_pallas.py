@@ -53,12 +53,6 @@ class SpmdSell:
         return int(self.shard_rows.size)
 
 
-def _bin_key(b):
-    return (b.layout, int(b.k), int(b.span), int(getattr(b, "chunk_k", 8)),
-            bool(getattr(b, "add_into", False)),
-            bool(getattr(b, "sg_slots", False)))
-
-
 def build_spmd_sell(
     csr: CSRMatrix,
     n_shards: int,

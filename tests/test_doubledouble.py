@@ -137,3 +137,36 @@ def test_dd_beats_f32(problem):
     err32 = np.max(np.abs(y32 - y_ref)[nz] / np.abs(y_ref[nz]))
     errdd = np.max(np.abs(ydd - y_ref)[nz] / np.abs(y_ref[nz]))
     assert errdd < err32 * 1e-3
+
+
+def test_dd_resident_noncontiguous_bins(rng):
+    """Regression: device_put_sell_dd pads non-contiguous k-major bins for
+    resident-y mode (gid = -1 padding groups); _bin_call_dd must dispatch
+    the resident kernel + whole-buffer out specs, or the padding groups'
+    zero tiles land on a real group's output through the revolving out_map
+    (silent corruption, caught by review in r3)."""
+    ngrp, n = 8, 8 * 1024
+    indptr = np.zeros(n + 1, np.int64)
+    # groups of 1024 rows alternate 1 / 12 nnz per row -> the k=1 bin's
+    # group_ids are [0, 2, 4, 6]: non-contiguous, ng >= 4 -> resident mode
+    row_nnz = np.where((np.arange(n) // 1024) % 2 == 0, 1, 12)
+    indptr[1:] = np.cumsum(row_nnz)
+    nnz = int(indptr[-1])
+    indices = rng.integers(0, n, nnz)
+    # column-sort within rows (CSRMatrix invariant)
+    for r in range(n):
+        s, e = indptr[r], indptr[r + 1]
+        indices[s:e] = np.sort(indices[s:e])
+    csr = CSRMatrix(n, n, indptr, indices.astype(np.int64),
+                    rng.standard_normal(nnz))
+    x = rng.standard_normal(n)
+    y_ref = csr.spmv(x)
+
+    sell = SellMatrix.from_csr(csr, layout="k-major", merge_bins=False,
+                               sg_slots=False)
+    d = device_put_sell_dd(sell)
+    assert any(b.resident_g_per > 1 for b in d.bins), \
+        "construction no longer triggers resident mode; rebuild the case"
+    y = np.asarray(sell_spmv_dd_f64(d, jnp.asarray(x), interpret=True))
+    rel = np.abs(y - y_ref) / np.maximum(np.abs(y_ref), 1e-10)
+    assert rel.max() < 1e-11, f"dd resident max rel {rel.max():.2e}"

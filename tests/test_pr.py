@@ -199,9 +199,11 @@ def test_pr_panels_host_and_kernel(rng):
     from sparsematrixvectormultiplication_tpu.ops.pallas_sell import device_put_x
 
     csr = CSRMatrix.from_coo(syn.random_general(3000, 2500, 0.01, seed=11))
-    # force tiny panels so several are exercised
-    pp = PanelPRMatrix.from_csr(csr, native=False, target_rows=256)
+    # force small panels so several are exercised; panels now ENFORCE the
+    # Beneš row cap (chunks that overflow it split recursively)
+    pp = PanelPRMatrix.from_csr(csr, native=False, target_rows=512)
     assert len(pp.panels) >= 3
+    assert all(p.n_rows <= 512 for p in pp.panels)
     x = rng.standard_normal(csr.ncols)
     np.testing.assert_allclose(pp.spmv(x), csr.spmv(x), rtol=1e-12, atol=1e-12)
     dpp = device_put_pr(pp)
@@ -261,3 +263,25 @@ def test_harness_pallas_pr_stage(rng):
         st = res.stage(stage)
         assert st is not None, f"{stage} stage missing"
         assert st.diff.significant_diffs == 0
+
+
+def test_pr_panels_zero_row_tail(rng):
+    """All-zero rows glob onto the sigma tail; an entirely-empty chunk must
+    be skipped (no panel) with unpermute zero-filling those rows
+    (regression: np.empty left garbage there)."""
+    from sparsematrixvectormultiplication_tpu.formats.pr import PanelPRMatrix
+
+    coo = syn.random_general(2000, 1500, 0.008, seed=7)
+    csr0 = CSRMatrix.from_coo(coo)
+    # append 4096 all-zero rows so sigma-tail chunks can be entirely empty
+    n = csr0.nrows + 4096
+    indptr = np.concatenate([csr0.row_ptr,
+                             np.full(4096, csr0.row_ptr[-1])])
+    csr = CSRMatrix(n, csr0.ncols, indptr, csr0.col_idx, csr0.values)
+    pp = PanelPRMatrix.from_csr(csr, native=False, target_rows=512)
+    assert pp.row_perm.size <= n  # zero-tail rows may carry no panel
+    x = rng.standard_normal(csr.ncols)
+    y = pp.spmv(x)
+    ref = csr.spmv(x)
+    np.testing.assert_allclose(y, ref, rtol=1e-12, atol=1e-12)
+    assert np.all(y[csr0.nrows:] == 0.0)
