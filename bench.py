@@ -95,6 +95,26 @@ def main():
     s2 = res2.stage("pallas_sell")
     dd2 = res2.stage("pallas_sell_dd")
 
+    # --- tertiary: scattered short-row regime (SG layout; ≙ the reference's
+    # thread-per-row CUDA class, csr_matrix_cuda.cu:122-148 — roadNet-PA row
+    # of result/result_cuda.csv). Auto layout picks SG here. ---
+    s3 = None
+    try:
+        from sparsematrixvectormultiplication_tpu.models.synthetic import road_network
+
+        t0 = time.time()
+        coo3 = road_network(1_200_000, seed=1)
+        log(f"road gen: {time.time()-t0:.0f}s nnz={coo3.nnz}")
+        cfg3 = BenchConfig(
+            iterations=128, rounds=2, dtype="float32",
+            kernels=("serial_csr", "pallas_sell"),
+            flush_between_stages=False,
+        )
+        res3 = run_matrix("road_scattered", coo3, cfg3, log=log)
+        s3 = res3.stage("pallas_sell")
+    except Exception as e:  # noqa: BLE001 — tertiary metric must not sink the headline
+        log(f"road stage failed: {type(e).__name__}: {e}")
+
     log(f"total bench time: {time.time()-t_all:.0f}s")
     print(
         json.dumps(
@@ -112,6 +132,10 @@ def main():
                 "fp64_dd_max_rel_err": dd.diff.max_rel_err if dd else None,
                 "adversarial_banded_f32_gflops": round(s2.gflops, 3) if s2 else None,
                 "adversarial_banded_dd_gflops": round(dd2.gflops, 3) if dd2 else None,
+                # scattered short-row regime vs the reference's roadNet-PA
+                # CUDA warp number (2.59 GF, result/result_cuda.csv)
+                "scattered_road_f32_gflops": round(s3.gflops, 3) if s3 else None,
+                "scattered_road_vs_ref_warp": round(s3.gflops / 2.59, 3) if s3 else None,
             }
         ),
         flush=True,
