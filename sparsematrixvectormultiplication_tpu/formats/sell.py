@@ -235,6 +235,12 @@ class SellMatrix:
         """
         if value_dtype is None:
             value_dtype = csr.values.dtype
+        if layout == "wl-shed":
+            # window-layered with pile shedding: see _from_csr_wl_shed
+            return cls._from_csr_wl_shed(
+                csr, k_bins=k_bins, value_dtype=value_dtype, chunk_k=chunk_k,
+                merge_bins=merge_bins, sg_slots=sg_slots,
+                skip_empty=skip_empty)
         row_perm = None
         if sigma_sort and csr.nrows:
             nnz_per_row = csr.row_nnz()
@@ -957,6 +963,95 @@ class SellMatrix:
     @classmethod
     def from_coo(cls, coo: COOMatrix, **kw) -> "SellMatrix":
         return cls.from_csr(CSRMatrix.from_coo(coo), **kw)
+
+    @classmethod
+    def _from_csr_wl_shed(cls, csr: CSRMatrix, *, k_bins, value_dtype,
+                          chunk_k, merge_bins, sg_slots,
+                          skip_empty: bool = False) -> "SellMatrix":
+        """WL with pile shedding (the "slot-packing" pass of RESULTS.md).
+
+        Forced-wl padding on random-in-band matrices is pile-depth driven:
+        a slab's slots are sized by the DEEPEST (row, slab) pile in its
+        128-row block (max over lanes), and every slot carries all L layers
+        — banded_adversarial measures 4.4x padding where the typical pile
+        is 1-2 deep. Here each (row, slab) pile keeps only its first D
+        occurrences for the wl part (one slot per slab at L = D) and sheds
+        the overflow to an auto-layout remainder converted separately, whose
+        bins ACCUMULATE onto the wl part's tiles (``add_into=True`` — the
+        same private-buffer assembly the sg far remainders use,
+        ops/pallas_sell.py assembly="auto"). D is chosen per group by the
+        bytes-vs-launch cost model. An autotune candidate measures this
+        against plain wl/sb-major (tune/autotune.py "default-wlshed")."""
+        import dataclasses
+
+        M, N = csr.nrows, csr.ncols
+        num_groups = -(-M // GROUP_ROWS) if M else 0
+        nnz = csr.nnz
+        base_kw = dict(k_bins=k_bins, value_dtype=value_dtype,
+                       chunk_k=chunk_k, merge_bins=merge_bins,
+                       sg_slots=sg_slots, skip_empty=skip_empty)
+        if nnz == 0 or num_groups == 0:
+            return cls.from_csr(csr, layout="wl", **base_kw)
+
+        rows = csr.row_ids().astype(np.int64)
+        q = csr.col_idx.astype(np.int64) >> 7
+        # (row, slab) pile runs — consecutive in CSR order (row-major,
+        # columns sorted within rows)
+        change = np.ones(nnz, dtype=bool)
+        change[1:] = (rows[1:] != rows[:-1]) | (q[1:] != q[:-1])
+        run_id = np.cumsum(change) - 1
+        run_start = np.flatnonzero(change)
+        occ = np.arange(nnz, dtype=np.int64) - run_start[run_id]
+        run_len = np.diff(np.append(run_start, nnz))
+        run_g = (rows[run_start] // GROUP_ROWS).astype(np.int64)
+
+        # one slot per (row-block, slab): NW per group is D-independent
+        rb_of_run = rows[run_start] >> 7
+        rb_slab = np.unique(rb_of_run * np.int64(-(-N // LANES) + 1)
+                            + q[run_start])
+        s_rb = np.bincount(
+            (rb_slab // np.int64(-(-N // LANES) + 1)).astype(np.int64),
+            minlength=num_groups * SUBLANES)
+        nw_g = np.maximum(
+            (-(-s_rb // 8)).reshape(num_groups, SUBLANES).max(axis=1), 1)
+
+        # choose D per group: main wl bytes/vregs at L=D vs shed volume
+        bpr = GROUP_ROWS * 8
+        nnz_g = np.bincount(run_g, weights=run_len.astype(np.float64),
+                            minlength=num_groups)
+        best_sec = np.full(num_groups, np.inf)
+        D_g = np.full(num_groups, 8, dtype=np.int64)  # fallback: shed >8 piles
+        for D in (1, 2, 4, 8):
+            kept_g = np.bincount(
+                run_g, weights=np.minimum(run_len, D).astype(np.float64),
+                minlength=num_groups)
+            sec_main = np.maximum(
+                8 * nw_g * D * bpr / _PALLAS_BW_WL,
+                SUBLANES * nw_g * (_WL_WIN_VREGS + 4 * D) * _VREG_OP_S)
+            sec = sec_main + (nnz_g - kept_g) * 12.0 / _PALLAS_BW
+            sec = np.where((nw_g > _WL_MAX_NW) | (nw_g * D > _WL_MAX_TILES),
+                           np.inf, sec)
+            better = sec < best_sec
+            best_sec = np.where(better, sec, best_sec)
+            D_g = np.where(better, D, D_g)
+
+        keep = occ < D_g[(rows // GROUP_ROWS).astype(np.int64)]
+        if keep.all():
+            return cls.from_csr(csr, layout="wl", **base_kw)
+
+        def _mask_csr(mask):
+            cnt = np.bincount(rows[mask], minlength=M)
+            ptr = np.zeros(M + 1, dtype=np.int64)
+            np.cumsum(cnt, out=ptr[1:])
+            return CSRMatrix(M, N, ptr, csr.col_idx[mask], csr.values[mask])
+
+        main = cls.from_csr(_mask_csr(keep), layout="wl", **base_kw)
+        resid = cls.from_csr(_mask_csr(~keep), layout="auto",
+                             **{**base_kw, "skip_empty": True})
+        bins = list(main.bins) + [dataclasses.replace(b, add_into=True)
+                                  for b in resid.bins]
+        return cls(nrows=M, ncols=N, nnz=nnz, bins=bins,
+                   num_groups=num_groups, row_perm=None)
 
     def spmv(self, x: np.ndarray) -> np.ndarray:
         """Host oracle over the SELL layout (fp64) — differential-test anchor."""

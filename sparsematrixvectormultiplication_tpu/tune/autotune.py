@@ -98,6 +98,10 @@ def autotune_sell(
             # moderately-banded groups get a MEASURED shot at wl's ~430 GB/s
             # streaming (VERDICT r2 item 2)
             SellCandidate("default-wl", DEFAULT_K_BINS, "wl"),
+            # wl with pile shedding (one slot per slab; overflow -> add_into
+            # remainder) — cuts forced-wl padding 4.4x -> 2.0x on
+            # random-in-band (formats/sell.py _from_csr_wl_shed)
+            SellCandidate("default-wlshed", DEFAULT_K_BINS, "wl-shed"),
             SellCandidate("default-nomerge", DEFAULT_K_BINS, merge_bins=False),
         ]
     on_tpu = jax.devices()[0].platform == "tpu"

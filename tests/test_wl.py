@@ -95,3 +95,85 @@ def test_wl_rejected_for_scattered():
     sell = SellMatrix.from_csr(csr, sigma_sort=True)
     assert not any(b.layout == "wl" for b in sell.bins), \
         [(b.layout, b.k) for b in sell.bins]
+
+
+# ---------------------------------------------------------------------------
+# wl-shed: pile shedding ("slot-packing" — forced-wl padding on
+# random-in-band is pile-depth driven; deep (row, slab) piles shed to an
+# add_into remainder). See formats/sell.py _from_csr_wl_shed.
+# ---------------------------------------------------------------------------
+
+def _shed_cases():
+    from sparsematrixvectormultiplication_tpu.models.synthetic import banded
+    return [
+        ("banded_adv", banded(20_000, 60, 2500, seed=1)),
+        ("banded_med", banded(10_000, 12, 60, seed=6)),
+        ("fem3d", fem_3d(10, 10, 10, dof=3, seed=8)),
+    ]
+
+
+def test_wl_shed_padding_and_oracle():
+    rng = np.random.default_rng(0)
+    for name, coo in _shed_cases():
+        csr = CSRMatrix.from_coo(coo)
+        shed = SellMatrix.from_csr(csr, layout="wl-shed")
+        wl = SellMatrix.from_csr(csr, layout="wl")
+        x = rng.standard_normal(csr.ncols)
+        np.testing.assert_allclose(shed.spmv(x), csr.spmv(x),
+                                   rtol=1e-12, atol=1e-12, err_msg=name)
+        assert shed.padding_ratio <= wl.padding_ratio + 1e-9, name
+        # remainder bins accumulate; wl core partitions the groups
+        assert any(b.add_into for b in shed.bins), name
+    # the motivating case: padding must drop materially (4.4x -> ~2x)
+    csr = CSRMatrix.from_coo(_shed_cases()[0][1])
+    assert SellMatrix.from_csr(csr, layout="wl-shed").padding_ratio < 2.5
+
+
+@pytest.mark.slow
+def test_wl_shed_kernel_f32_and_dd():
+    from sparsematrixvectormultiplication_tpu.models.synthetic import banded
+    from sparsematrixvectormultiplication_tpu.ops.pallas_sell import device_put_x
+    from sparsematrixvectormultiplication_tpu.ops.pallas_sell_dd import (
+        device_put_sell_dd,
+        sell_spmv_dd_f64,
+    )
+
+    rng = np.random.default_rng(1)
+    coo = banded(8192, 60, 2000, seed=1)
+    csr = CSRMatrix.from_coo(coo)
+    x = rng.standard_normal(csr.ncols)
+    ref = csr.spmv(x)
+    s = SellMatrix.from_csr(csr, layout="wl-shed")
+    d = device_put_sell(s, dtype=jnp.float32)
+    xt = device_put_x(np.asarray(x, np.float32), csr.ncols, jnp.float32)
+    for assembly in ("auto", "sum"):
+        y = np.asarray(sell_spmv_pallas(d, xt, interpret=True,
+                                        assembly=assembly),
+                       np.float64)[:csr.nrows]
+        rel = np.abs(y - ref) / np.maximum(1.0, np.abs(ref))
+        assert rel.max() < 5e-5, f"assembly={assembly}: {rel.max():.1e}"
+    # dd twin rides the same add_into assembly. NOTE: interpret mode folds
+    # straight-line EFTs on this matrix class (XLA CPU excess precision,
+    # CLAUDE.md) — plain k-major dd also measures ~4e-7 here — so the bound
+    # only catches wiring bugs (those are O(1)); true dd accuracy is a TPU
+    # property (r2-measured 1e-13).
+    sdd = SellMatrix.from_csr(csr, layout="wl-shed", sg_slots=False)
+    ydd = np.asarray(sell_spmv_dd_f64(device_put_sell_dd(sdd), jnp.asarray(x),
+                                      interpret=True))[:csr.nrows]
+    reldd = np.abs(ydd - ref) / np.maximum(1.0, np.abs(ref))
+    assert reldd.max() < 1e-5, f"dd: {reldd.max():.1e}"
+
+
+def test_wl_shed_no_shed_fallback():
+    """A matrix with piles <= 1 sheds nothing and must fall back to the
+    plain forced-wl conversion (no add_into bins, identical results)."""
+    from sparsematrixvectormultiplication_tpu.models.synthetic import (
+        random_general,
+    )
+
+    rng = np.random.default_rng(2)
+    coo = random_general(3000, 200_000, 0.00002, seed=3)  # ~1 per (row, slab)
+    csr = CSRMatrix.from_coo(coo)
+    s = SellMatrix.from_csr(csr, layout="wl-shed")
+    x = rng.standard_normal(csr.ncols)
+    np.testing.assert_allclose(s.spmv(x), csr.spmv(x), rtol=1e-12, atol=1e-12)
