@@ -43,3 +43,6 @@ timeout 9000 python -m sparsematrixvectormultiplication_tpu.bench.cli \
   --kernels serial_csr,pallas_pr,pallas_pr_dd \
   >> /root/repo/sweep_r3.log 2>&1
 echo "PR APPEND EXIT $? $(date)" >> /root/repo/sweep_r3.log
+
+timeout 3600 python probes/wlshed_ab_tpu.py > probes/wlshed_ab_tpu.out 2>&1
+echo "WLSHED AB EXIT $? $(date)" >> /root/repo/sweep_r3.log
