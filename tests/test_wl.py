@@ -139,7 +139,7 @@ def test_wl_shed_kernel_f32_and_dd():
     )
 
     rng = np.random.default_rng(1)
-    coo = banded(8192, 60, 2000, seed=1)
+    coo = banded(4096, 40, 1000, seed=1)  # sheds + wl/sb-major mix, interpret-affordable
     csr = CSRMatrix.from_coo(coo)
     x = rng.standard_normal(csr.ncols)
     ref = csr.spmv(x)
