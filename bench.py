@@ -42,27 +42,43 @@ def main():
     from sparsematrixvectormultiplication_tpu.models.synthetic import banded, fem_3d
 
     t_all = time.time()
-    # absorb the one-time transfer warm-up stall before timing anything;
-    # if the tunneled TPU worker is unavailable (observed mid-r3: backend
-    # init fails for ~1-2 h after a worker crash), retry for a while and
-    # emit a well-formed JSON failure line instead of a stack trace
+    # absorb the one-time transfer warm-up stall before timing anything.
+    # During a worker outage the first transfer sometimes raises UNAVAILABLE
+    # but sometimes BLOCKS indefinitely (observed 10+h outage mid-r3, where
+    # only an external timeout unsticks the probe) — so gate in a SUBPROCESS
+    # with a hard timeout, and emit a well-formed JSON failure line if the
+    # worker never comes back. Only one TPU process runs at a time: the
+    # probe exits before this process touches the device.
+    import subprocess
+
     warm_deadline = time.time() + 1800
+    probe = ("import numpy as np, jax, jax.numpy as jnp\n"
+             "print(float(np.asarray(jnp.sum(jax.device_put("
+             "np.ones(1024, np.float32))))))\n")
     while True:
+        t0 = time.time()
         try:
-            t0 = time.time()
-            float(np.asarray(jnp.sum(jax.device_put(np.ones(1024, np.float32)))))
-            log(f"transfer warm-up: {time.time()-t0:.0f}s")
-            break
-        except Exception as e:  # noqa: BLE001
-            if time.time() > warm_deadline:
-                print(json.dumps({
-                    "metric": "pallas_sell_f32_gflops_fem3d_51Mnnz",
-                    "value": 0.0, "unit": "GFLOPS", "vs_baseline": 0.0,
-                    "error": f"TPU backend unavailable: {type(e).__name__}",
-                }), flush=True)
-                return
-            log(f"TPU unavailable ({type(e).__name__}); retrying...")
-            time.sleep(60)
+            r = subprocess.run([sys.executable, "-c", probe], timeout=600,
+                               capture_output=True)
+            if r.returncode == 0:
+                log(f"transfer warm-up probe: {time.time()-t0:.0f}s")
+                break
+            reason = (r.stderr or b"").decode()[-200:]
+        except subprocess.TimeoutExpired:
+            reason = "probe timeout (worker blocked)"
+        if time.time() > warm_deadline:
+            print(json.dumps({
+                "metric": "pallas_sell_f32_gflops_fem3d_51Mnnz",
+                "value": 0.0, "unit": "GFLOPS", "vs_baseline": 0.0,
+                "error": f"TPU backend unavailable: {reason}",
+            }), flush=True)
+            return
+        log(f"TPU unavailable ({reason}); retrying...")
+        time.sleep(60)
+    # now warm up THIS process's backend (worker is known-reachable)
+    t0 = time.time()
+    float(np.asarray(jnp.sum(jax.device_put(np.ones(1024, np.float32)))))
+    log(f"transfer warm-up: {time.time()-t0:.0f}s")
 
     cfg = BenchConfig(
         iterations=256,
