@@ -51,6 +51,28 @@ def main():
     # probe exits before this process touches the device.
     import subprocess
 
+    def _pipeline_busy():
+        # Only ONE TPU process may run at a time (concurrent ones stall
+        # each other) — if the unattended measurement pipeline is mid-run,
+        # defer rather than collide with it.
+        try:
+            out = subprocess.run(["ps", "-eo", "cmd"], capture_output=True,
+                                 timeout=10).stdout.decode()
+        except Exception:  # noqa: BLE001
+            return False
+        # NOTE: the chain orchestrator (r3_chain.sh) is deliberately NOT a
+        # needle — while it sits in its TPU-recovery gate nothing is
+        # measuring, and deferring then would just burn the deadline. Only
+        # its actual measurement stages hold the device.
+        needles = ("bench.cli", "pr_tpu_probe", "run_r3_ladders",
+                   "sg_tpu", "wlshed_ab_tpu", "pr_smoke")
+        return any(n in line for line in out.splitlines() for n in needles)
+
+    busy_deadline = time.time() + 3 * 3600
+    while _pipeline_busy() and time.time() < busy_deadline:
+        log("measurement pipeline running; deferring bench (one-TPU-process rule)")
+        time.sleep(120)
+
     warm_deadline = time.time() + 1800
     probe = ("import numpy as np, jax, jax.numpy as jnp\n"
              "print(float(np.asarray(jnp.sum(jax.device_put("
