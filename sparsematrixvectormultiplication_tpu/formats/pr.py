@@ -381,7 +381,20 @@ class PanelPRMatrix:
                     # the target (e.g. one long row): build it best-effort —
                     # upstream heavy-row splitting keeps this far below the
                     # dd VMEM cap in practice
-                    p = PRMatrix.from_csr(sub, k_bins=k_bins, native=native)
+                    try:
+                        p = PRMatrix.from_csr(sub, k_bins=k_bins,
+                                              native=native)
+                    except ValueError as e:
+                        # a dense row of k entries forces k*SUBLANES dest
+                        # rows (k-major depth) — no panel split can fix
+                        # that; the caller must split the row's ENTRIES
+                        # first (csr.split_heavy_rows, as bench/harness.py
+                        # does before every PR conversion)
+                        kmax = int(np.diff(sub.row_ptr).max())
+                        raise ValueError(
+                            f"PR cannot host a {kmax}-entry row ({e}); "
+                            "split heavy rows first "
+                            "(CSRMatrix.split_heavy_rows)") from e
                 else:
                     half = (rows.size // 2 // GROUP_ROWS) * GROUP_ROWS \
                         or rows.size // 2

@@ -285,3 +285,33 @@ def test_pr_panels_zero_row_tail(rng):
     ref = csr.spmv(x)
     np.testing.assert_allclose(y, ref, rtol=1e-12, atol=1e-12)
     assert np.all(y[csr0.nrows:] == 0.0)
+
+
+def test_pr_dense_row_error_is_actionable(rng):
+    """A dense row of k entries forces k*8 dest Benes rows (k-major depth)
+    -- no panel split can host it. Direct conversion must fail with a
+    message pointing at split_heavy_rows (regression: the panel recursion
+    bottomed out with an opaque capacity error), and the harness's
+    split-first path must convert the same matrix fine."""
+    from sparsematrixvectormultiplication_tpu.formats.coo import COOMatrix
+    from sparsematrixvectormultiplication_tpu.formats.pr import pr_from_csr
+
+    n, ncols = 2048, 16384
+    dense_cols = rng.permutation(ncols)[:12000].astype(np.int64)
+    rows = np.concatenate([np.zeros(dense_cols.size, np.int64),
+                           np.arange(1, n, dtype=np.int64)])
+    cols = np.concatenate([dense_cols, rng.integers(0, ncols, n - 1)])
+    vals = rng.standard_normal(rows.size)
+    coo = COOMatrix(n, ncols, rows.astype(np.int32), cols.astype(np.int32),
+                    vals)
+    csr = CSRMatrix.from_coo(coo)
+
+    with pytest.raises(ValueError, match="split heavy rows"):
+        pr_from_csr(csr, native=False)
+
+    csr_k, seg = csr.split_heavy_rows(256)
+    pr = pr_from_csr(csr_k, native=False)
+    x = rng.standard_normal(ncols)
+    y_seg = pr.spmv(x)
+    y = np.bincount(seg, weights=y_seg, minlength=n)[:n]
+    np.testing.assert_allclose(y, csr.spmv(x), rtol=1e-10, atol=1e-10)
