@@ -1,0 +1,11 @@
+"""Iterative solvers built on the framework's SpMV kernels.
+
+The reference project stops at the SpMV benchmark; these show the kernels
+as a production surface: fully jit-compiled iteration loops
+(``lax.while_loop``, no host round-trips per step) over any of the
+framework's matvec implementations.
+"""
+
+from .cg import cg, cg_sell
+
+__all__ = ["cg", "cg_sell"]

@@ -1,0 +1,97 @@
+"""Conjugate-gradient solver over the framework's SpMV kernels.
+
+A user of the reference project gets SpMV kernels and a benchmark; a
+production framework should also show the kernel as a building block. This
+CG runs entirely under ``jit`` — the iteration is a ``lax.while_loop``
+whose body is one matvec plus vector updates, so on TPU the whole solve is
+a single device program (no host round-trip per iteration; ≙ the XLA
+semantics rules of docs/DESIGN.md: static shapes, compiler-friendly
+control flow).
+
+``cg`` takes any jit-compatible matvec; ``cg_sell`` wires in the Pallas
+SELL kernel (f32) or the XLA CSR kernel (fp64-capable) by device container
+type. CG requires A symmetric positive-definite — the classic use for the
+FEM/thermal regimes of the suite (models/synthetic.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["cg", "cg_sell"]
+
+
+@functools.partial(jax.jit, static_argnames=("matvec", "maxiter"))
+def cg(matvec: Callable, b, x0=None, *, tol: float = 1e-6,
+       maxiter: int = 1000):
+    """Solve ``A @ x = b`` for SPD ``A`` given ``matvec(v) -> A @ v``.
+
+    Returns ``(x, iters, resnorm)``. Stops when ``||r|| <= tol * ||b||``
+    or after ``maxiter`` iterations. All state stays on device; the loop
+    compiles once per (shape, dtype, maxiter).
+    """
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    bnorm = jnp.sqrt(jnp.vdot(b, b).real)
+    atol2 = (tol * bnorm) ** 2
+
+    r0 = b - matvec(x0)
+    p0 = r0
+    rs0 = jnp.vdot(r0, r0).real
+
+    def cond(state):
+        _, _, _, rs, k = state
+        return jnp.logical_and(k < maxiter, rs > atol2)
+
+    def body(state):
+        x, r, p, rs, k = state
+        ap = matvec(p)
+        alpha = rs / jnp.vdot(p, ap).real
+        x = x + alpha * p
+        r = r - alpha * ap
+        rs_new = jnp.vdot(r, r).real
+        p = r + (rs_new / rs) * p
+        return x, r, p, rs_new, k + 1
+
+    x, r, _, rs, k = jax.lax.while_loop(cond, body, (x0, r0, p0, rs0, 0))
+    return x, k, jnp.sqrt(rs)
+
+
+def cg_sell(dmat, b, x0=None, *, tol: float = 1e-6, maxiter: int = 1000,
+            interpret: bool = False):
+    """CG with the framework's device matvecs.
+
+    ``dmat`` is a :class:`..ops.pallas_sell.DeviceSell` /
+    ``DevicePanelSell`` (f32 Pallas path) or a
+    :class:`..ops.xla.DeviceCSR` (XLA segment-sum path, fp64-capable).
+    ``b`` is a dense 1-D array of length ``ncols`` (= ``nrows``: CG needs
+    square SPD). The matvec output is cropped/padded to ``b``'s length so
+    the loop state keeps one static shape.
+    """
+    from ..ops.pallas_sell import DevicePanelSell, DeviceSell, sell_spmv_pallas
+    from ..ops.xla import DeviceCSR, csr_spmv
+
+    n = b.shape[0]
+    if isinstance(dmat, (DeviceSell, DevicePanelSell)):
+        if dmat.nrows != dmat.ncols:
+            raise ValueError("CG needs a square matrix")
+
+        def matvec(v):
+            return sell_spmv_pallas(dmat, v, interpret=interpret)[:n]
+
+    elif isinstance(dmat, DeviceCSR):
+        if dmat.nrows != dmat.ncols:
+            raise ValueError("CG needs a square matrix")
+
+        def matvec(v):
+            return csr_spmv(dmat.values, dmat.col_idx, dmat.row_ids, v,
+                            nrows=dmat.nrows)[:n]
+
+    else:
+        raise TypeError(f"unsupported device matrix {type(dmat).__name__}")
+
+    return cg(matvec, b, x0, tol=tol, maxiter=maxiter)
