@@ -14,7 +14,7 @@
 cd /root/repo
 LOG=/root/repo/sweep_r3.log
 D=/root/repo/suite_mtx
-END_TS=$(date -d "22:30" +%s 2>/dev/null || echo 0)
+END_TS=$(date -d "${CHAIN_END:-23:45}" +%s 2>/dev/null || echo 0)
 [ "$END_TS" -eq 0 ] && END_TS=$(( $(date +%s) + 36000 ))
 
 wait_tpu() {
