@@ -19,6 +19,7 @@ import numpy as np
 
 __all__ = [
     "csr_spmv",
+    "csr_spmm",
     "ell_spmv",
     "sell_spmv_xla",
     "DeviceCSR",
@@ -36,6 +37,21 @@ def csr_spmv(values, col_idx, row_ids, x, *, nrows: int):
     produced by :meth:`formats.csr.CSRMatrix.row_ids`).
     """
     prod = values * jnp.take(x, col_idx)
+    return jax.ops.segment_sum(
+        prod, row_ids, num_segments=nrows, indices_are_sorted=True
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("nrows",))
+def csr_spmm(values, col_idx, row_ids, X, *, nrows: int):
+    """CSR multi-RHS SpMM: ``Y = segment_sum(values[:, None] * X[col_idx], row_ids)``.
+
+    The any-backend differential twin of the MXU BSR kernel
+    (ops/pallas_bsr.py). On TPU the row gather of ``X`` is the slow XLA
+    gather (docs/DESIGN.md) — this is a correctness baseline, not the
+    production path.
+    """
+    prod = values[:, None] * jnp.take(X, col_idx, axis=0)
     return jax.ops.segment_sum(
         prod, row_ids, num_segments=nrows, indices_are_sorted=True
     )
