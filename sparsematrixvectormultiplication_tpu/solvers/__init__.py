@@ -6,6 +6,7 @@ as a production surface: fully jit-compiled iteration loops
 framework's matvec implementations.
 """
 
-from .cg import cg, cg_sell
+from .bicgstab import bicgstab
+from .cg import cg, cg_multi, cg_sell
 
-__all__ = ["cg", "cg_sell"]
+__all__ = ["cg", "cg_multi", "cg_sell", "bicgstab"]

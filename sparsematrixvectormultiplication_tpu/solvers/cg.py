@@ -22,7 +22,7 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-__all__ = ["cg", "cg_sell"]
+__all__ = ["cg", "cg_sell", "cg_multi"]
 
 
 @functools.partial(jax.jit, static_argnames=("matvec", "maxiter"))
@@ -59,6 +59,53 @@ def cg(matvec: Callable, b, x0=None, *, tol: float = 1e-6,
 
     x, r, _, rs, k = jax.lax.while_loop(cond, body, (x0, r0, p0, rs0, 0))
     return x, k, jnp.sqrt(rs)
+
+
+@functools.partial(jax.jit, static_argnames=("matmat", "maxiter"))
+def cg_multi(matmat: Callable, B, X0=None, *, tol: float = 1e-6,
+             maxiter: int = 1000):
+    """Solve ``A @ X = B`` for ``B`` of shape (n, k): k independent CG
+    iterations sharing ONE multi-RHS matmat per step.
+
+    This is the solver-side payoff of the MXU SpMM path
+    (ops/pallas_bsr.py): every iteration's dominant op is a single
+    ``A @ P`` over all k search directions — a chain of 128x128 systolic
+    matmuls — instead of k separate memory-bound SpMV sweeps. Per-column
+    alpha/beta keep the k systems mathematically independent; converged
+    columns freeze (their updates multiply by 0) so one lagging column
+    never perturbs the others.
+
+    Returns ``(X, iters, resnorms)`` with ``resnorms`` per column.
+    """
+    if X0 is None:
+        X0 = jnp.zeros_like(B)
+    bnorm2 = jnp.sum(B * B, axis=0)
+    atol2 = (tol ** 2) * bnorm2
+
+    R0 = B - matmat(X0)
+    P0 = R0
+    rs0 = jnp.sum(R0 * R0, axis=0)
+
+    def cond(state):
+        _, _, _, rs, k = state
+        return jnp.logical_and(k < maxiter, jnp.any(rs > atol2))
+
+    def body(state):
+        X, R, P, rs, k = state
+        live = rs > atol2                       # per-column freeze mask
+        AP = matmat(P)
+        pap = jnp.sum(P * AP, axis=0)
+        alpha = jnp.where(live, rs / jnp.where(pap == 0, 1.0, pap), 0.0)
+        X = X + alpha[None, :] * P
+        R = R - alpha[None, :] * AP
+        rs_new = jnp.sum(R * R, axis=0)
+        beta = jnp.where(live, rs_new / jnp.where(rs == 0, 1.0, rs), 0.0)
+        P = jnp.where(live[None, :], R + beta[None, :] * P, P)
+        rs = jnp.where(live, rs_new, rs)
+        return X, R, P, rs, k + 1
+
+    X, R, _, rs, k = jax.lax.while_loop(cond, body, (X0, R0, P0, rs0, 0))
+    return X, k, jnp.sqrt(rs)
 
 
 def cg_sell(dmat, b, x0=None, *, tol: float = 1e-6, maxiter: int = 1000,

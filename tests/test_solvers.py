@@ -44,6 +44,73 @@ def test_cg_xla_csr_fp64():
     np.testing.assert_allclose(np.asarray(x), x_ref, rtol=1e-6, atol=1e-8)
 
 
+def _nonsym_dd_csr(n=900, seed=7):
+    """General banded + dominant diagonal: nonsingular, NOT symmetric."""
+    coo = banded(n, 7, 25, seed=seed)
+    m = sp.coo_matrix((coo.val, (coo.row, coo.col)), shape=(n, n))
+    a = (m + sp.eye(n) * (np.abs(m).sum(axis=1).max() + 1.0)).tocoo()
+    c = COOMatrix(n, n, a.row.astype(np.int32), a.col.astype(np.int32),
+                  a.data.astype(np.float64))
+    return CSRMatrix.from_coo(c), a.toarray()
+
+
+def test_bicgstab_nonsymmetric_fp64():
+    import jax.numpy as jnp
+
+    from sparsematrixvectormultiplication_tpu.ops.xla import (
+        csr_spmv,
+        device_put_csr,
+    )
+    from sparsematrixvectormultiplication_tpu.solvers import bicgstab
+
+    csr, dense = _nonsym_dd_csr()
+    assert not np.allclose(dense, dense.T), "fixture must be nonsymmetric"
+    rng = np.random.default_rng(2)
+    b = rng.standard_normal(csr.nrows)
+    x_ref = np.linalg.solve(dense, b)
+
+    d = device_put_csr(csr, dtype=jnp.float64)
+
+    def matvec(v):
+        return csr_spmv(d.values, d.col_idx, d.row_ids, v, nrows=d.nrows)
+
+    x, iters, res = bicgstab(matvec, jnp.asarray(b, jnp.float64),
+                             tol=1e-10, maxiter=500)
+    assert int(iters) < 500, "BiCGSTAB did not converge"
+    np.testing.assert_allclose(np.asarray(x), x_ref, rtol=1e-6, atol=1e-8)
+
+
+def test_cg_multi_over_bsr_spmm():
+    """k systems share one MXU SpMM per iteration (solvers/cg.py cg_multi
+    over ops/pallas_bsr.py)."""
+    import jax.numpy as jnp
+
+    from sparsematrixvectormultiplication_tpu.formats.bsr import BSRMatrix
+    from sparsematrixvectormultiplication_tpu.ops.pallas_bsr import (
+        bsr_spmm_pallas,
+        device_put_bsr,
+    )
+    from sparsematrixvectormultiplication_tpu.solvers import cg_multi
+
+    csr, dense = _spd_csr(n=800, seed=9)
+    rng = np.random.default_rng(3)
+    k = 5
+    B = rng.standard_normal((csr.nrows, k))
+    x_ref = np.linalg.solve(dense, B)
+
+    d = device_put_bsr(BSRMatrix.from_csr(csr))
+
+    def matmat(V):
+        return bsr_spmm_pallas(d, V, interpret=True)
+
+    X, iters, res = cg_multi(matmat, jnp.asarray(B, jnp.float32),
+                             tol=1e-5, maxiter=400)
+    assert int(iters) < 400, "multi-RHS CG did not converge"
+    rel = np.abs(np.asarray(X, np.float64) - x_ref) / np.maximum(
+        1.0, np.abs(x_ref))
+    assert rel.max() < 5e-3, f"{rel.max():.2e}"
+
+
 def test_cg_pallas_sell_f32():
     import jax.numpy as jnp
 
