@@ -200,3 +200,31 @@ def test_spmd_pallas_unbalanced_shards():
     x = np.random.default_rng(5).standard_normal(coo.ncols)
     y = sell_spmv_spmd(spmd, jnp.asarray(x), mesh, interpret=True)
     assert np.allclose(y, csr.spmv(x), rtol=1e-11, atol=1e-11)
+
+
+@pytest.mark.slow
+def test_spmd_bsr_spmm_shard_map():
+    """MXU BSR SpMM under shard_map: block-rows sharded, X replicated,
+    no collectives (parallel/spmd_bsr.py)."""
+    import scipy.sparse as sp
+
+    from sparsematrixvectormultiplication_tpu import CSRMatrix
+    from sparsematrixvectormultiplication_tpu.formats.bsr import BSRMatrix
+    from sparsematrixvectormultiplication_tpu.models.synthetic import banded
+    from sparsematrixvectormultiplication_tpu.parallel.spmd_bsr import (
+        bsr_spmm_spmd,
+        shard_bsr,
+    )
+
+    coo = banded(2100, 9, 30, seed=6)  # 17 block-rows: not a multiple of 8
+    csr = CSRMatrix.from_coo(coo)
+    s = sp.csr_matrix((coo.val, (coo.row, coo.col)),
+                      shape=(coo.nrows, coo.ncols))
+    mesh = make_mesh(8, ("rows",))
+    spmd = shard_bsr(BSRMatrix.from_csr(csr), 8, mesh=mesh)
+    assert spmd.stacked.blocks.shape[0] == 8  # leading shard axis
+    X = np.random.default_rng(8).standard_normal((coo.ncols, 9))
+    Y = bsr_spmm_spmd(spmd, X.astype(np.float32), mesh, interpret=True)
+    assert Y.shape == (coo.nrows, 9)
+    ref = s @ X
+    assert np.allclose(Y, ref, rtol=2e-5, atol=2e-5 * np.abs(ref).max())
