@@ -106,6 +106,17 @@ class CSRMatrix:
     def to_coo(self) -> COOMatrix:
         return COOMatrix(self.nrows, self.ncols, self.row_ids(), self.col_idx, self.values)
 
+    def transpose(self) -> "CSRMatrix":
+        """``A^T`` as a new CSR (counting-sort over swapped coordinates).
+
+        Gives every kernel layout an ``A^T @ x`` path for free — needed by
+        transpose-Krylov methods and PageRank-style column-stochastic
+        operators. The reference has no transpose anywhere; its pipeline
+        would re-parse a transposed ``.mtx``."""
+        coo = self.to_coo()
+        return CSRMatrix.from_coo(
+            COOMatrix(self.ncols, self.nrows, coo.col, coo.row, coo.val))
+
     def to_dense(self) -> np.ndarray:
         return self.to_coo().to_dense()
 

@@ -7,6 +7,8 @@ framework's matvec implementations.
 """
 
 from .bicgstab import bicgstab
-from .cg import cg, cg_multi, cg_sell
+from .cg import cg, cg_multi, cg_sell, jacobi_preconditioner
+from .power import pagerank, pagerank_operator, power_iteration
 
-__all__ = ["cg", "cg_multi", "cg_sell", "bicgstab"]
+__all__ = ["cg", "cg_multi", "cg_sell", "jacobi_preconditioner", "bicgstab",
+           "power_iteration", "pagerank", "pagerank_operator"]

@@ -22,43 +22,69 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-__all__ = ["cg", "cg_sell", "cg_multi"]
+__all__ = ["cg", "cg_sell", "cg_multi", "jacobi_preconditioner"]
 
 
-@functools.partial(jax.jit, static_argnames=("matvec", "maxiter"))
+@functools.partial(jax.jit, static_argnames=("matvec", "maxiter", "prec"))
 def cg(matvec: Callable, b, x0=None, *, tol: float = 1e-6,
-       maxiter: int = 1000):
+       maxiter: int = 1000, prec: Callable | None = None):
     """Solve ``A @ x = b`` for SPD ``A`` given ``matvec(v) -> A @ v``.
 
-    Returns ``(x, iters, resnorm)``. Stops when ``||r|| <= tol * ||b||``
-    or after ``maxiter`` iterations. All state stays on device; the loop
-    compiles once per (shape, dtype, maxiter).
+    ``prec``, if given, applies an SPD preconditioner ``M^-1``
+    (``prec(r) -> z``; see :func:`jacobi_preconditioner`) — standard PCG
+    recurrences. Returns ``(x, iters, resnorm)``; stops when
+    ``||r|| <= tol * ||b||`` or after ``maxiter``. All state stays on
+    device; the loop compiles once per (shape, dtype, maxiter).
     """
     if x0 is None:
         x0 = jnp.zeros_like(b)
     bnorm = jnp.sqrt(jnp.vdot(b, b).real)
     atol2 = (tol * bnorm) ** 2
+    apply_m = prec if prec is not None else (lambda r: r)
 
     r0 = b - matvec(x0)
-    p0 = r0
-    rs0 = jnp.vdot(r0, r0).real
+    z0 = apply_m(r0)
+    p0 = z0
+    rz0 = jnp.vdot(r0, z0).real
+    rr0 = jnp.vdot(r0, r0).real
 
     def cond(state):
-        _, _, _, rs, k = state
-        return jnp.logical_and(k < maxiter, rs > atol2)
+        _, _, _, _, rr, k = state
+        return jnp.logical_and(k < maxiter, rr > atol2)
 
     def body(state):
-        x, r, p, rs, k = state
+        x, r, p, rz, _, k = state
         ap = matvec(p)
-        alpha = rs / jnp.vdot(p, ap).real
+        alpha = rz / jnp.vdot(p, ap).real
         x = x + alpha * p
         r = r - alpha * ap
-        rs_new = jnp.vdot(r, r).real
-        p = r + (rs_new / rs) * p
-        return x, r, p, rs_new, k + 1
+        z = apply_m(r)
+        rz_new = jnp.vdot(r, z).real
+        p = z + (rz_new / rz) * p
+        return x, r, p, rz_new, jnp.vdot(r, r).real, k + 1
 
-    x, r, _, rs, k = jax.lax.while_loop(cond, body, (x0, r0, p0, rs0, 0))
-    return x, k, jnp.sqrt(rs)
+    x, r, _, _, rr, k = jax.lax.while_loop(
+        cond, body, (x0, r0, p0, rz0, rr0, 0))
+    return x, k, jnp.sqrt(rr)
+
+
+def jacobi_preconditioner(csr, dtype=None) -> Callable:
+    """Diagonal (Jacobi) preconditioner ``z = r / diag(A)`` from a host
+    CSRMatrix; zero/missing diagonal entries fall back to 1 (identity on
+    those rows). The returned closure captures only an nrows-float array."""
+    import numpy as np
+
+    diag = np.zeros(csr.nrows)
+    rows = np.repeat(np.arange(csr.nrows), np.diff(csr.row_ptr))
+    on_diag = rows == csr.col_idx
+    diag[rows[on_diag]] = csr.values[on_diag]
+    diag[diag == 0.0] = 1.0
+    inv = jnp.asarray(1.0 / diag, dtype)
+
+    def prec(r):
+        return r * inv.astype(r.dtype)
+
+    return prec
 
 
 @functools.partial(jax.jit, static_argnames=("matmat", "maxiter"))

@@ -134,3 +134,110 @@ def test_cg_pallas_sell_f32():
     rel = np.abs(np.asarray(x, np.float64) - x_ref) / np.maximum(
         1.0, np.abs(x_ref))
     assert rel.max() < 5e-3, f"{rel.max():.2e}"
+
+
+def test_cg_jacobi_preconditioner_converges_faster():
+    import jax.numpy as jnp
+
+    from sparsematrixvectormultiplication_tpu.ops.xla import (
+        csr_spmv,
+        device_put_csr,
+    )
+    from sparsematrixvectormultiplication_tpu.solvers import (
+        cg,
+        jacobi_preconditioner,
+    )
+
+    # wildly varying diagonal: the regime Jacobi exists for
+    csr, dense = _spd_csr(n=1000, seed=11)
+    scale = np.exp(np.linspace(0, 8, csr.nrows))
+    dense = dense * scale[:, None] * scale[None, :]
+    from sparsematrixvectormultiplication_tpu.formats.coo import COOMatrix as C
+    a = sp.coo_matrix(dense)
+    csr = CSRMatrix.from_coo(C(csr.nrows, csr.nrows, a.row, a.col, a.data))
+
+    rng = np.random.default_rng(4)
+    b = rng.standard_normal(csr.nrows)
+    d = device_put_csr(csr, dtype=jnp.float64)
+
+    def matvec(v):
+        return csr_spmv(d.values, d.col_idx, d.row_ids, v, nrows=d.nrows)
+
+    x_ref = np.linalg.solve(dense, b)
+    bj = jnp.asarray(b, jnp.float64)
+    x_p, it_p, _ = cg(matvec, bj, tol=1e-10, maxiter=3000,
+                      prec=jacobi_preconditioner(csr, jnp.float64))
+    x_n, it_n, _ = cg(matvec, bj, tol=1e-10, maxiter=3000)
+    np.testing.assert_allclose(np.asarray(x_p), x_ref, rtol=1e-5, atol=1e-8)
+    assert int(it_p) < int(it_n), f"PCG {int(it_p)} !< CG {int(it_n)}"
+
+
+def test_csr_transpose_roundtrip():
+    from sparsematrixvectormultiplication_tpu.models.synthetic import power_law
+
+    coo = power_law(800, 6, seed=13)
+    csr = CSRMatrix.from_coo(coo)
+    t = csr.transpose()
+    assert t.shape == (csr.ncols, csr.nrows)
+    np.testing.assert_array_equal(t.to_dense(), csr.to_dense().T)
+    np.testing.assert_array_equal(t.transpose().to_dense(), csr.to_dense())
+
+
+def test_power_iteration_dominant_eigenpair():
+    import jax.numpy as jnp
+
+    csr, dense = _spd_csr(n=400, seed=15)
+    from sparsematrixvectormultiplication_tpu.ops.xla import (
+        csr_spmv,
+        device_put_csr,
+    )
+    from sparsematrixvectormultiplication_tpu.solvers import power_iteration
+
+    d = device_put_csr(csr, dtype=jnp.float64)
+    v0 = jnp.asarray(np.random.default_rng(6).standard_normal(csr.nrows))
+    lam, v, it = power_iteration(
+        lambda u: csr_spmv(d.values, d.col_idx, d.row_ids, u, nrows=d.nrows),
+        v0, tol=1e-12, maxiter=5000)
+    w = np.linalg.eigvalsh(dense)
+    assert abs(float(lam) - w[-1]) / abs(w[-1]) < 1e-6
+    # eigenvector residual
+    r = dense @ np.asarray(v) - float(lam) * np.asarray(v)
+    assert np.linalg.norm(r) < 1e-4 * abs(w[-1])
+
+
+def test_pagerank_power_law_graph():
+    """PageRank through the framework transpose + XLA matvec vs a dense
+    fp64 Google-matrix power iteration."""
+    import jax.numpy as jnp
+
+    from sparsematrixvectormultiplication_tpu.models.synthetic import power_law
+    from sparsematrixvectormultiplication_tpu.ops.xla import (
+        csr_spmv,
+        device_put_csr,
+    )
+    from sparsematrixvectormultiplication_tpu.solvers import (
+        pagerank,
+        pagerank_operator,
+    )
+
+    coo = power_law(500, 5, seed=17)
+    coo = COOMatrix(coo.nrows, coo.ncols, coo.row, coo.col, np.abs(coo.val))
+    csr = CSRMatrix.from_coo(coo)
+    t, dangling = pagerank_operator(csr)
+    d = device_put_csr(t, dtype=jnp.float64)
+
+    p, it, delta = pagerank(
+        lambda u: csr_spmv(d.values, d.col_idx, d.row_ids, u, nrows=d.nrows),
+        jnp.asarray(dangling), alpha=0.85, tol=1e-12, maxiter=500)
+    p = np.asarray(p)
+    assert abs(p.sum() - 1.0) < 1e-9 and (p > 0).all()
+
+    # dense fp64 reference (weighted random-surfer chain)
+    n = csr.nrows
+    A = csr.to_dense()
+    w = A.sum(axis=1)
+    P = (A / np.where(w == 0, 1.0, w)[:, None]).T
+    ref = np.full(n, 1.0 / n)
+    for _ in range(400):
+        ref = 0.85 * (P @ ref + ref[w == 0].sum() / n) + 0.15 / n
+    np.testing.assert_allclose(p, ref, rtol=1e-8, atol=1e-12)
