@@ -19,6 +19,13 @@ import jax
 
 if REHEARSE:
     jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: 12 distinct jit shapes under the watcher's hard
+# timeout — a killed run must not lose its compiles (CLAUDE.md TPU rules)
+jax.config.update("jax_compilation_cache_dir",
+                  "/root/repo/.jax_cache_cpu" if REHEARSE
+                  else "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np
 import jax.numpy as jnp

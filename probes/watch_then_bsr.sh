@@ -3,11 +3,20 @@
 # and the clock allows, run the BSR MXU SpMM probe (probes/bsr_spmm_tpu.py).
 # One-TPU-process rule: starts only after the chain PID is gone, and
 # re-gates before touching the device.
-CHAIN_PID=$(cat /tmp/chain2.pid 2>/dev/null)
+cd /root/repo
 END_TS=$(date -d "${BSR_END:-00:40 tomorrow}" +%s 2>/dev/null || echo 0)
 [ "$END_TS" -eq 0 ] && END_TS=$(( $(date +%s) + 39000 ))
 
-while kill -0 "$CHAIN_PID" 2>/dev/null; do
+# chain-alive test: pid file read EVERY loop (restarts rewrite it), and the
+# pid must still be the chain (guards stale files / PID reuse) — checked
+# read-only via /proc cmdline, never by pattern-kill.
+chain_alive() {
+  CP=$(cat /tmp/chain2.pid 2>/dev/null)
+  [ -n "$CP" ] || return 1
+  grep -q "r3_chain2" "/proc/$CP/cmdline" 2>/dev/null
+}
+
+while chain_alive; do
   [ "$(date +%s)" -ge "$END_TS" ] && exit 0
   sleep 120
 done

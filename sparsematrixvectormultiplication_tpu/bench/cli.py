@@ -49,6 +49,10 @@ def build_parser():
         default="serial_csr,serial_hll,xla_csr,xla_ell,pallas_sell,pallas_sell_dd",
         help="comma-separated stage list",
     )
+    p.add_argument("--spmm-rhs", type=int, default=128,
+                   help="RHS columns for the pallas_bsr_spmm MXU stage "
+                        "(kernel pads to 128-lane multiples; non-multiples "
+                        "understate GFLOPS)")
     p.add_argument("--no-validate", action="store_true")
     p.add_argument("--autotune", action="store_true",
                    help="pick SELL ladder/layout + HLL hack size by measurement "
@@ -138,6 +142,7 @@ def main(argv=None):
         dtype=args.dtype,
         hack_size=args.hack_size,
         kernels=tuple(k.strip() for k in args.kernels.split(",") if k.strip()),
+        spmm_rhs=args.spmm_rhs,
         validate=not args.no_validate,
         autotune=args.autotune,
     )

@@ -39,6 +39,7 @@ from ..utils.validation import (
     DEFAULT_REL_TOL,
     DiffMetrics,
     difference_metrics,
+    sampled_spmm_metrics,
 )
 
 __all__ = ["BenchConfig", "StageResult", "MatrixResult", "run_matrix", "flush_hbm"]
@@ -54,6 +55,10 @@ class BenchConfig:
     dtype: str = "float32"        # device dtype for performance kernels
     hack_size: int = DEFAULT_HACK_SIZE
     kernels: tuple = ("serial_csr", "serial_hll", "xla_csr", "xla_ell", "pallas_sell")
+    spmm_rhs: int = 128           # RHS columns for the pallas_bsr_spmm stage
+                                  # (the kernel pads B to a 128-lane multiple
+                                  # and computes the padded width — non-128
+                                  # multiples understate GFLOPS)
     ell_max_elements: int = 1 << 27  # guard for power-law rect blow-up
                                      # (536 MB f32; bigger ELL rects have
                                      # crashed the tunneled TPU worker)
@@ -500,6 +505,55 @@ def run_matrix(
         gc.collect()
       except Exception as e:  # noqa: BLE001
         log(f"[{name}] pallas_pr_dd FAILED: {type(e).__name__}: {str(e)[:300]}")
+
+    if "pallas_bsr_spmm" in cfg.kernels:
+      # MXU block-sparse SpMM: Y = A @ X with cfg.spmm_rhs dense RHS — the
+      # op class SpMV can never feed the MXU (ops/pallas_bsr.py). Runs on
+      # the ORIGINAL rows (blocks absorb long rows; truly dense rows blow
+      # the byte budget and fail this stage cleanly). GFLOPS counts the
+      # full 2*nnz*B work; validation samples 4 columns against the fp64
+      # oracle (a full fp64 host SpMM would dominate the stage wall-clock).
+      try:
+        from ..formats.bsr import BSRMatrix
+        from ..ops.pallas_bsr import (
+            bsr_spmm_pallas,
+            device_put_bsr,
+            pad_rhs,
+        )
+
+        B_rhs = int(cfg.spmm_rhs)
+        t0 = time.perf_counter()
+        bsr = BSRMatrix.from_csr(csr)
+        fstats["convert_bsr_s"] = time.perf_counter() - t0
+        fstats["bsr"] = {"blocks": bsr.n_real_blocks, "kb": bsr.kb,
+                         "fill": bsr.fill, "pad_ratio": bsr.pad_ratio,
+                         "bytes": bsr.nbytes}
+        dbsr = device_put_bsr(bsr, dtype=dt)
+        Xmm = np.random.default_rng(0).standard_normal(
+            (N, B_rhs), dtype=np.float32)  # f32 gen: no 8*N*B transient
+        xmm_d = pad_rhs(Xmm, N, dtype=dt)
+        if cfg.flush_between_stages:
+            flush_hbm()
+
+        def spmm_fn(d, xx):
+            return bsr_spmm_pallas(d, xx, interpret=not on_tpu)
+
+        Ymm = np.asarray(spmm_fn(dbsr, xmm_d), np.float64)[:, :B_rhs]
+        dm = (sampled_spmm_metrics(csr, Xmm, Ymm, cfg.abs_tol, cfg.rel_tol)
+              if cfg.validate else DiffMetrics())
+        sec, _ = time_device_fn_slope(spmm_fn, dbsr, xmm_d,
+                                      reps=cfg.iterations, rounds=cfg.rounds)
+        stages["pallas_bsr_spmm"] = StageResult(
+            "pallas_bsr_spmm", sec,
+            calculate_flops(nnz * B_rhs, sec) / 1e9, dm,
+            extra={"rhs": B_rhs, "fill": bsr.fill, "kb": bsr.kb})
+        log(f"[{name}] pallas_bsr_spmm: {sec*1e3:.3f} ms = "
+            f"{stages['pallas_bsr_spmm'].gflops:.1f} GFLOPS (B={B_rhs}, "
+            f"fill={bsr.fill:.3f}), sig_diffs={dm.significant_diffs}")
+        del dbsr
+        gc.collect()
+      except Exception as e:  # noqa: BLE001
+        log(f"[{name}] pallas_bsr_spmm FAILED: {type(e).__name__}: {str(e)[:300]}")
 
     if "pallas_sell_dd" in cfg.kernels and sell is not None:
       # fp64-class double-double kernel (≙ the reference's fp64 kernels);

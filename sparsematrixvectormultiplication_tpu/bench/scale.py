@@ -22,10 +22,16 @@ import numpy as np
 from ..formats.csr import CSRMatrix
 from ..utils.metrics import calculate_flops
 from ..utils.timing import time_device_fn_slope
-from ..utils.validation import DEFAULT_ABS_TOL, DEFAULT_REL_TOL, difference_metrics
+from ..utils.validation import (
+    DEFAULT_ABS_TOL,
+    DEFAULT_REL_TOL,
+    difference_metrics,
+    sampled_spmm_metrics,
+)
 from .csv_report import OPENMP_HEADER, _append_row, _fmt
 
-__all__ = ["run_device_scale_sweep", "run_ladder_sweep"]
+__all__ = ["run_device_scale_sweep", "run_spmm_device_scale_sweep",
+           "run_ladder_sweep"]
 
 
 def run_device_scale_sweep(
@@ -79,20 +85,91 @@ def run_device_scale_sweep(
             f"sig_diffs={dm.significant_diffs} (convert {conv_s:.1f}s)")
         results.append((n, sec, gf, dm))
 
+    _write_scale_rows(out_csv, name, csr, results, csr.nnz)
+    return results
+
+
+def _write_scale_rows(out_csv, label, csr, results, work):
+    """openmp-schema rows for a device-scale curve (num_threads = device
+    count; ``work`` = flops numerator/2, nnz for SpMV or nnz*B for SpMM).
+    Shared by both device sweeps so the 33-column mapping lives once."""
     t1 = results[0][1] if results else 0.0
     for n, sec, gf, dm in results:
         sp = t1 / sec if sec > 0 else 0.0
         row = [
-            name, csr.nrows, csr.ncols, csr.nnz, n,
+            label, csr.nrows, csr.ncols, csr.nnz, n,
             _fmt(t1), _fmt(0.0), _fmt(sec), _fmt(0.0), _fmt(0.0), _fmt(0.0),
             _fmt(dm.mean_rel_err), _fmt(dm.mean_abs_err),
             _fmt(0.0), _fmt(0.0), _fmt(0.0), _fmt(0.0), _fmt(0.0), _fmt(0.0),
-            _fmt(calculate_flops(csr.nnz, t1) if t1 > 0 else 0.0), _fmt(0.0),
+            _fmt(calculate_flops(work, t1) if t1 > 0 else 0.0), _fmt(0.0),
             _fmt(gf * 1e9), _fmt(0.0), _fmt(0.0), _fmt(0.0),
             _fmt(sp), _fmt(0.0), _fmt(0.0), _fmt(0.0),
             _fmt(sp / n), _fmt(0.0), _fmt(0.0), _fmt(0.0),
         ]
         _append_row(out_csv, OPENMP_HEADER, row)
+
+
+def run_spmm_device_scale_sweep(
+    name: str,
+    csr: CSRMatrix,
+    out_csv: str,
+    *,
+    device_counts=None,
+    rhs: int = 128,
+    dtype=None,
+    iterations: int = 16,
+    rounds: int = 2,
+    log=print,
+):
+    """Device-scale curve for the MXU BSR SpMM (parallel/spmd_bsr.py):
+    block-rows shard uniformly with zero hot-loop collectives, so this is
+    the framework's best-scaling axis. Same openmp-schema rows as
+    :func:`run_device_scale_sweep` (num_threads = device count); flops
+    columns count the full ``2*nnz*rhs`` SpMM work."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..formats.bsr import BSRMatrix
+    from ..parallel.sharding import make_mesh
+    from ..parallel.spmd_bsr import _spmd_run, bsr_spmm_spmd, shard_bsr
+
+    dtype = dtype or jnp.float32
+    ndev = len(jax.devices())
+    on_tpu = jax.devices()[0].platform == "tpu"
+    counts = device_counts or [n for n in (1, 2, 4, 8, 16, 32) if n <= ndev]
+    bsr = BSRMatrix.from_csr(csr)
+    X = np.random.default_rng(0).standard_normal(
+        (csr.ncols, rhs), dtype=np.float32)
+    work = csr.nnz * rhs
+
+    results = []
+    for n in counts:
+        mesh = make_mesh(n)
+        t0 = time.perf_counter()
+        spmd = shard_bsr(bsr, n, mesh=mesh, dtype=dtype)
+        conv_s = time.perf_counter() - t0
+        Y = bsr_spmm_spmd(spmd, X, mesh, interpret=not on_tpu)
+        # sampled-column fp64 oracle (full host SpMM would dwarf the sweep)
+        dm = sampled_spmm_metrics(csr, X, Y)
+        # pre-padded replicated X: the timed path must not pay the in-jit
+        # pad relayout (docs/DESIGN.md) or compute padded-zero lanes
+        from ..ops.pallas_bsr import pad_rhs
+        Xr = jax.device_put(pad_rhs(X, csr.ncols, dtype=dtype,
+                                    to_device=False),
+                            NamedSharding(mesh, P()))
+        sec, _ = time_device_fn_slope(
+            lambda st, xx: _spmd_run(st, xx, mesh=mesh, axis=spmd.axis,
+                                     interpret=not on_tpu),
+            spmd.stacked, Xr, reps=iterations, rounds=rounds,
+        )
+        gf = calculate_flops(work, sec) / 1e9
+        log(f"[{name}] spmd_bsr_spmm x{n} dev: {sec*1e3:.3f} ms = {gf:.3f} "
+            f"GFLOPS (B={rhs}), sig_diffs={dm.significant_diffs} "
+            f"(shard {conv_s:.1f}s)")
+        results.append((n, sec, gf, dm))
+
+    _write_scale_rows(out_csv, f"{name}@spmm{rhs}", csr, results, work)
     return results
 
 

@@ -118,10 +118,18 @@ class BSRMatrix:
         blocks = np.zeros((n_br * kb, BLOCK, BLOCK), value_dtype)
         bcols = np.zeros(n_br * kb, np.int32)
         bcols[slot] = u_bcol
-        # CSR entries are unique per (row, col) (formats/csr.py sorts and
-        # the parsers never emit duplicates), so direct assignment is exact
-        blocks[slot[inv], rows & (BLOCK - 1), cols & (BLOCK - 1)] = (
-            csr.values.astype(value_dtype))
+        # CSR rows are column-sorted (formats/csr.py), so duplicate
+        # (row, col) entries — legal in .mtx coordinate files, and summed
+        # by the oracle/spmv semantics — are ADJACENT. Direct assignment
+        # (fast path) would keep only the last one; detect and np.add.at
+        # (summing, but ~10x slower) only when duplicates actually exist.
+        dup = np.any((rows[1:] == rows[:-1]) & (cols[1:] == cols[:-1])) \
+            if nnz > 1 else False
+        tgt = (slot[inv], rows & (BLOCK - 1), cols & (BLOCK - 1))
+        if dup:
+            np.add.at(blocks, tgt, csr.values.astype(value_dtype))
+        else:
+            blocks[tgt] = csr.values.astype(value_dtype)
         return cls(csr.nrows, csr.ncols, nnz, kb, n_br, blocks, bcols,
                    int(uniq.size))
 

@@ -83,10 +83,12 @@ def device_put_bsr(bsr: BSRMatrix, dtype=jnp.float32, device=None) -> DeviceBSR:
                      put(blocks))
 
 
-def pad_rhs(X: np.ndarray, ncols: int, dtype=jnp.float32) -> jax.Array:
+def pad_rhs(X: np.ndarray, ncols: int, dtype=jnp.float32,
+            to_device: bool = True):
     """Host-side pad of the RHS block to (n_block_cols*128, B) — done at
     upload time like device_put_x's slab packing (in-jit pads of device
-    arrays are HBM relayouts; docs/DESIGN.md)."""
+    arrays are HBM relayouts; docs/DESIGN.md). ``to_device=False`` keeps
+    the padded numpy array on host (SPMD callers place it themselves)."""
     X = np.asarray(X)
     if X.ndim == 1:
         X = X[:, None]
@@ -94,7 +96,7 @@ def pad_rhs(X: np.ndarray, ncols: int, dtype=jnp.float32) -> jax.Array:
     bp = -(-X.shape[1] // BLOCK) * BLOCK  # lane dim: 128-multiples only
     out = np.zeros((rp, bp), jnp.dtype(dtype))
     out[:X.shape[0], :X.shape[1]] = X.astype(jnp.dtype(dtype))
-    return jax.device_put(out)
+    return jax.device_put(out) if to_device else out
 
 
 def _kernel(acc_dtype):

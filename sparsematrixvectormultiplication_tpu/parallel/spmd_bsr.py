@@ -27,7 +27,7 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..formats.bsr import BLOCK, BSRMatrix
-from ..ops.pallas_bsr import DeviceBSR, bsr_spmm_pallas
+from ..ops.pallas_bsr import DeviceBSR, bsr_spmm_pallas, pad_rhs
 
 __all__ = ["SpmdBSR", "shard_bsr", "bsr_spmm_spmd"]
 
@@ -101,12 +101,18 @@ def _spmd_run(stacked, X, *, mesh, axis, interpret):
 def bsr_spmm_spmd(spmd: SpmdBSR, X, mesh: Mesh, *, interpret: bool = False):
     """``Y = A @ X`` with the MXU kernel running SPMD over ``mesh``.
 
-    ``X`` is ``(ncols, B)`` (replicated to every chip). Returns the
-    global ``(nrows, B)`` result in natural row order."""
-    Xr = jax.device_put(jnp.asarray(X), NamedSharding(mesh, P()))
+    ``X`` is ``(ncols, B)`` (replicated to every chip); it is padded to
+    the slab/lane grid HOST-SIDE here — an in-jit pad of the replicated
+    device array would be a per-call HBM relayout (docs/DESIGN.md).
+    Returns the global ``(nrows, B)`` result in natural row order."""
+    b = X.shape[1] if X.ndim == 2 else 1
+    xp = pad_rhs(X, spmd.ncols, dtype=spmd.stacked.blocks.dtype,
+                 to_device=False)
+    Xr = jax.device_put(xp, NamedSharding(mesh, P()))
     Y = _spmd_run(spmd.stacked, Xr, mesh=mesh, axis=spmd.axis,
                   interpret=interpret)
     Y = np.asarray(Y)
     L = spmd.local_rows
-    parts = [Y[i * L:i * L + int(r)] for i, r in enumerate(spmd.shard_rows)]
-    return np.concatenate(parts) if parts else Y[:0]
+    parts = [Y[i * L:i * L + int(r), :b]
+             for i, r in enumerate(spmd.shard_rows)]
+    return np.concatenate(parts) if parts else Y[:0, :b]

@@ -27,12 +27,16 @@ __all__ = ["cg", "cg_sell", "cg_multi", "jacobi_preconditioner"]
 
 @functools.partial(jax.jit, static_argnames=("matvec", "maxiter", "prec"))
 def cg(matvec: Callable, b, x0=None, *, tol: float = 1e-6,
-       maxiter: int = 1000, prec: Callable | None = None):
+       maxiter: int = 1000, minv=None, prec: Callable | None = None):
     """Solve ``A @ x = b`` for SPD ``A`` given ``matvec(v) -> A @ v``.
 
-    ``prec``, if given, applies an SPD preconditioner ``M^-1``
-    (``prec(r) -> z``; see :func:`jacobi_preconditioner`) — standard PCG
-    recurrences. Returns ``(x, iters, resnorm)``; stops when
+    Preconditioning (standard PCG recurrences): pass ``minv`` — a
+    diagonal-inverse ARRAY (``z = minv * r``; see
+    :func:`jacobi_preconditioner`) traced as a jit argument, per the
+    repo rule that device data never rides in closure constants
+    (docs/DESIGN.md: closures ship inside the remote-compile request) —
+    or ``prec``, an arbitrary callable for non-diagonal M^-1 (small
+    captures only). Returns ``(x, iters, resnorm)``; stops when
     ``||r|| <= tol * ||b||`` or after ``maxiter``. All state stays on
     device; the loop compiles once per (shape, dtype, maxiter).
     """
@@ -40,7 +44,12 @@ def cg(matvec: Callable, b, x0=None, *, tol: float = 1e-6,
         x0 = jnp.zeros_like(b)
     bnorm = jnp.sqrt(jnp.vdot(b, b).real)
     atol2 = (tol * bnorm) ** 2
-    apply_m = prec if prec is not None else (lambda r: r)
+    if minv is not None:
+        apply_m = lambda r: r * minv.astype(r.dtype)  # noqa: E731
+    elif prec is not None:
+        apply_m = prec
+    else:
+        apply_m = lambda r: r  # noqa: E731
 
     r0 = b - matvec(x0)
     z0 = apply_m(r0)
@@ -68,10 +77,11 @@ def cg(matvec: Callable, b, x0=None, *, tol: float = 1e-6,
     return x, k, jnp.sqrt(rr)
 
 
-def jacobi_preconditioner(csr, dtype=None) -> Callable:
-    """Diagonal (Jacobi) preconditioner ``z = r / diag(A)`` from a host
-    CSRMatrix; zero/missing diagonal entries fall back to 1 (identity on
-    those rows). The returned closure captures only an nrows-float array."""
+def jacobi_preconditioner(csr, dtype=None):
+    """Diagonal (Jacobi) inverse ``1 / diag(A)`` from a host CSRMatrix as
+    a device array — pass as ``cg(..., minv=...)`` so it is traced as a
+    jit ARGUMENT (not a closure constant; docs/DESIGN.md rule). Zero or
+    missing diagonal entries fall back to 1 (identity on those rows)."""
     import numpy as np
 
     diag = np.zeros(csr.nrows)
@@ -79,12 +89,7 @@ def jacobi_preconditioner(csr, dtype=None) -> Callable:
     on_diag = rows == csr.col_idx
     diag[rows[on_diag]] = csr.values[on_diag]
     diag[diag == 0.0] = 1.0
-    inv = jnp.asarray(1.0 / diag, dtype)
-
-    def prec(r):
-        return r * inv.astype(r.dtype)
-
-    return prec
+    return jnp.asarray(1.0 / diag, dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("matmat", "maxiter"))

@@ -38,9 +38,15 @@ def power_iteration(matvec: Callable, v0, *, tol: float = 1e-9,
         v, _, _, k = state
         w = matvec(v)
         lam = jnp.vdot(v, w).real
-        w = w / jnp.linalg.norm(w)
+        wn = jnp.linalg.norm(w)
+        # breakdown guard: A @ v exactly zero (nilpotent A / v in the
+        # nullspace) would make w/wn NaN and the NaN delta would end the
+        # loop silently — keep v, report lam=0, delta=0 (clean stop)
+        broke = wn == 0
+        w = jnp.where(broke, v, w / jnp.where(broke, 1.0, wn))
         w = jnp.where(jnp.vdot(w, v).real < 0, -w, w)  # sign-align
-        return w, lam, jnp.linalg.norm(w - v), k + 1
+        return (w, jnp.where(broke, 0.0, lam),
+                jnp.where(broke, 0.0, jnp.linalg.norm(w - v)), k + 1)
 
     v, lam, _, k = jax.lax.while_loop(
         cond, body, (v0, jnp.zeros((), v0.dtype), jnp.asarray(jnp.inf), 0))

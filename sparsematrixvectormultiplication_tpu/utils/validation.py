@@ -27,9 +27,29 @@ __all__ = [
     "DiffMetrics",
     "difference_metrics",
     "difference_metrics_mean",
+    "sampled_spmm_metrics",
     "DEFAULT_ABS_TOL",
     "DEFAULT_REL_TOL",
 ]
+
+
+def sampled_spmm_metrics(csr, X, Y, abs_tol=None, rel_tol=None,
+                         max_cols: int = 4) -> "DiffMetrics":
+    """Validate an SpMM result against the fp64 oracle on a few sampled
+    columns (a full host fp64 SpMM would dwarf a benchmark stage's
+    wall-clock). ``__add__`` sums sig_diffs and maxes the max errors;
+    ``scaled`` restores the means. Shared by the harness BSR stage and
+    the SpMM device-scale sweep."""
+    b = X.shape[1]
+    cols = np.unique(np.linspace(0, b - 1, min(max_cols, b)).astype(int))
+    dm = DiffMetrics()
+    for c in cols:
+        ref_c = csr.spmv(np.asarray(X[:, c], np.float64))
+        dm = dm + difference_metrics(
+            ref_c, np.asarray(Y[:csr.nrows, c], np.float64),
+            abs_tol if abs_tol is not None else DEFAULT_ABS_TOL,
+            rel_tol if rel_tol is not None else DEFAULT_REL_TOL)
+    return dm.scaled(1.0 / max(len(cols), 1))
 
 # Tolerances at the reference call sites (main.c:145,207,260,310,362).
 DEFAULT_ABS_TOL = 1e-5

@@ -215,3 +215,21 @@ def test_batched_timer_zero_perturbation():
     assert t >= 0
     # fn is traced exactly once (inside one jitted scan), not re-jitted per rep
     assert calls["n"] <= 2
+
+
+def test_bsr_spmm_stage():
+    """Harness MXU SpMM stage: converts, validates sampled columns against
+    the fp64 oracle, reports 2*nnz*B work (bench/harness.py)."""
+    coo = banded(1200, 8, 40, seed=21)
+    cfg = BenchConfig(
+        iterations=2, rounds=1, spmm_rhs=8,
+        kernels=("serial_csr", "pallas_bsr_spmm"),
+        flush_between_stages=False,
+    )
+    res = run_matrix("band_spmm", coo, cfg, log=lambda *a, **k: None)
+    s = res.stages["pallas_bsr_spmm"]
+    assert s.diff.significant_diffs == 0, s.diff
+    assert s.extra["rhs"] == 8 and 0 < s.extra["fill"] <= 1
+    # stage flops scale with B: at equal seconds the SpMM stage reports
+    # B x the SpMV stage's work
+    assert s.gflops > 0

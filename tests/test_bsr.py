@@ -173,3 +173,14 @@ def test_csr_spmm_xla_matches_scipy(rng):
         jnp.asarray(csr.values), jnp.asarray(csr.col_idx),
         jnp.asarray(row_ids), jnp.asarray(X), nrows=csr.nrows))
     np.testing.assert_allclose(y, s @ X, rtol=1e-10, atol=1e-10)
+
+
+def test_bsr_sums_duplicate_entries():
+    """Duplicate (row,col) coordinates — legal in .mtx files — must SUM
+    (oracle/segment-sum semantics), not last-write-win (review finding)."""
+    row_ptr = np.array([0, 0, 0, 0, 0, 0, 2], np.int64)  # row 5: two (5,9)s
+    csr = CSRMatrix(6, 12, row_ptr, np.array([9, 9], np.int32),
+                    np.array([1.0, 2.0]))
+    bsr = BSRMatrix.from_csr(csr)
+    x = np.zeros(12); x[9] = 1.0
+    assert bsr.spmm(x[:, None])[5, 0] == 3.0

@@ -166,7 +166,7 @@ def test_cg_jacobi_preconditioner_converges_faster():
     x_ref = np.linalg.solve(dense, b)
     bj = jnp.asarray(b, jnp.float64)
     x_p, it_p, _ = cg(matvec, bj, tol=1e-10, maxiter=3000,
-                      prec=jacobi_preconditioner(csr, jnp.float64))
+                      minv=jacobi_preconditioner(csr, jnp.float64))
     x_n, it_n, _ = cg(matvec, bj, tol=1e-10, maxiter=3000)
     np.testing.assert_allclose(np.asarray(x_p), x_ref, rtol=1e-5, atol=1e-8)
     assert int(it_p) < int(it_n), f"PCG {int(it_p)} !< CG {int(it_n)}"
@@ -241,3 +241,19 @@ def test_pagerank_power_law_graph():
     for _ in range(400):
         ref = 0.85 * (P @ ref + ref[w == 0].sum() / n) + 0.15 / n
     np.testing.assert_allclose(p, ref, rtol=1e-8, atol=1e-12)
+
+
+def test_power_iteration_breakdown_is_clean():
+    """A @ v == 0 (nilpotent A) must stop cleanly, never return NaNs
+    (review finding: NaN delta silently ended the loop)."""
+    import jax.numpy as jnp
+
+    from sparsematrixvectormultiplication_tpu.solvers import power_iteration
+
+    A = np.zeros((4, 4))
+    A[0, 1] = 1.0  # strictly upper triangular: A @ (A @ e1) = 0
+    lam, v, it = power_iteration(lambda u: jnp.asarray(A) @ u,
+                                 jnp.asarray(np.array([0., 1., 0., 0.])),
+                                 maxiter=50)
+    assert np.isfinite(np.asarray(v)).all()
+    assert np.isfinite(float(lam))
