@@ -68,6 +68,48 @@ def main():
     print(f"pallas fp64dd: significant_diffs={dm.significant_diffs} "
           f"max_rel={dm.max_rel_err:.2e}")
 
+    # MXU SpMM (multi-RHS) — clustered/banded matrices only; scattered
+    # ones exceed the dense-block byte budget and are routed back here
+    try:
+        from sparsematrixvectormultiplication_tpu.formats.bsr import BSRMatrix
+        from sparsematrixvectormultiplication_tpu.ops import (
+            bsr_spmm_pallas,
+            device_put_bsr,
+            pad_rhs,
+        )
+
+        bsr = BSRMatrix.from_csr(csr, max_bytes=256 << 20)
+        dbsr = device_put_bsr(bsr)
+        X = np.random.default_rng(0).standard_normal(
+            (coo.ncols, 8), dtype=np.float32)
+        Y = np.asarray(bsr_spmm_pallas(dbsr, pad_rhs(X, coo.ncols),
+                                       interpret=not on_tpu))[:, :8]
+        dm = difference_metrics(csr.spmv(X[:, 0].astype(np.float64)), Y[:, 0])
+        print(f"MXU SpMM (B=8, fill {bsr.fill:.3f}): "
+              f"significant_diffs={dm.significant_diffs} "
+              f"max_rel={dm.max_rel_err:.2e}")
+    except (ValueError, MemoryError) as e:
+        print(f"MXU SpMM: skipped ({str(e)[:80]}...)")
+
+    # PageRank on |A| through the XLA matvec — the solvers layer
+    from sparsematrixvectormultiplication_tpu.formats.coo import COOMatrix
+    from sparsematrixvectormultiplication_tpu.ops.xla import csr_spmv
+    from sparsematrixvectormultiplication_tpu.solvers import (
+        pagerank,
+        pagerank_operator,
+    )
+
+    absco = COOMatrix(coo.nrows, coo.ncols, coo.row, coo.col, np.abs(coo.val))
+    if coo.nrows == coo.ncols:
+        t, dangling = pagerank_operator(spmv.CSRMatrix.from_coo(absco))
+        dt_pr = device_put_csr(t)
+        p, iters, delta = pagerank(
+            lambda u: csr_spmv(dt_pr.values, dt_pr.col_idx, dt_pr.row_ids,
+                               u, nrows=dt_pr.nrows),
+            jnp.asarray(dangling), tol=1e-10, maxiter=200)
+        print(f"PageRank: {int(iters)} iterations, L1 delta {float(delta):.2e}, "
+              f"sum={float(np.asarray(p).sum()):.6f}")
+
     if on_tpu:
         from sparsematrixvectormultiplication_tpu.utils.timing import (
             time_device_fn_batched,
