@@ -70,15 +70,22 @@ class BSRMatrix:
     def nbytes(self) -> int:
         return self.blocks.nbytes + self.block_cols.nbytes
 
+    # nnz above which the native O(nnz) stamp-dedup blocker beats the
+    # numpy np.unique path (numpy measured 15 s at 16M nnz on this host)
+    _NATIVE_MIN_NNZ = 1_000_000
+
     @classmethod
     def from_csr(cls, csr: CSRMatrix, *, value_dtype=np.float32,
-                 max_bytes: int = 2 << 30) -> "BSRMatrix":
+                 max_bytes: int = 2 << 30,
+                 native: bool | None = None) -> "BSRMatrix":
         """Block a CSR matrix onto the 128x128 grid.
 
         Raises ``ValueError`` when the dense-block expansion would exceed
         ``max_bytes`` — the signal that the matrix belongs to the
         gather-based SpMV layouts (formats/sell.py, formats/sg.py), not
-        to the MXU path.
+        to the MXU path. Large matrices route through the native blocker
+        (native/fast_bsr.cpp, O(nnz) stamp-array dedup per block-row);
+        ``native`` forces the choice.
         """
         nnz = csr.nnz
         n_br = max(-(-csr.nrows // BLOCK), 1)
@@ -87,6 +94,21 @@ class BSRMatrix:
             blocks = np.zeros((n_br, BLOCK, BLOCK), value_dtype)
             bcols = np.zeros(n_br, np.int32)
             return cls(csr.nrows, csr.ncols, 0, 1, n_br, blocks, bcols, 0)
+
+        use_native = (
+            nnz >= cls._NATIVE_MIN_NNZ
+            and np.dtype(value_dtype) in (np.float32, np.float64)
+            if native is None else native
+        )
+        if use_native:
+            from ..native.build import csr_to_bsr_native
+
+            got = csr_to_bsr_native(csr.row_ptr, csr.col_idx, csr.values,
+                                    csr.nrows, n_bc, value_dtype, max_bytes)
+            if got is not None:
+                blocks, bcols, kb, n_real = got
+                return cls(csr.nrows, csr.ncols, nnz, kb, n_br,
+                           blocks, bcols, n_real)
 
         rows = np.repeat(np.arange(csr.nrows, dtype=np.int64),
                          np.diff(csr.row_ptr))

@@ -184,3 +184,24 @@ def test_bsr_sums_duplicate_entries():
     bsr = BSRMatrix.from_csr(csr)
     x = np.zeros(12); x[9] = 1.0
     assert bsr.spmm(x[:, None])[5, 0] == 3.0
+
+
+def test_bsr_native_matches_numpy():
+    """native/fast_bsr.cpp vs the numpy blocker: identical blocks, bcols,
+    kb, block counts — incl. duplicate-entry summing and zero block-rows."""
+    coo = syn.banded(5000, 9, 40, seed=30)
+    csr = CSRMatrix.from_coo(coo)
+    # inject an ADJACENT duplicate coordinate (CSR keeps columns sorted,
+    # so real duplicates are always adjacent) + an empty block-row tail
+    row_ptr = csr.row_ptr.copy()
+    ci = np.concatenate([csr.col_idx[:1], csr.col_idx])
+    va = np.concatenate([csr.values[:1], csr.values])
+    row_ptr[1:] += 1  # row 0's first entry appears twice
+    csr2 = CSRMatrix(csr.nrows + 300, csr.ncols,  # 300 empty tail rows
+                     np.concatenate([row_ptr, np.full(300, row_ptr[-1])]),
+                     ci, va)
+    a = BSRMatrix.from_csr(csr2, native=True)
+    b = BSRMatrix.from_csr(csr2, native=False)
+    assert a.kb == b.kb and a.n_real_blocks == b.n_real_blocks
+    np.testing.assert_array_equal(a.block_cols, b.block_cols)
+    np.testing.assert_array_equal(a.blocks, b.blocks)
