@@ -149,12 +149,19 @@ def run_matrix(
     if y_ref is None:
         y_ref = csr.spmv(x)
 
-    def validate(y, perm=None) -> DiffMetrics:
+    def validate(y, perm=None, tol=None, ref=None) -> DiffMetrics:
+        """``tol=(abs_tol, rel_tol)`` overrides the config tolerances;
+        ``ref`` substitutes the oracle — reduced-precision stages (bf16
+        values) validate against the fp64 SpMV of the bf16-QUANTIZED
+        matrix, so the metric isolates kernel correctness from storage
+        quantization and the default f32-level bars still apply."""
         if not cfg.validate:
             return DiffMetrics()
-        ref = y_ref if perm is None else y_ref[perm]
+        ref = y_ref if ref is None else ref
+        ref = ref if perm is None else ref[perm]
+        abs_tol, rel_tol = tol if tol is not None else (cfg.abs_tol, cfg.rel_tol)
         return difference_metrics(ref, np.asarray(y, np.float64)[:M],
-                                  cfg.abs_tol, cfg.rel_tol)
+                                  abs_tol, rel_tol)
 
     dt = _dtype(cfg)
     xd = jnp.asarray(x, dt)
@@ -212,7 +219,8 @@ def run_matrix(
         )
         log(f"[{name}] serial_hll: {sec*1e3:.3f} ms, sig_diffs={stages['serial_hll'].diff.significant_diffs}")
 
-    def run_device_stage(stage, fn, *args, perm=None, time_fn=None):
+    def run_device_stage(stage, fn, *args, perm=None, time_fn=None, tol=None,
+                         ref=None):
         # per-STAGE failure tolerance: one kernel failing (e.g. a prefetch
         # table exceeding SMEM on an adversarial matrix) must not lose the
         # other stages' rows (finer-grained than the reference's per-matrix
@@ -224,7 +232,7 @@ def run_matrix(
             if cfg.flush_between_stages:
                 flush_hbm()
             y = np.asarray(fn(*args))  # correctness pass (also compiles)
-            dm = validate(y, perm)
+            dm = validate(y, perm, tol, ref)
             # slope timing cancels the tunnel's fixed ~32 ms per-invocation
             # cost, which inflates every sub-ms kernel by fixed/reps at
             # one-point timing (utils/timing.py time_device_fn_slope)
@@ -323,7 +331,7 @@ def run_matrix(
         return jnp.asarray(ids, jnp.int32)
 
     sell = None
-    if {"pallas_sell", "pallas_sell_dd"} & set(cfg.kernels):
+    if {"pallas_sell", "pallas_sell_bf16", "pallas_sell_dd"} & set(cfg.kernels):
         t0 = time.perf_counter()
         sell = build_sell(**sell_kw)
         fstats["convert_sell_s"] = time.perf_counter() - t0
@@ -349,6 +357,43 @@ def run_matrix(
                 d, xx, interpret=not on_tpu, assembly=assembly))
       except MemoryError as e:
         log(f"[{name}] pallas_sell skipped: {e}")
+
+    if "pallas_sell_bf16" in cfg.kernels and sell is not None:
+      # bf16 VALUE planes on the same SELL bins: halves the dominant HBM
+      # value stream (4 -> 2 B/nnz); x-table and accumulation stay f32
+      # (kernels widen values at load). The downward end of the precision
+      # ladder (bf16 / f32 / f64-dd) — TPU's native reduced precision, the
+      # analogue of the reference benchmarking fp64 only because that's
+      # the GPU's native width (cuda_src/csr_matrix_cuda.cu:96-148).
+      # Validated against the fp64 SpMV of the bf16-QUANTIZED matrix: the
+      # metric isolates kernel correctness (f32-level bars apply) from
+      # storage quantization, which is the mode's documented tradeoff.
+      try:
+        dbf = device_put_sell(sell, dtype=jnp.bfloat16)
+        ids_bf = _kernel_ids(sell)
+        import ml_dtypes
+
+        csr_q = CSRMatrix(csr.nrows, csr.ncols, csr.row_ptr, csr.col_idx,
+                          csr.values.astype(ml_dtypes.bfloat16)
+                                    .astype(np.float64))
+        ref_bf = csr_q.spmv(x)
+
+        def _bf_fn(d, xx, _ids=ids_bf):
+            y = sell_spmv_pallas(d, xx, interpret=not on_tpu,
+                                 assembly=assembly)
+            if _ids is not None:
+                y = jax.ops.segment_sum(y, _ids, num_segments=M)
+            return y
+
+        run_device_stage(
+            "pallas_sell_bf16", _bf_fn, dbf, _x_for(sell),
+            time_fn=lambda d, xx: sell_spmv_pallas(
+                d, xx, interpret=not on_tpu, assembly=assembly),
+            ref=ref_bf)
+        del dbf
+        gc.collect()
+      except MemoryError as e:
+        log(f"[{name}] pallas_sell_bf16 skipped: {e}")
 
     if "pallas_hll" in cfg.kernels and hll is not None:
         # HLL work profile on the Pallas machinery (≙ spmv_hll_warp_kernel,

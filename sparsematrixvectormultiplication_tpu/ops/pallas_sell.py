@@ -292,11 +292,14 @@ def _kernel_k_major(k: int, g_per: int = 1, accumulate: bool = False,
                 return acc
 
             # gather first, multiply by values once (each entry matches
-            # exactly one slab, so summing gathers first is exact)
+            # exactly one slab, so summing gathers first is exact).
+            # Accumulation always happens in the x-table dtype (f32): the
+            # value plane may be stored narrower (bf16 mode — halves the
+            # dominant HBM stream) and is widened at load.
             gath = jax.lax.fori_loop(
-                0, (nslab + 7) // 8, body, jnp.zeros((KB, LANES), as_ref.dtype)
+                0, (nslab + 7) // 8, body, jnp.zeros((KB, LANES), x_ref.dtype)
             )
-            acc = as_ref[pl.ds(base, KB), :] * gath
+            acc = as_ref[pl.ds(base, KB), :].astype(x_ref.dtype) * gath
             # per-row reduction: out[i,j] = sum_k acc[k*8+i, j] — pairwise
             # tree (error growth ~log K vs ~K for the sequential chain;
             # dense-row f32 headroom, VERDICT r2 weak #8)
@@ -385,7 +388,7 @@ def _kernel_sb_major(k: int, span: int, g_per: int = 1, ck: int = CHUNK_K,
 
     def kernel(gid_ref, qb_ref, cnt_ref, x_ref, ja_ref, as_ref, yin_ref, y_ref):
         step = pl.program_id(0)
-        dtype = as_ref.dtype
+        dtype = x_ref.dtype  # accumulate in x dtype; values may be narrower
         rows = []
         for gi in range(g_per):  # static: groups per grid step
             g = step * g_per + gi
@@ -395,7 +398,7 @@ def _kernel_sb_major(k: int, span: int, g_per: int = 1, ck: int = CHUNK_K,
                 def chunk_body(c, acc, _sb=sb, _g=g, _gbase=gbase):
                     off = pl.multiple_of(_gbase + _sb * k, ck) + c * ck
                     tile = ja_ref[pl.ds(off, ck), :]
-                    vals = as_ref[pl.ds(off, ck), :]
+                    vals = as_ref[pl.ds(off, ck), :].astype(dtype)
                     qb = qb_ref[_g, _sb * nchunks + c]
                     if span == 1:
                         m = tile - qb * LANES  # q == qb for every entry
@@ -462,7 +465,7 @@ def _kernel_sb_list(k: int, span: int, g_per: int = 1, ck: int = CHUNK_K,
 
     def kernel(gid_ref, lst_ref, cnt_ref, x_ref, ja_ref, as_ref, yin_ref, y_ref):
         step = pl.program_id(0)
-        dtype = as_ref.dtype
+        dtype = x_ref.dtype  # accumulate in x dtype; values may be narrower
         rows = []
         for gi in range(g_per):
             g = step * g_per + gi
@@ -472,7 +475,7 @@ def _kernel_sb_list(k: int, span: int, g_per: int = 1, ck: int = CHUNK_K,
                 def chunk_body(c, acc, _sb=sb, _g=g, _gbase=gbase):
                     off = pl.multiple_of(_gbase + _sb * k, ck) + c * ck
                     tile = ja_ref[pl.ds(off, ck), :]
-                    vals = as_ref[pl.ds(off, ck), :]
+                    vals = as_ref[pl.ds(off, ck), :].astype(dtype)
                     q = tile >> 7
                     m = tile & (LANES - 1)
                     lbase = (_sb * nchunks + c) * span
@@ -513,7 +516,7 @@ def _kernel_wl(k: int, L: int, NW: int, g_per: int = 1,
     def kernel(gid_ref, slabs_ref, cnt_ref, x_ref, ja_ref, as_ref, yin_ref,
                y_ref):
         step = pl.program_id(0)
-        dtype = as_ref.dtype
+        dtype = x_ref.dtype  # accumulate in x dtype; values may be narrower
         rows = []
         for gi in range(g_per):
             g = step * g_per + gi
@@ -529,7 +532,7 @@ def _kernel_wl(k: int, L: int, NW: int, g_per: int = 1,
                         t = (rb * NW + w) * L + l
                         off = pl.multiple_of(gbase + t * 8, 8)
                         m = ja_ref[pl.ds(off, 8), :]
-                        vals = as_ref[pl.ds(off, 8), :]
+                        vals = as_ref[pl.ds(off, 8), :].astype(dtype)
                         acc = acc + vals * jnp.take_along_axis(W, m, axis=1)
                 rows.append(jnp.sum(acc, axis=0))
         out = jnp.stack(rows)
@@ -566,13 +569,13 @@ def _kernel_sg(T: int, V: int, g_per: int = 1, accumulate: bool = False,
 
     def kernel(gid_ref, w0_ref, cnt_ref, x_ref, ja_ref, as_ref, yin_ref, y_ref):
         step = pl.program_id(0)
-        dtype = as_ref.dtype
+        dtype = x_ref.dtype  # accumulate in x dtype; values may be narrower
 
         def group_acc(g, gbase):
             def tile_body(t, acc, _g=g, _gbase=gbase):
                 off = pl.multiple_of(_gbase, SUBLANES) + t * SUBLANES
                 md = ja_ref[pl.ds(off, SUBLANES), :]
-                vals = as_ref[pl.ds(off, SUBLANES), :]
+                vals = as_ref[pl.ds(off, SUBLANES), :].astype(dtype)
                 m = md & (LANES - 1)
                 zero = jnp.zeros((SUBLANES, LANES), dtype)
                 w0 = w0_ref[_g, t * stride]
@@ -680,7 +683,8 @@ def _bin_call(bin_: DeviceSellBin, x_tab, y, num_groups: int, interpret: bool,
     efficiency (≙ reference block-size tuning, main_cuda.cu occupancy)."""
     ng, K = bin_.n_groups, bin_.k
     resident = int(getattr(bin_, "resident_g_per", 0) or 0)
-    g_per = resident if resident > 1 else _pick_g_per(bin_)
+    g_per = resident if resident > 1 else _pick_g_per(
+        bin_, bytes_per_entry=4 + bin_.as_.dtype.itemsize)
     KB = K * SUBLANES * g_per
     R = x_tab.shape[0]
 
