@@ -59,6 +59,9 @@ class BenchConfig:
                                   # (the kernel pads B to a 128-lane multiple
                                   # and computes the padded width — non-128
                                   # multiples understate GFLOPS)
+    sell_spmm_rhs: int = 16       # RHS columns for pallas_sell_spmm (each
+                                  # RHS keeps a whole x-table in VMEM, so R
+                                  # is budget-bounded; 16 fits fem3d-class N)
     ell_max_elements: int = 1 << 27  # guard for power-law rect blow-up
                                      # (536 MB f32; bigger ELL rects have
                                      # crashed the tunneled TPU worker)
@@ -599,6 +602,56 @@ def run_matrix(
         gc.collect()
       except Exception as e:  # noqa: BLE001
         log(f"[{name}] pallas_bsr_spmm FAILED: {type(e).__name__}: {str(e)[:300]}")
+
+    if "pallas_sell_spmm" in cfg.kernels:
+      # Multi-RHS SELL SpMM: stream A once, serve R right-hand sides
+      # (ops/pallas_sell_spmm.py) — covers the scattered/banded matrices
+      # whose fill blows the BSR byte budget, and is the fast path block
+      # solvers ride (solvers/cg.py cg_multi). R is VMEM-bounded: each RHS
+      # adds a whole x-table to the kernel's resident set.
+      try:
+        from ..ops.pallas_sell_spmm import (
+            MAX_RHS,
+            device_put_x_multi,
+            sell_spmm_pallas,
+        )
+
+        R_rhs = min(int(cfg.spmm_rhs), MAX_RHS,
+                    int(cfg.sell_spmm_rhs) if cfg.sell_spmm_rhs else MAX_RHS)
+        t0 = time.perf_counter()
+        sell_mm = build_sell(layout="k-major")  # spmm serves k-major bins
+        fstats["convert_sell_spmm_s"] = time.perf_counter() - t0
+        dmm = device_put_sell(sell_mm, dtype=dt)
+        ids_mm = _kernel_ids(sell_mm)
+        Xmm2 = np.random.default_rng(0).standard_normal(
+            (N, R_rhs), dtype=np.float32)
+        xmm2_d = device_put_x_multi(Xmm2, N, dtype=jnp.float32)
+        if cfg.flush_between_stages:
+            flush_hbm()
+
+        def sell_spmm_fn(d, xx, _ids=ids_mm):
+            y = sell_spmm_pallas(d, xx, interpret=not on_tpu)
+            if _ids is not None:
+                y = jax.ops.segment_sum(y, _ids, num_segments=M)
+            return y
+
+        Ymm2 = np.asarray(sell_spmm_fn(dmm, xmm2_d), np.float64)
+        dm = (sampled_spmm_metrics(csr, Xmm2, Ymm2, cfg.abs_tol, cfg.rel_tol)
+              if cfg.validate else DiffMetrics())
+        sec, _ = time_device_fn_slope(
+            lambda d, xx: sell_spmm_pallas(d, xx, interpret=not on_tpu),
+            dmm, xmm2_d, reps=cfg.iterations, rounds=cfg.rounds)
+        stages["pallas_sell_spmm"] = StageResult(
+            "pallas_sell_spmm", sec,
+            calculate_flops(nnz * R_rhs, sec) / 1e9, dm,
+            extra={"rhs": R_rhs})
+        log(f"[{name}] pallas_sell_spmm: {sec*1e3:.3f} ms = "
+            f"{stages['pallas_sell_spmm'].gflops:.1f} GFLOPS (R={R_rhs}), "
+            f"sig_diffs={dm.significant_diffs}")
+        del dmm
+        gc.collect()
+      except Exception as e:  # noqa: BLE001
+        log(f"[{name}] pallas_sell_spmm FAILED: {type(e).__name__}: {str(e)[:300]}")
 
     if "pallas_sell_dd" in cfg.kernels and sell is not None:
       # fp64-class double-double kernel (≙ the reference's fp64 kernels);

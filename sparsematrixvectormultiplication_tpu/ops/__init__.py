@@ -26,8 +26,14 @@ from .pallas_sell_dd import (
     sell_spmv_pallas_dd,
 )
 from .pallas_hll import device_put_hll_pallas, hll_spmv_pallas, hll_to_sell
+from .pallas_sell_spmm import (
+    device_put_x_multi,
+    pack_x_multi,
+    sell_spmm_pallas,
+)
 
 __all__ = [
+    "device_put_x_multi", "pack_x_multi", "sell_spmm_pallas",
     "DeviceCSR", "DeviceELL", "csr_spmv", "csr_spmm", "device_put_csr",
     "device_put_ell", "ell_spmv", "sell_spmv_xla",
     "DeviceBSR", "bsr_spmm_pallas", "device_put_bsr", "pad_rhs",
