@@ -34,7 +34,8 @@ from ..formats.sell import GROUP_ROWS, LANES, SUBLANES, SellMatrix
 from ..ops.pallas_sell import DeviceSell, DeviceSellBin, sell_spmv_pallas
 from .scheduler import balanced_partition
 
-__all__ = ["SpmdSell", "build_spmd_sell", "sell_spmv_spmd"]
+__all__ = ["SpmdSell", "build_spmd_sell", "sell_spmv_spmd",
+           "sell_spmm_spmd"]
 
 @dataclass
 class SpmdSell:
@@ -210,6 +211,43 @@ def sell_spmv_spmd(spmd: SpmdSell, x, mesh: Mesh, *, interpret: bool = False):
     shards' padded tails are dropped)."""
     xr = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P()))
     y = _spmd_run(spmd.stacked, xr, mesh=mesh, axis=spmd.axis, interpret=interpret)
+    y = np.asarray(y)
+    L = spmd.local_rows
+    parts = [y[i * L : i * L + int(r)] for i, r in enumerate(spmd.shard_rows)]
+    return np.concatenate(parts) if parts else y[:0]
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "axis", "interpret"))
+def _spmd_run_spmm(stacked, x_tabs, *, mesh, axis, interpret):
+    from ..ops.pallas_sell_spmm import sell_spmm_pallas
+
+    def local_fn(st, xt):
+        dsell = jax.tree_util.tree_map(lambda a: a[0], st)
+        return sell_spmm_pallas(dsell, xt, interpret=interpret)
+
+    run = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(axis), P()),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    return run(stacked, x_tabs)
+
+
+def sell_spmm_spmd(spmd: SpmdSell, X, mesh: Mesh, *, interpret: bool = False):
+    """Y = A @ X (multi-RHS, ops/pallas_sell_spmm.py) SPMD over ``mesh``:
+    rows sharded, the R stacked x-tables replicated, zero hot-loop
+    collectives. Build the shards with ``sell_kwargs={"layout":
+    "k-major"}`` — the SpMM kernel serves k-major bins.
+
+    Returns the global ``(nrows, R)`` in natural row order."""
+    from ..ops.pallas_sell_spmm import pack_x_multi
+
+    xt = jax.device_put(jnp.asarray(pack_x_multi(jnp.asarray(X), spmd.ncols)),
+                        NamedSharding(mesh, P()))
+    y = _spmd_run_spmm(spmd.stacked, xt, mesh=mesh, axis=spmd.axis,
+                       interpret=interpret)
     y = np.asarray(y)
     L = spmd.local_rows
     parts = [y[i * L : i * L + int(r)] for i, r in enumerate(spmd.shard_rows)]

@@ -228,3 +228,48 @@ def test_spmd_bsr_spmm_shard_map():
     assert Y.shape == (coo.nrows, 9)
     ref = s @ X
     assert np.allclose(Y, ref, rtol=2e-5, atol=2e-5 * np.abs(ref).max())
+
+
+@pytest.mark.slow
+def test_spmd_sell_spmm_shard_map():
+    """Multi-RHS SELL SpMM under shard_map: rows sharded, the R stacked
+    x-tables replicated (parallel/spmd_pallas.py sell_spmm_spmd)."""
+    from sparsematrixvectormultiplication_tpu import CSRMatrix
+    from sparsematrixvectormultiplication_tpu.models.synthetic import banded
+    from sparsematrixvectormultiplication_tpu.parallel.spmd_pallas import (
+        build_spmd_sell,
+        sell_spmm_spmd,
+    )
+
+    coo = banded(9000, 9, 30, seed=6)
+    csr = CSRMatrix.from_coo(coo)
+    mesh = make_mesh(8, ("rows",))
+    spmd = build_spmd_sell(csr, 8, mesh=mesh, dtype=jnp.float64,
+                           sell_kwargs={"layout": "k-major"})
+    X = np.random.default_rng(9).standard_normal((coo.ncols, 8))
+    Y = sell_spmm_spmd(spmd, X, mesh, interpret=True)
+    assert Y.shape == (coo.nrows, 8)
+    Yref = np.column_stack([csr.spmv(X[:, j]) for j in range(8)])
+    assert np.allclose(Y, Yref, rtol=1e-11, atol=1e-11)
+
+
+@pytest.mark.slow
+def test_spmd_sg_layout_scattered():
+    """The scattered-regime SG layout harmonizes and runs under shard_map
+    (the r3 headline kernel's multi-chip path)."""
+    from sparsematrixvectormultiplication_tpu import CSRMatrix
+    from sparsematrixvectormultiplication_tpu.models.synthetic import power_law
+    from sparsematrixvectormultiplication_tpu.parallel.spmd_pallas import (
+        build_spmd_sell,
+        sell_spmv_spmd,
+    )
+
+    coo = power_law(12000, 7, 2.3, seed=11)
+    csr = CSRMatrix.from_coo(coo)
+    mesh = make_mesh(4, ("rows",))
+    spmd = build_spmd_sell(csr, 4, mesh=mesh, dtype=jnp.float64,
+                           sell_kwargs={"layout": "sg"})
+    assert any(b.layout == "sg" for b in spmd.stacked.bins)
+    x = np.random.default_rng(12).standard_normal(coo.ncols)
+    y = sell_spmv_spmd(spmd, x, mesh, interpret=True)
+    assert np.allclose(y, csr.spmv(x), rtol=1e-11, atol=1e-11)
