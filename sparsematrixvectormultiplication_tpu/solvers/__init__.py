@@ -9,6 +9,8 @@ framework's matvec implementations.
 from .bicgstab import bicgstab
 from .cg import cg, cg_multi, cg_sell, jacobi_preconditioner
 from .power import pagerank, pagerank_operator, power_iteration
+from .refine import iterative_refinement
 
 __all__ = ["cg", "cg_multi", "cg_sell", "jacobi_preconditioner", "bicgstab",
-           "power_iteration", "pagerank", "pagerank_operator"]
+           "power_iteration", "pagerank", "pagerank_operator",
+           "iterative_refinement"]
