@@ -91,6 +91,70 @@ def main():
     except (ValueError, MemoryError) as e:
         print(f"MXU SpMM: skipped ({str(e)[:80]}...)")
 
+    # bf16 value planes: half the HBM value stream, f32 accumulation —
+    # validated against the fp64 SpMV of the bf16-quantized matrix
+    import ml_dtypes
+
+    dbf = device_put_sell(sell, dtype=jnp.bfloat16)
+    ybf = np.asarray(sell_spmv_pallas(dbf, jnp.asarray(x, jnp.float32),
+                                      interpret=not on_tpu))
+    csr_q = spmv.CSRMatrix(csr.nrows, csr.ncols, csr.row_ptr, csr.col_idx,
+                           csr.values.astype(ml_dtypes.bfloat16)
+                                     .astype(np.float64))
+    dm = difference_metrics(csr_q.spmv(x), ybf)
+    print(f"pallas bf16:  significant_diffs={dm.significant_diffs} "
+          f"max_rel={dm.max_rel_err:.2e} (vs bf16-quantized oracle)")
+
+    # multi-RHS SELL SpMM: stream A once, serve 8 right-hand sides
+    from sparsematrixvectormultiplication_tpu.formats.sell import SellMatrix
+    from sparsematrixvectormultiplication_tpu.ops import (
+        device_put_x_multi,
+        sell_spmm_pallas,
+    )
+
+    sell_km = SellMatrix.from_csr(csr, layout="k-major")
+    dkm = device_put_sell(sell_km, dtype=jnp.float32)
+    Xmm = np.random.default_rng(1).standard_normal((coo.ncols, 8))
+    Ymm = np.asarray(sell_spmm_pallas(
+        dkm, device_put_x_multi(Xmm, coo.ncols), interpret=not on_tpu))
+    ymm_ref = csr.spmv(Xmm[:, 3])
+    if getattr(sell_km, "row_perm", None) is not None:
+        ymm_ref = ymm_ref[sell_km.row_perm]
+    dm = difference_metrics(ymm_ref, Ymm[:, 3])
+    print(f"SELL SpMM (R=8): significant_diffs={dm.significant_diffs} "
+          f"max_rel={dm.max_rel_err:.2e}")
+
+    # mixed-precision refinement: bf16 inner CG + fp64 residuals -> 1e-11
+    # (self-contained SPD Laplacian — the demo matrix is nonsymmetric)
+    from sparsematrixvectormultiplication_tpu.solvers import (
+        cg,
+        iterative_refinement,
+    )
+
+    from sparsematrixvectormultiplication_tpu.formats.coo import COOMatrix
+
+    n_ir = 1024
+    ir_rows = np.repeat(np.arange(n_ir), 3)[1:-1]
+    ir_cols = ir_rows + np.tile([-1, 0, 1], n_ir)[1:-1]
+    ir_keep = (ir_cols >= 0) & (ir_cols < n_ir)
+    ir_csr = spmv.CSRMatrix.from_coo(COOMatrix(
+        n_ir, n_ir, ir_rows[ir_keep].astype(np.int64),
+        ir_cols[ir_keep].astype(np.int64),
+        np.tile([-1.0, 6.0, -1.0], n_ir)[1:-1][ir_keep]))
+    ir_dbf = device_put_sell(
+        SellMatrix.from_csr(ir_csr, layout="k-major"), dtype=jnp.bfloat16)
+
+    def ir_inner(r):
+        xx, _, _ = cg(lambda v: sell_spmv_pallas(
+            ir_dbf, v, interpret=not on_tpu)[:n_ir],
+            jnp.asarray(r, jnp.float32), tol=1e-2, maxiter=60)
+        return xx
+
+    xr, sweeps, resnorms = iterative_refinement(
+        ir_inner, ir_csr.spmv, np.ones(n_ir), tol=1e-11, max_sweeps=8)
+    print(f"refinement (bf16 inner CG): {sweeps} sweeps, "
+          f"rel residual {resnorms[-1]:.1e}")
+
     # PageRank on |A| through the XLA matvec — the solvers layer
     from sparsematrixvectormultiplication_tpu.formats.coo import COOMatrix
     from sparsematrixvectormultiplication_tpu.ops.xla import csr_spmv
