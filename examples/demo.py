@@ -113,7 +113,7 @@ def main():
     )
 
     sell_km = SellMatrix.from_csr(csr, layout="k-major")
-    dkm = device_put_sell(sell_km, dtype=jnp.float32)
+    dkm = device_put_sell(sell_km, dtype=jnp.float32, resident=False)
     Xmm = np.random.default_rng(1).standard_normal((coo.ncols, 8))
     Ymm = np.asarray(sell_spmm_pallas(
         dkm, device_put_x_multi(Xmm, coo.ncols), interpret=not on_tpu))

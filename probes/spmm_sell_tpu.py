@@ -52,7 +52,7 @@ def main():
     sell = SellMatrix.from_csr(csr, layout="k-major")
     print(f"fem3d nnz={nnz} pad {sell.padding_ratio:.2f}", flush=True)
     rng = np.random.default_rng(0)
-    d = device_put_sell(sell, dtype=jnp.float32)
+    d = device_put_sell(sell, dtype=jnp.float32, resident=False)
     perm = getattr(sell, "row_perm", None)
 
     # baseline: single SpMV

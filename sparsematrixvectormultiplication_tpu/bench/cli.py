@@ -53,6 +53,10 @@ def build_parser():
                    help="RHS columns for the pallas_bsr_spmm MXU stage "
                         "(kernel pads to 128-lane multiples; non-multiples "
                         "understate GFLOPS)")
+    p.add_argument("--sell-spmm-rhs", type=int, default=16,
+                   help="RHS columns for the pallas_sell_spmm multi-RHS "
+                        "stage (VMEM-bounded: each RHS keeps a whole "
+                        "x-table resident; capped at 32)")
     p.add_argument("--no-validate", action="store_true")
     p.add_argument("--autotune", action="store_true",
                    help="pick SELL ladder/layout + HLL hack size by measurement "
@@ -143,6 +147,7 @@ def main(argv=None):
         hack_size=args.hack_size,
         kernels=tuple(k.strip() for k in args.kernels.split(",") if k.strip()),
         spmm_rhs=args.spmm_rhs,
+        sell_spmm_rhs=args.sell_spmm_rhs,
         validate=not args.no_validate,
         autotune=args.autotune,
     )

@@ -59,6 +59,16 @@ SUBLANES = 8
 GROUP_ROWS = LANES * SUBLANES  # 1024
 CHUNK_K = 8  # default entries per (chunk_k,128) chunk in sb-major layout
 
+
+def slab_table_rows(ncols: int) -> int:
+    """Slab-table row count Rp for N columns: sublane-aligned PLUS at least
+    one spare all-zero slab row (bins pad their slab lists with Rp-1,
+    guaranteed unused, letting kernels drop the per-pass index clamp).
+    THE geometry invariant shared by the slab-list padding below,
+    pack_x_table / device_put_x (ops/pallas_sell.py), and the SpMM stacked
+    tables (ops/pallas_sell_spmm.py)."""
+    return (-(-ncols // LANES) // SUBLANES + 1) * SUBLANES
+
 # Default K bin edges; a group with max row nnz K_g is padded to the smallest
 # edge >= K_g. Autotunable (tune/autotune.py).
 DEFAULT_K_BINS = (1, 2, 4, 8, 16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512, 768, 1024)
@@ -329,8 +339,7 @@ class SellMatrix:
 
         # x-table row count exactly as pack_x_table builds it (sublane-aligned);
         # qbase clamping keeps every scanned slab index inside the table.
-        R = -(-N // LANES)
-        Rp = (R // SUBLANES + 1) * SUBLANES  # must match pack_x_table
+        Rp = slab_table_rows(N)
 
         # global slab lists, computed ONCE over all groups (a per-bin rebuild
         # re-sorts the full entry array per bin — measured 54 s at 32M nnz)

@@ -69,13 +69,11 @@ int64_t fast_bsr_count(const int64_t* row_ptr, const int32_t* col,
   int64_t n_br = (nrows + kBlock - 1) / kBlock;
   int nt = std::max(1, std::min<int>(num_threads, (int)std::min<int64_t>(n_br, 64)));
   std::vector<std::thread> ths;
-  std::vector<int64_t> maxes((size_t)nt, 1);
   int64_t per = (n_br + nt - 1) / nt;
   for (int t = 0; t < nt; ++t) {
     ths.emplace_back([&, t]() {
       std::vector<int32_t> stamp((size_t)n_bc, -1);
       int64_t g0 = (int64_t)t * per, g1 = std::min(g0 + per, n_br);
-      int64_t mx = 1;
       for (int64_t g = g0; g < g1; ++g) {
         int64_t r_lo = g * kBlock;
         int64_t r_hi = std::min(r_lo + kBlock, nrows);
@@ -86,9 +84,7 @@ int64_t fast_bsr_count(const int64_t* row_ptr, const int32_t* col,
           if (stamp[bc] != (int32_t)g) { stamp[bc] = (int32_t)g; ++n; }
         }
         counts[g] = n;
-        mx = std::max(mx, n);
       }
-      maxes[t] = mx;
     });
   }
   for (auto& th : ths) th.join();

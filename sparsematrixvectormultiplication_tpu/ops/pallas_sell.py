@@ -40,7 +40,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..formats.sell import CHUNK_K, LANES, SUBLANES, SellMatrix
+from ..formats.sell import (CHUNK_K, LANES, SUBLANES, SellMatrix,
+                            slab_table_rows)
 
 __all__ = [
     "DeviceSellBin", "DeviceSell", "DevicePanelSell",
@@ -111,10 +112,15 @@ class DeviceSell:
         return sell_spmv_pallas(self, x)
 
 
-def device_put_sell(sell, dtype=jnp.float32, device=None):
+def device_put_sell(sell, dtype=jnp.float32, device=None, resident=True):
     """Upload a host SellMatrix (≙ the HLL per-block device upload of
     main_cuda.cu:376-402, flattened into rectangular bins). PanelSellMatrix
-    inputs route to :func:`device_put_panel_sell`."""
+    inputs route to :func:`device_put_panel_sell`.
+
+    ``resident=False`` skips the resident-y padding (`_resident_pad`
+    appends gid=-1 sentinel groups that only the resident SpMV kernels
+    predicate off) — required for containers fed to the multi-RHS SpMM
+    (ops/pallas_sell_spmm.py), whose kernel has no resident mode."""
     if hasattr(sell, "panels"):
         return device_put_panel_sell(sell, dtype=dtype, device=device)
     total = sum(b.ja.nbytes + b.as_.nbytes for b in sell.bins)
@@ -132,7 +138,8 @@ def device_put_sell(sell, dtype=jnp.float32, device=None):
             if gids.size and np.array_equal(gids, gids[0] + np.arange(gids.size))
             else -1
         )
-        res_g_per, padded = _resident_pad(b, sell.num_groups, itemsize)
+        res_g_per, padded = (_resident_pad(b, sell.num_groups, itemsize)
+                             if resident else (0, None))
         if padded is not None:
             gid_h, ja_h, as_h, sl_h, cnt_h = padded
             ng_dev = gid_h.size
@@ -223,11 +230,7 @@ def pack_x_table(x, ncols: int):
     beyond the VMEM budget (~24M f32 columns) — larger N routes through the
     column-panel decomposition (PanelSellMatrix / DevicePanelSell), which
     calls this per panel."""
-    R = -(-ncols // LANES)
-    # sublane-aligned PLUS at least one spare all-zero slab row: sb-list bins
-    # pad their slab lists with Rp-1 (guaranteed unused), letting the kernel
-    # drop the per-pass index clamp
-    Rp = (R // SUBLANES + 1) * SUBLANES
+    Rp = slab_table_rows(ncols)
     nbytes = Rp * LANES * x.dtype.itemsize
     if nbytes > _X_TABLE_VMEM_BUDGET:
         raise ValueError(
@@ -252,8 +255,7 @@ def device_put_x(x, ncols: int, dtype=jnp.float32, device=None):
     once before timing, main_cuda.cu:134-145); :func:`sell_spmv_pallas`
     accepts the packed table directly (x.ndim == 2)."""
     x = np.asarray(x)
-    R = -(-ncols // LANES)
-    Rp = (R // SUBLANES + 1) * SUBLANES
+    Rp = slab_table_rows(ncols)
     tab = np.zeros((Rp * LANES,), np.dtype(jnp.dtype(dtype).name))
     tab[: x.shape[0]] = x
     return jax.device_put(jnp.asarray(tab.reshape(Rp, LANES)), device)

@@ -31,7 +31,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..formats.sell import LANES, SUBLANES
+from ..formats.sell import LANES, SUBLANES, slab_table_rows
 from .pallas_sell import (
     _UNROLL_MAX,
     _X_TABLE_VMEM_BUDGET,
@@ -60,8 +60,7 @@ def pack_x_multi(X, ncols: int):
     n, r = X.shape
     if r > MAX_RHS:
         raise ValueError(f"R={r} > MAX_RHS={MAX_RHS}: tile the RHS block")
-    Rq = -(-ncols // LANES)
-    Rp = (Rq // SUBLANES + 1) * SUBLANES
+    Rp = slab_table_rows(ncols)  # one shared geometry invariant
     nbytes = r * Rp * LANES * X.dtype.itemsize
     if nbytes > _X_TABLE_VMEM_BUDGET:
         raise ValueError(
@@ -156,6 +155,13 @@ def _bin_call_spmm(bin_, x_tabs, y, num_groups: int, interpret: bool,
         raise NotImplementedError(
             f"sell_spmm_pallas serves k-major bins only (got "
             f"{bin_.layout!r}); convert with layout='k-major'")
+    if int(getattr(bin_, "resident_g_per", 0) or 0) > 1:
+        # resident-padded bins carry gid=-1 sentinel groups that only the
+        # resident SpMV kernels predicate off — running them here would
+        # write tiles through output block index -1 (silent corruption)
+        raise NotImplementedError(
+            "this DeviceSell was uploaded with resident-y padding; build "
+            "the SpMM container with device_put_sell(..., resident=False)")
     ng, K = bin_.n_groups, bin_.k
     R = x_tabs.shape[0]
     g_per = _pick_g_per(bin_, bytes_per_entry=4 + bin_.as_.dtype.itemsize)

@@ -83,9 +83,11 @@ def iterative_refinement(
         resnorms.append(rel)
         if rel <= tol:
             return x, sweep, resnorms
-        if sweep >= 2 and rel >= 0.5 * resnorms[-2]:
-            # stagnated at the residual-precision floor (or the inner
-            # solve stopped contracting) — more sweeps cannot help
+        if sweep >= 2 and rel >= 0.9 * resnorms[-2]:
+            # stagnated: <10% improvement over a full sweep means the
+            # residual-precision floor (or a non-contracting inner solve);
+            # slow-but-steady inner solves (any contraction >=1.12x/sweep)
+            # keep refining — "any solver that reduces the error works"
             return x, sweep, resnorms
         d = np.asarray(inner_solve(r), np.float64)
         x = x + d

@@ -88,3 +88,24 @@ def test_refinement_zero_rhs():
     x, sweeps, resnorms = iterative_refinement(
         lambda r: r, csr.spmv, np.zeros(csr.nrows))
     assert np.all(x == 0) and sweeps == 0
+
+
+def test_refinement_slow_contraction_not_aborted():
+    """Regression (code review): an inner solve contracting only ~1.5x per
+    sweep reduces the residual monotonically and must NOT trip the
+    stagnation guard — "any solver that reduces the error works"."""
+    csr = _spd_laplacian(512)
+    b = np.random.default_rng(2).standard_normal(csr.nrows)
+
+    # crude inner solve: 3 fixed Jacobi sweeps (slow, steady contraction)
+    dinv = 1.0 / 6.0
+
+    def inner(r):
+        x = dinv * r
+        for _ in range(2):
+            x = x + dinv * (r - csr.spmv(x))
+        return x
+
+    x, sweeps, resnorms = iterative_refinement(inner, csr.spmv, b,
+                                               tol=1e-10, max_sweeps=60)
+    assert resnorms[-1] <= 1e-10, resnorms[-1]

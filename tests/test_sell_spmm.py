@@ -23,7 +23,7 @@ from sparsematrixvectormultiplication_tpu.ops.pallas_sell_spmm import (
 
 
 def _run(csr, sell, X, dtype=jnp.float32):
-    d = device_put_sell(sell, dtype=dtype)
+    d = device_put_sell(sell, dtype=dtype, resident=False)
     xt = device_put_x_multi(X, csr.ncols, jnp.float32)
     return np.asarray(sell_spmm_pallas(d, xt, interpret=True), np.float64)
 
@@ -116,7 +116,7 @@ def test_spmm_feeds_cg_multi():
     csr = CSRMatrix.from_coo(coo)
     sell = SellMatrix.from_csr(csr, layout="k-major")
     assert getattr(sell, "row_perm", None) is None
-    d = device_put_sell(sell, dtype=jnp.float32)
+    d = device_put_sell(sell, dtype=jnp.float32, resident=False)
 
     def matmat(V):
         return sell_spmm_pallas(d, jnp.asarray(V, jnp.float32),
@@ -148,3 +148,38 @@ def test_spmm_harness_stage():
     st = res.stages["pallas_sell_spmm"]
     assert st.diff.significant_diffs == 0
     assert st.extra["rhs"] == 8
+
+
+def test_spmm_rejects_resident_padded_bins():
+    """Regression (code review, reproduced): _resident_pad appends gid=-1
+    sentinel groups that only the resident SpMV kernels predicate off; fed
+    to the SpMM kernel they would write tiles through output block index
+    -1 and silently corrupt real rows. The SpMM path must refuse resident
+    uploads and accept resident=False ones."""
+    from sparsematrixvectormultiplication_tpu.formats.coo import COOMatrix
+
+    # bimodal row densities in ALTERNATING 1024-row groups -> two k-major
+    # bins with non-contiguous group lists -> resident padding kicks in
+    rng = np.random.default_rng(0)
+    n = 16 * 1024
+    light = np.arange(n)[(np.arange(n) // 1024) % 2 == 0]
+    heavy = np.arange(n)[(np.arange(n) // 1024) % 2 == 1]
+    rows = np.concatenate([np.repeat(light, 2), np.repeat(heavy, 180)])
+    cols = rng.integers(0, n, rows.size)
+    coo = COOMatrix(n, n, rows.astype(np.int64), cols.astype(np.int64),
+                    rng.standard_normal(rows.size))
+    csr = CSRMatrix.from_coo(coo)
+    sell = SellMatrix.from_csr(csr, layout="k-major")
+    d_res = device_put_sell(sell, dtype=jnp.float32)  # resident padding on
+    assert any(getattr(b, "resident_g_per", 0) > 1 for b in d_res.bins), \
+        "fixture no longer triggers resident padding"
+    X = rng.standard_normal((n, 2))
+    xt = device_put_x_multi(X, n, jnp.float32)
+    with pytest.raises(NotImplementedError, match="resident"):
+        sell_spmm_pallas(d_res, xt, interpret=True)
+    # the documented escape hatch computes correctly
+    d_flat = device_put_sell(sell, dtype=jnp.float32, resident=False)
+    Y = np.asarray(sell_spmm_pallas(d_flat, xt, interpret=True), np.float64)
+    Yref = _oracle(csr, sell, X)
+    rel = np.abs(Y - Yref) / np.maximum(np.abs(Yref), 1.0)
+    assert rel.max() < 1e-4, rel.max()
