@@ -55,6 +55,24 @@ def main():
     d = device_put_sell(sell, dtype=jnp.float32, resident=False)
     perm = getattr(sell, "row_perm", None)
 
+    # forced-wl conversion for the wl SpMM kernel A/B (fill guard may
+    # reject; the k-major rows above stand alone)
+    d_wl = None
+    try:
+        sell_wl = SellMatrix.from_csr(csr, layout="wl")
+        if all(b.layout == "wl" for b in sell_wl.bins) and \
+                getattr(sell_wl, "row_perm", None) is None:
+            d_wl = device_put_sell(sell_wl, dtype=jnp.float32,
+                                   resident=False)
+            print(f"wl convert ok pad {sell_wl.padding_ratio:.2f}",
+                  flush=True)
+        else:
+            print(f"wl convert produced non-wl bins "
+                  f"{[b.layout for b in sell_wl.bins]} — skipping wl A/B",
+                  flush=True)
+    except Exception as e:  # noqa: BLE001
+        print(f"wl convert skipped: {str(e)[:120]}", flush=True)
+
     # baseline: single SpMV
     x0 = rng.standard_normal(csr.ncols)
     xt0 = device_put_x(np.asarray(x0, np.float32), csr.ncols, jnp.float32)
@@ -66,27 +84,32 @@ def main():
 
     for R in (8, 16):
         X = rng.standard_normal((csr.ncols, R))
+        Yref = np.column_stack([csr.spmv(X[:, j]) for j in range(R)])
         try:
             xt = device_put_x_multi(X, csr.ncols, jnp.float32)
-            Y = np.asarray(
-                sell_spmm_pallas(d, xt, interpret=REHEARSE), np.float64)
-            Yref = np.column_stack(
-                [csr.spmv(X[:, j]) for j in range(R)])
-            if perm is not None:
-                Yref = Yref[perm]
-            rel = np.abs(Y - Yref) / np.maximum(1.0, np.abs(Yref))
-            sig = int((rel > 1e-4).sum())
-            sec, _ = time_device_fn_slope(
-                lambda dd, xx: sell_spmm_pallas(dd, xx, interpret=REHEARSE),
-                d, xt, reps=4 if REHEARSE else 64, rounds=2)
-            print(f"spmm R={R}: {sec*1e3:.3f} ms = "
-                  f"{2*nnz*R/sec/1e9:.2f} GF total, "
-                  f"{2*nnz/sec/1e9:.2f} GF/RHS-sweep-equiv x{R} "
-                  f"sig_diffs={sig} max_rel={rel.max():.1e}", flush=True)
-            del xt
         except Exception as e:  # noqa: BLE001
-            print(f"spmm R={R}: FAILED {type(e).__name__}: {str(e)[:300]}",
-                  flush=True)
+            print(f"spmm R={R}: pack FAILED {str(e)[:200]}", flush=True)
+            continue
+        for tag, dd in (("k-major", d), ("wl", d_wl)):
+            if dd is None:
+                continue
+            try:
+                Y = np.asarray(
+                    sell_spmm_pallas(dd, xt, interpret=REHEARSE), np.float64)
+                ref = Yref if (tag == "wl" or perm is None) else Yref[perm]
+                rel = np.abs(Y - ref) / np.maximum(1.0, np.abs(ref))
+                sig = int((rel > 1e-4).sum())
+                sec, _ = time_device_fn_slope(
+                    lambda a, b: sell_spmm_pallas(a, b, interpret=REHEARSE),
+                    dd, xt, reps=4 if REHEARSE else 64, rounds=2)
+                print(f"spmm[{tag}] R={R}: {sec*1e3:.3f} ms = "
+                      f"{2*nnz*R/sec/1e9:.2f} GF total, "
+                      f"{2*nnz/sec/1e9:.2f} GF/RHS-sweep-equiv x{R} "
+                      f"sig_diffs={sig} max_rel={rel.max():.1e}", flush=True)
+            except Exception as e:  # noqa: BLE001
+                print(f"spmm[{tag}] R={R}: FAILED {type(e).__name__}: "
+                      f"{str(e)[:300]}", flush=True)
+        del xt
 
 
 if __name__ == "__main__":

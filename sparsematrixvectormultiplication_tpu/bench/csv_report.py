@@ -57,7 +57,10 @@ def write_native_row(path: str, result: MatrixResult):
     default_pad = result.format_stats.get("sell", {}).get("padding_ratio", 1.0)
     for stage, s in result.stages.items():
         pad = s.extra.get("padding_ratio", default_pad)
-        per_nnz = 12.0 if "csr" in stage else 8.0 * pad
+        # streamed-bytes estimate: 4B ja + value plane (2B bf16 / 4B f32)
+        per_nnz = (12.0 if "csr" in stage
+                   else 6.0 * pad if "bf16" in stage
+                   else 8.0 * pad)
         _append_row(
             path,
             NATIVE_HEADER,

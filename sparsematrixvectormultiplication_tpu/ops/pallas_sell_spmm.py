@@ -148,12 +148,62 @@ def _kernel_k_major_spmm(k: int, R: int, g_per: int = 1,
     return kernel
 
 
+def _kernel_wl_spmm(k: int, L: int, NW: int, R: int, g_per: int = 1,
+                    accumulate: bool = False):
+    """wl (window-layered) SpMM twin: per window, the R per-RHS W tables
+    are built once (8 scalar-prefetch-driven x reads each — one (8,128)
+    vreg per RHS), then every layer tile's m/vals load is amortized over
+    R gathers/FMAs. Data layout identical to _kernel_wl
+    (ops/pallas_sell.py): ja stores lane offsets directly."""
+    assert k == 8 * NW * L
+
+    def kernel(gid_ref, slabs_ref, cnt_ref, x_ref, ja_ref, as_ref, yin_ref,
+               y_ref):
+        step = pl.program_id(0)
+        dtype = x_ref.dtype
+        for gi in range(g_per):
+            g = step * g_per + gi
+            gbase = gi * k * SUBLANES
+            rows = [[] for _ in range(R)]  # per-RHS output rows (8 per group)
+            for rb in range(SUBLANES):
+                accs = [jnp.zeros((8, LANES), dtype) for _ in range(R)]
+                for w in range(NW):
+                    sbase = (rb * NW + w) * 8
+                    Ws = [
+                        jnp.stack([x_ref[r, slabs_ref[g, sbase + s], :]
+                                   for s in range(8)])
+                        for r in range(R)
+                    ]
+                    for l in range(L):
+                        t = (rb * NW + w) * L + l
+                        off = pl.multiple_of(gbase + t * 8, 8)
+                        m = ja_ref[pl.ds(off, 8), :]
+                        vals = as_ref[pl.ds(off, 8), :].astype(dtype)
+                        for r in range(R):
+                            accs[r] = accs[r] + vals * jnp.take_along_axis(
+                                Ws[r], m, axis=1)
+                for r in range(R):
+                    rows[r].append(jnp.sum(accs[r], axis=0))
+            sl = pl.ds(gi * SUBLANES, SUBLANES)
+            for r in range(R):
+                red = jnp.stack(rows[r])
+                if accumulate:
+                    y_ref[r, sl, :] = yin_ref[r, sl, :] + red
+                else:
+                    y_ref[r, sl, :] = red
+
+    return kernel
+
+
+_SPMM_LAYOUTS = ("k-major", "wl")
+
+
 def _bin_call_spmm(bin_, x_tabs, y, num_groups: int, interpret: bool,
                    accumulate: bool = False):
-    """One pallas_call for one k-major bin over R stacked x-tables."""
-    if bin_.layout != "k-major":
+    """One pallas_call for one k-major or wl bin over R stacked x-tables."""
+    if bin_.layout not in _SPMM_LAYOUTS:
         raise NotImplementedError(
-            f"sell_spmm_pallas serves k-major bins only (got "
+            f"sell_spmm_pallas serves {_SPMM_LAYOUTS} bins only (got "
             f"{bin_.layout!r}); convert with layout='k-major'")
     if int(getattr(bin_, "resident_g_per", 0) or 0) > 1:
         # resident-padded bins carry gid=-1 sentinel groups that only the
@@ -189,7 +239,11 @@ def _bin_call_spmm(bin_, x_tabs, y, num_groups: int, interpret: bool,
         ],
         out_specs=out_spec,
     )
-    kernel = _kernel_k_major_spmm(K, R, g_per, accumulate)
+    if bin_.layout == "wl":
+        kernel = _kernel_wl_spmm(K, bin_.span, bin_.chunk_k, R, g_per,
+                                 accumulate)
+    else:
+        kernel = _kernel_k_major_spmm(K, R, g_per, accumulate)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

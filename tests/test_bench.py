@@ -233,3 +233,23 @@ def test_bsr_spmm_stage():
     # stage flops scale with B: at equal seconds the SpMM stage reports
     # B x the SpMV stage's work
     assert s.gflops > 0
+
+
+def test_native_csv_includes_new_stages(tmp_path):
+    """pallas_sell_bf16 / pallas_sell_spmm rows flow into the native CSV
+    (the writer iterates result.stages; this pins that contract)."""
+    from sparsematrixvectormultiplication_tpu.models.synthetic import banded
+
+    coo = banded(1200, 8, 64, seed=0)
+    cfg = BenchConfig(
+        iterations=2, rounds=1, skip=1, sell_spmm_rhs=8,
+        kernels=("serial_csr", "pallas_sell", "pallas_sell_bf16",
+                 "pallas_sell_spmm"),
+        flush_between_stages=False,
+    )
+    res = run_matrix("csv_stages", coo, cfg, log=lambda *a, **k: None)
+    p = str(tmp_path / "native.csv")
+    write_native_row(p, res)
+    rows = _read_csv(p)
+    stages = {r[4] for r in rows[1:]}
+    assert {"pallas_sell", "pallas_sell_bf16", "pallas_sell_spmm"} <= stages

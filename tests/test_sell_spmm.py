@@ -183,3 +183,18 @@ def test_spmm_rejects_resident_padded_bins():
     Yref = _oracle(csr, sell, X)
     rel = np.abs(Y - Yref) / np.maximum(np.abs(Yref), 1.0)
     assert rel.max() < 1e-4, rel.max()
+
+
+@pytest.mark.slow
+def test_spmm_wl_layout():
+    """wl (window-layered) SpMM: per-window W tables built once per RHS,
+    each layer tile's m/vals load amortized over R gathers. slow: the
+    R-unrolled gather pipeline interprets elementwise (~1 min)."""
+    csr = CSRMatrix.from_coo(syn.banded(2048, 18, 40, seed=2))
+    sell = SellMatrix.from_csr(csr, layout="wl")
+    assert all(b.layout == "wl" for b in sell.bins)
+    X = np.random.default_rng(5).standard_normal((csr.ncols, 4))
+    Y = _run(csr, sell, X)
+    Yref = _oracle(csr, sell, X)
+    rel = np.abs(Y - Yref) / np.maximum(np.abs(Yref), 1.0)
+    assert rel.max() < 1e-5, rel.max()
