@@ -122,7 +122,8 @@ def device_put_sell(sell, dtype=jnp.float32, device=None, resident=True):
     predicate off) — required for containers fed to the multi-RHS SpMM
     (ops/pallas_sell_spmm.py), whose kernel has no resident mode."""
     if hasattr(sell, "panels"):
-        return device_put_panel_sell(sell, dtype=dtype, device=device)
+        return device_put_panel_sell(sell, dtype=dtype, device=device,
+                                     resident=resident)
     total = sum(b.ja.nbytes + b.as_.nbytes for b in sell.bins)
     if total > _MAX_UPLOAD_BYTES:
         raise MemoryError(
@@ -838,15 +839,18 @@ def max_x_table_cols(dtype=jnp.float32) -> int:
     return rows * LANES
 
 
-def device_put_panel_sell(psell, dtype=jnp.float32, device=None) -> DevicePanelSell:
-    """Upload a host PanelSellMatrix (formats/sell.py)."""
+def device_put_panel_sell(psell, dtype=jnp.float32, device=None,
+                          resident=True) -> DevicePanelSell:
+    """Upload a host PanelSellMatrix (formats/sell.py). ``resident=False``
+    as in :func:`device_put_sell` (required for the SpMM path)."""
     return DevicePanelSell(
         nrows=psell.nrows,
         ncols=psell.ncols,
         nnz=psell.nnz,
         num_groups=psell.num_groups,
         bounds=tuple(int(b) for b in psell.bounds),
-        panels=[device_put_sell(p, dtype=dtype, device=device) for p in psell.panels],
+        panels=[device_put_sell(p, dtype=dtype, device=device,
+                                resident=resident) for p in psell.panels],
     )
 
 

@@ -35,6 +35,7 @@ from ..formats.sell import LANES, SUBLANES, slab_table_rows
 from .pallas_sell import (
     _UNROLL_MAX,
     _X_TABLE_VMEM_BUDGET,
+    DevicePanelSell,
     DeviceSell,
     _pick_g_per,
 )
@@ -259,13 +260,40 @@ def _bin_call_spmm(bin_, x_tabs, y, num_groups: int, interpret: bool,
       bin_.ja, bin_.as_, y)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def sell_spmm_pallas(dsell: DeviceSell, X, *, interpret: bool = False):
-    """``Y = A @ X`` over k-major SELL bins; returns ``(nrows, R)``.
+def _panel_spmm(dps: DevicePanelSell, X, interpret: bool):
+    """Column-panel SpMM: X beyond the stacked-table VMEM budget. Each
+    panel's R tables are packed in-jit from the raw ``(N, R)`` X (a
+    relayout per panel — the documented large-N tradeoff; panels must be
+    built with ``max_panel_cols <= max_x_table_cols(dtype) // R``)."""
+    R = X.shape[1]
+    y = jnp.zeros((R, dps.num_groups * SUBLANES, LANES), dtype=X.dtype)
+    for p, dsell in enumerate(dps.panels):
+        c0, c1 = dps.bounds[p], dps.bounds[p + 1]
+        x_tabs = pack_x_multi(X[c0:c1], c1 - c0)
+        for bin_ in dsell.bins:
+            # always accumulate: panels may write the same group tiles
+            y = _bin_call_spmm(bin_, x_tabs, y, dps.num_groups, interpret,
+                               accumulate=True)
+    return y.reshape(R, -1)[:, : dps.nrows].T
 
-    ``X``: either the raw ``(N, R)`` matrix or the pre-packed
-    ``(R, Rp, 128)`` stacked tables from :func:`device_put_x_multi`
-    (preferred — host-side pack avoids the in-jit relayout)."""
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def sell_spmm_pallas(dsell, X, *, interpret: bool = False):
+    """``Y = A @ X`` over k-major/wl SELL bins; returns ``(nrows, R)``.
+
+    ``dsell``: a :class:`DeviceSell` (``device_put_sell(...,
+    resident=False)``) or a :class:`DevicePanelSell` for N beyond the
+    stacked-table VMEM budget.
+
+    ``X``: either the raw ``(N, R)`` matrix or (non-panel only) the
+    pre-packed ``(R, Rp, 128)`` stacked tables from
+    :func:`device_put_x_multi` (preferred — host-side pack avoids the
+    in-jit relayout)."""
+    if isinstance(dsell, DevicePanelSell):
+        if X.ndim != 2:
+            raise ValueError("panel SpMM needs the raw (N, R) X "
+                             "(tables are packed per panel)")
+        return _panel_spmm(dsell, X, interpret)
     x_tabs = X if X.ndim == 3 else pack_x_multi(X, dsell.ncols)
     R = x_tabs.shape[0]
     y = jnp.zeros((R, dsell.num_groups * SUBLANES, LANES),

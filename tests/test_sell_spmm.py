@@ -198,3 +198,27 @@ def test_spmm_wl_layout():
     Yref = _oracle(csr, sell, X)
     rel = np.abs(Y - Yref) / np.maximum(np.abs(Yref), 1.0)
     assert rel.max() < 1e-5, rel.max()
+
+
+def test_spmm_column_panels():
+    """Panel SpMM: X beyond the stacked-table VMEM budget splits into
+    column panels; accumulation across panels matches the oracle."""
+    from sparsematrixvectormultiplication_tpu.formats.sell import (
+        PanelSellMatrix,
+    )
+
+    csr = CSRMatrix.from_coo(syn.banded(3000, 9, 400, seed=7))
+    psell = PanelSellMatrix.from_csr(csr, max_panel_cols=1024,
+                                     layout="k-major")
+    assert len(psell.panels) >= 3
+    d = device_put_sell(psell, dtype=jnp.float32, resident=False)
+    X = np.random.default_rng(6).standard_normal((csr.ncols, 4))
+    Y = np.asarray(sell_spmm_pallas(d, jnp.asarray(X, jnp.float32),
+                                    interpret=True), np.float64)
+    Yref = np.column_stack([csr.spmv(X[:, j]) for j in range(4)])
+    perm = getattr(psell, "row_perm", None)
+    if perm is not None:
+        Yref = Yref[perm]
+    rel = np.abs(Y - Yref) / np.maximum(np.abs(Yref), 1.0)
+    assert Y.shape == (csr.nrows, 4)
+    assert rel.max() < 1e-5, rel.max()
