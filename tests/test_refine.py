@@ -5,6 +5,7 @@ the composition the precision ladder (bf16 / f32 / f64-dd) exists for.
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from sparsematrixvectormultiplication_tpu.formats.coo import COOMatrix
 from sparsematrixvectormultiplication_tpu.formats.csr import CSRMatrix
@@ -109,3 +110,44 @@ def test_refinement_slow_contraction_not_aborted():
     x, sweeps, resnorms = iterative_refinement(inner, csr.spmv, b,
                                                tol=1e-10, max_sweeps=60)
     assert resnorms[-1] <= 1e-10, resnorms[-1]
+
+
+@pytest.mark.slow
+def test_refinement_dd_residual_on_device():
+    """The all-on-device composition: f32 inner CG + fp64-class dd kernel
+    residuals (ops/pallas_sell_dd.py) — no host fp64 matvec needed, the
+    TPU-native path to fp64-level answers (TPU has no f64)."""
+    import jax.numpy as jnp
+
+    from sparsematrixvectormultiplication_tpu.ops.pallas_sell import (
+        device_put_sell,
+        sell_spmv_pallas,
+    )
+    from sparsematrixvectormultiplication_tpu.ops.pallas_sell_dd import (
+        device_put_sell_dd,
+        sell_spmv_dd_f64,
+    )
+
+    csr = _spd_laplacian(1024)
+    sell = SellMatrix.from_csr(csr, layout="k-major")
+    d32 = device_put_sell(sell, dtype=jnp.float32)
+    ddd = device_put_sell_dd(sell)
+
+    def inner(r):
+        x, _, _ = cg(lambda v: sell_spmv_pallas(d32, v, interpret=True)[:csr.nrows],
+                     jnp.asarray(r, jnp.float32), tol=1e-4, maxiter=200)
+        return x
+
+    def matvec_dd(v):
+        return np.asarray(
+            sell_spmv_dd_f64(ddd, jnp.asarray(v), interpret=True),
+            np.float64)[:csr.nrows]
+
+    b = np.random.default_rng(3).standard_normal(csr.nrows)
+    x, sweeps, resnorms = iterative_refinement(inner, matvec_dd, b,
+                                               tol=1e-11)
+    # floor set by the dd residual (~1e-13 kernel accuracy), reached
+    assert resnorms[-1] <= 1e-11, resnorms
+    # and the TRUE fp64 residual agrees (dd did not lie)
+    r_true = b - np.column_stack([csr.spmv(x)]).ravel()
+    assert np.linalg.norm(r_true) / np.linalg.norm(b) <= 1e-10
