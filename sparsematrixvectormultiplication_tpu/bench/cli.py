@@ -58,6 +58,9 @@ def build_parser():
                         "stage (VMEM-bounded: each RHS keeps a whole "
                         "x-table resident; capped at 32)")
     p.add_argument("--no-validate", action="store_true")
+    p.add_argument("--reorder", default="none", choices=["none", "rcm", "auto"],
+                   help="symmetric RCM bandwidth-reducing preprocessing "
+                        "(auto = keep only if p98 bandwidth improves >=2x)")
     p.add_argument("--autotune", action="store_true",
                    help="pick SELL ladder/layout + HLL hack size by measurement "
                         "per matrix (≙ cudaOccupancyMaxPotentialBlockSize)")
@@ -150,6 +153,7 @@ def main(argv=None):
         sell_spmm_rhs=args.sell_spmm_rhs,
         validate=not args.no_validate,
         autotune=args.autotune,
+        reorder=args.reorder,
     )
 
     os.makedirs(args.output_dir, exist_ok=True)

@@ -72,6 +72,10 @@ class BenchConfig:
                                   # main_cuda.cu:149,293,413)
     sell_k_bins: tuple | None = None   # explicit K-bin ladder override
     sell_layout: str = "auto"          # "auto" | "k-major" | "sb-major" | "sb-list"
+    reorder: str = "none"              # "none" | "rcm" | "auto" — symmetric
+                                       # P A Pᵀ bandwidth-reducing preprocessing
+                                       # (formats/reorder.py; workload-equivalent,
+                                       # x=ones is permutation-invariant)
 
 
 @dataclass
@@ -135,6 +139,19 @@ def run_matrix(
 
     stages: dict = {}
     fstats = {"csr": csr.memory_stats(), "convert_csr_s": t_csr_conv}
+
+    if cfg.reorder in ("rcm", "auto") and M == N:
+        # bandwidth-reducing preprocessing (formats/reorder.py): the SpMV
+        # workload is unchanged (same nnz/FLOPs, y' = P y); every stage,
+        # including the serial oracle, runs the permuted problem, so
+        # validation is self-consistent.
+        from ..formats.reorder import reorder_rcm
+
+        csr, perm_r, rstats = reorder_rcm(
+            csr, mode=cfg.reorder, log=lambda m: log(f"[{name}] {m}"))
+        fstats["reorder"] = rstats
+        if perm_r is not None:
+            x = np.asarray(x)[perm_r]
 
     # --- golden oracle: host fp64 serial CSR (≙ csr_matrix_vector_mult) ---
     y_ref = None
