@@ -8,10 +8,11 @@ framework's matvec implementations.
 
 from .bicgstab import bicgstab
 from .cg import cg, cg_multi, cg_sell, jacobi_preconditioner
+from .gmres import gmres
 from .power import pagerank, pagerank_operator, power_iteration
 from .refine import iterative_refinement
 from .subspace import subspace_iteration
 
 __all__ = ["cg", "cg_multi", "cg_sell", "jacobi_preconditioner", "bicgstab",
-           "power_iteration", "pagerank", "pagerank_operator",
+           "gmres", "power_iteration", "pagerank", "pagerank_operator",
            "iterative_refinement", "subspace_iteration"]

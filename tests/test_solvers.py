@@ -257,3 +257,65 @@ def test_power_iteration_breakdown_is_clean():
                                  maxiter=50)
     assert np.isfinite(np.asarray(v)).all()
     assert np.isfinite(float(lam))
+
+
+def test_gmres_nonsymmetric_fp64():
+    """GMRES(m) over the framework's XLA CSR matvec vs a dense direct
+    solve (solvers/gmres.py; same system class as the BiCGSTAB test)."""
+    import jax.numpy as jnp
+
+    from sparsematrixvectormultiplication_tpu.ops.xla import device_put_csr
+    from sparsematrixvectormultiplication_tpu.solvers import gmres
+
+    csr, dense = _nonsym_dd_csr()
+    rng = np.random.default_rng(1)
+    b = rng.standard_normal(csr.nrows)
+    x_ref = np.linalg.solve(dense, b)
+
+    d = device_put_csr(csr, dtype=jnp.float64)
+    mv = d.spmv
+    x, iters, res = gmres(mv, jnp.asarray(b, jnp.float64), tol=1e-10,
+                          restart=24, maxiter=600)
+    assert 0 < int(iters) < 600, "GMRES did not converge"
+    np.testing.assert_allclose(np.asarray(x), x_ref, rtol=1e-6, atol=1e-8)
+
+
+def test_gmres_restart_tradeoff_and_warm_start():
+    """Larger restart must not converge SLOWER in total Arnoldi steps, and
+    an exact warm start must exit with zero iterations."""
+    import jax.numpy as jnp
+
+    from sparsematrixvectormultiplication_tpu.solvers import gmres
+
+    rng = np.random.default_rng(2)
+    n = 150
+    a = np.eye(n) * 4 + rng.normal(size=(n, n)) * 0.25
+    b = rng.standard_normal(n)
+    ad, bd = jnp.asarray(a), jnp.asarray(b)
+    mv = lambda v: ad @ v  # noqa: E731
+    _, k_small, _ = gmres(mv, bd, restart=8, tol=1e-9, maxiter=2000)
+    x, k_big, _ = gmres(mv, bd, restart=64, tol=1e-9, maxiter=2000)
+    assert int(k_big) <= int(k_small)
+    np.testing.assert_allclose(np.asarray(x), np.linalg.solve(a, b),
+                               rtol=1e-6, atol=1e-8)
+    x0 = jnp.asarray(np.linalg.solve(a, b))
+    _, k0, res0 = gmres(mv, bd, x0=x0, restart=16, tol=1e-8)
+    assert int(k0) == 0 and float(res0) < 1e-8 * np.linalg.norm(b) * 10
+
+
+def test_gmres_f32_tolerance():
+    """f32 path: converges to f32-level residual (the TPU perf dtype)."""
+    import jax.numpy as jnp
+
+    from sparsematrixvectormultiplication_tpu.solvers import gmres
+
+    rng = np.random.default_rng(3)
+    n = 200
+    a = np.eye(n) * 5 + rng.normal(size=(n, n)) * 0.2
+    b = rng.standard_normal(n)
+    ad = jnp.asarray(a, jnp.float32)
+    bd = jnp.asarray(b, jnp.float32)
+    mv = lambda v: ad @ v  # noqa: E731
+    x, iters, res = gmres(mv, bd, tol=1e-5, restart=32, maxiter=400)
+    rel = np.linalg.norm(a @ np.asarray(x, np.float64) - b) / np.linalg.norm(b)
+    assert rel < 1e-4, rel
