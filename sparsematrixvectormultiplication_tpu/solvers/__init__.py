@@ -8,6 +8,8 @@ framework's matvec implementations.
 
 from .bicgstab import bicgstab
 from .cg import cg, cg_multi, cg_sell, jacobi_preconditioner
+from .chebyshev import (chebyshev_preconditioner, chebyshev_smooth,
+                        gershgorin_bounds)
 from .gmres import gmres
 from .power import pagerank, pagerank_operator, power_iteration
 from .refine import iterative_refinement
@@ -15,4 +17,6 @@ from .subspace import subspace_iteration
 
 __all__ = ["cg", "cg_multi", "cg_sell", "jacobi_preconditioner", "bicgstab",
            "gmres", "power_iteration", "pagerank", "pagerank_operator",
-           "iterative_refinement", "subspace_iteration"]
+           "iterative_refinement", "subspace_iteration",
+           "chebyshev_preconditioner", "chebyshev_smooth",
+           "gershgorin_bounds"]

@@ -319,3 +319,127 @@ def test_gmres_f32_tolerance():
     x, iters, res = gmres(mv, bd, tol=1e-5, restart=32, maxiter=400)
     rel = np.linalg.norm(a @ np.asarray(x, np.float64) - b) / np.linalg.norm(b)
     assert rel < 1e-4, rel
+
+
+# ---------------------------------------------------------------------------
+# Chebyshev polynomial preconditioner (solvers/chebyshev.py)
+
+
+def _cheb_T(m, x):
+    """Chebyshev T_m on/off [-1,1] via the cos/cosh closed form — an oracle
+    independent of the solver's three-term rho recurrence."""
+    x = np.asarray(x, np.float64)
+    out = np.empty_like(x)
+    inside = np.abs(x) <= 1.0
+    out[inside] = np.cos(m * np.arccos(x[inside]))
+    big = ~inside
+    out[big] = np.sign(x[big]) ** m * np.cosh(m * np.arccosh(np.abs(x[big])))
+    return out
+
+
+def test_chebyshev_error_polynomial_matches_closed_form():
+    """I - p_m(A) A must have eigenvalues T_m((theta-l)/delta)/T_m(theta/delta)
+    — the defining minimax property, checked against the cos/cosh closed form
+    (not the recurrence)."""
+    import jax.numpy as jnp
+
+    from sparsematrixvectormultiplication_tpu.solvers import (
+        chebyshev_preconditioner,
+    )
+
+    rng = np.random.default_rng(7)
+    n, m = 40, 5
+    q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    lam = np.linspace(0.5, 12.0, n)
+    dense = (q * lam) @ q.T
+
+    lmin, lmax = 0.5, 12.0
+    theta, delta = (lmax + lmin) / 2, (lmax - lmin) / 2
+    mv = lambda v: jnp.asarray(dense, jnp.float64) @ v  # noqa: E731
+    apply_m = chebyshev_preconditioner(mv, lmin, lmax, degree=m)
+
+    # assemble p_m(A) by applying to the identity, columnwise
+    cols = [np.asarray(apply_m(jnp.asarray(np.eye(n)[:, j]))) for j in range(n)]
+    pa = np.stack(cols, axis=1)
+    assert np.allclose(pa, pa.T, atol=1e-10), "p_m(A) must be symmetric"
+
+    err_eigs = np.sort(np.linalg.eigvalsh(np.eye(n) - pa @ dense))
+    expect = np.sort(_cheb_T(m, (theta - lam) / delta) / _cheb_T(m, theta / delta))
+    np.testing.assert_allclose(err_eigs, expect, atol=1e-9)
+    # and the minimax bound itself: uniformly small error on [lmin, lmax]
+    assert np.max(np.abs(err_eigs)) < 1.0 / _cheb_T(m, theta / delta) + 1e-9
+
+
+def test_chebyshev_pcg_beats_plain_cg():
+    import jax.numpy as jnp
+
+    from sparsematrixvectormultiplication_tpu.ops.xla import (
+        csr_spmv,
+        device_put_csr,
+    )
+    from sparsematrixvectormultiplication_tpu.solvers import (
+        cg,
+        chebyshev_preconditioner,
+        gershgorin_bounds,
+    )
+
+    csr, dense = _spd_csr(n=1200, seed=13)
+    rng = np.random.default_rng(5)
+    b = rng.standard_normal(csr.nrows)
+    d = device_put_csr(csr, dtype=jnp.float64)
+
+    def matvec(v):
+        return csr_spmv(d.values, d.col_idx, d.row_ids, v, nrows=d.nrows)
+
+    lmin, lmax = gershgorin_bounds(csr)
+    assert lmax >= np.linalg.eigvalsh(dense).max() - 1e-8
+    prec = chebyshev_preconditioner(matvec, lmin, lmax, degree=4)
+
+    bj = jnp.asarray(b, jnp.float64)
+    x_p, it_p, _ = cg(matvec, bj, tol=1e-10, maxiter=3000, prec=prec)
+    x_n, it_n, _ = cg(matvec, bj, tol=1e-10, maxiter=3000)
+    x_ref = np.linalg.solve(dense, b)
+    np.testing.assert_allclose(np.asarray(x_p), x_ref, rtol=1e-6, atol=1e-8)
+    assert int(it_p) < int(it_n), f"Cheb-PCG {int(it_p)} !< CG {int(it_n)}"
+
+
+def test_chebyshev_smooth_reduces_residual_from_x0():
+    import jax.numpy as jnp
+
+    from sparsematrixvectormultiplication_tpu.solvers import chebyshev_smooth
+
+    csr, dense = _spd_csr(n=300, seed=17)
+    rng = np.random.default_rng(6)
+    b = rng.standard_normal(csr.nrows)
+    x0 = rng.standard_normal(csr.nrows)
+    lam = np.linalg.eigvalsh(dense)
+    mv = lambda v: jnp.asarray(dense) @ v  # noqa: E731
+    x1 = np.asarray(chebyshev_smooth(mv, jnp.asarray(b), jnp.asarray(x0),
+                                     lmin=float(lam[0]), lmax=float(lam[-1]),
+                                     degree=6))
+    r0 = np.linalg.norm(b - dense @ x0)
+    r1 = np.linalg.norm(b - dense @ x1)
+    assert r1 < 0.05 * r0, (r0, r1)
+
+
+def test_gershgorin_bounds_empty_rows_and_validation():
+    import pytest
+
+    from sparsematrixvectormultiplication_tpu.formats.coo import COOMatrix
+    from sparsematrixvectormultiplication_tpu.solvers import gershgorin_bounds
+    from sparsematrixvectormultiplication_tpu.solvers.chebyshev import (
+        chebyshev_coefficients,
+    )
+
+    # rows 1 and 3 empty; row-abs sums are [3, 0, 7, 0]
+    coo = COOMatrix(4, 4,
+                    np.array([0, 0, 2, 2], np.int32),
+                    np.array([0, 1, 2, 3], np.int32),
+                    np.array([1.0, -2.0, 4.0, -3.0]))
+    lmin, lmax = gershgorin_bounds(CSRMatrix.from_coo(coo))
+    assert lmax == 7.0 and lmin == pytest.approx(7.0 / 30.0)
+
+    with pytest.raises(ValueError):
+        chebyshev_coefficients(1.0, 0.5, 3)
+    with pytest.raises(ValueError):
+        chebyshev_coefficients(0.1, 1.0, 0)
