@@ -155,6 +155,31 @@ def main():
     print(f"refinement (bf16 inner CG): {sweeps} sweeps, "
           f"rel residual {resnorms[-1]:.1e}")
 
+    # Chebyshev-preconditioned CG on the same SPD Laplacian — polynomial
+    # preconditioning is the TPU answer to ILU/SSOR (m extra SpMVs, no
+    # sequential triangular recurrences)
+    from sparsematrixvectormultiplication_tpu.ops.xla import (
+        csr_spmv as _xla_spmv,
+        device_put_csr as _put_csr,
+    )
+    from sparsematrixvectormultiplication_tpu.solvers import (
+        chebyshev_preconditioner,
+        gershgorin_bounds,
+    )
+
+    ir_dc = _put_csr(ir_csr, dtype=jnp.float32)
+
+    def ir_mv(v):
+        return _xla_spmv(ir_dc.values, ir_dc.col_idx, ir_dc.row_ids, v,
+                         nrows=ir_dc.nrows)
+
+    lmin, lmax = gershgorin_bounds(ir_csr)
+    b_ir = jnp.ones(n_ir, jnp.float32)
+    _, it_c, _ = cg(ir_mv, b_ir, tol=1e-5, maxiter=500,
+                    prec=chebyshev_preconditioner(ir_mv, lmin, lmax, degree=4))
+    _, it_p, _ = cg(ir_mv, b_ir, tol=1e-5, maxiter=500)
+    print(f"Chebyshev(4) PCG: {int(it_c)} iters vs plain CG {int(it_p)}")
+
     # PageRank on |A| through the XLA matvec — the solvers layer
     from sparsematrixvectormultiplication_tpu.formats.coo import COOMatrix
     from sparsematrixvectormultiplication_tpu.ops.xla import csr_spmv

@@ -54,10 +54,12 @@ CASES = [
     ("band64_250k", lambda: syn.banded(250_000, 64, 64, seed=11)),   # 25% fill, 256 MiB f32
     ("band24_500k", lambda: syn.banded(500_000, 24, 40, seed=12)),   # ~9% fill, 512 MiB f32
 ]
-B_LIST = [128, 256, 512]
+B_LIST = [128, 512]
+ROUTES = ["blockspec", "dma"]
 if REHEARSE:
     CASES = [("band_tiny", lambda: syn.banded(3_000, 16, 20, seed=11))]
     B_LIST = [128]
+    ROUTES = ["blockspec", "dma"]
 
 for name, build in CASES:
     t0 = time.time()
@@ -82,11 +84,22 @@ for name, build in CASES:
             print(f"[{name}] {lab} SKIP upload: {e}", flush=True)
             continue
         for B in B_LIST:
+          for route in ROUTES:
+            # A/B the X-slab delivery routes: "blockspec" (data-dependent
+            # index map) showed significant diffs on real TPU in the
+            # Aug 19 demo run; "dma" consumes the prefetch scalar inside
+            # the kernel body (explicit make_async_copy) like the
+            # TPU-validated sb-list kernel. Oracle-check BOTH.
             X = rng.standard_normal((csr.ncols, B)).astype(np.float32)
             xp = pad_rhs(X, csr.ncols, dtype=dt)
             fn = jax.jit(lambda dd, xx: bsr_spmm_pallas(
-                dd, xx, interpret=REHEARSE))
-            y = np.asarray(fn(d, xp))[:, :B]
+                dd, xx, interpret=REHEARSE, route=route))
+            try:
+                y = np.asarray(fn(d, xp))[:, :B]
+            except Exception as e:
+                print(f"[{name}] {lab} B={B} {route}: FAILED "
+                      f"{type(e).__name__}: {str(e)[:200]}", flush=True)
+                continue
             if lab == "f32":
                 ref = smat @ X.astype(np.float64)
                 m = difference_metrics(ref, y)
@@ -99,7 +112,7 @@ for name, build in CASES:
                 m = difference_metrics(ref, y, abs_tol=1e-2, rel_tol=0.02)
             sec, _ = time_device_fn_slope(fn, d, xp, reps=16, rounds=3)
             gf = 2.0 * csr.nnz * B / sec / 1e9
-            print(f"[{name}] {lab} B={B}: {sec*1e3:.3f} ms = {gf:.1f} GF "
+            print(f"[{name}] {lab} B={B} {route}: {sec*1e3:.3f} ms = {gf:.1f} GF "
                   f"({gf/1000:.2f} TF/s) sig_diffs={m.significant_diffs} "
                   f"max_rel={m.max_rel_err:.2e}", flush=True)
         del d

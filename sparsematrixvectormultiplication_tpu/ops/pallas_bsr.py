@@ -113,23 +113,60 @@ def _kernel(acc_dtype):
     return kernel
 
 
-def _chunk_call(dbsr: DeviceBSR, xp, interpret: bool):
+def _kernel_dma(kb, acc_dtype):
+    """Explicit-DMA twin of :func:`_kernel`: X stays in HBM
+    (``memory_space=ANY``) and each step DMAs its 128-row slab into a
+    VMEM scratch using the scalar-prefetched block-column index
+    *inside the kernel body* — the same prefetch-consumption style as
+    the TPU-validated sb-list kernel (pallas_sell.py:709), avoiding
+    data-dependent BlockSpec index maps entirely."""
+    def kernel(bc_ref, a_ref, x_hbm, o_ref, xb, sem):
+        g = pl.program_id(0)
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _():
+            o_ref[:] = jnp.zeros_like(o_ref)
+
+        bc = bc_ref[g * kb + j]
+        cp = pltpu.make_async_copy(
+            x_hbm.at[pl.ds(bc * BLOCK, BLOCK), :], xb, sem)
+        cp.start()
+        cp.wait()
+        o_ref[:] += jnp.dot(a_ref[0], xb[:],
+                            preferred_element_type=acc_dtype)
+    return kernel
+
+
+def _chunk_call(dbsr: DeviceBSR, xp, interpret: bool, route: str = "blockspec"):
     kb, n_br = dbsr.kb, dbsr.n_block_rows
     tb = xp.shape[1]
+    if route == "dma":
+        x_spec = pl.BlockSpec(memory_space=pl.ANY)
+        kernel = _kernel_dma(kb, jnp.float32)
+        scratch = [pltpu.VMEM((BLOCK, tb), xp.dtype),
+                   pltpu.SemaphoreType.DMA]
+    elif route == "blockspec":
+        x_spec = pl.BlockSpec((BLOCK, tb), lambda g, j, bc: (bc[g * kb + j], 0),
+                              memory_space=pltpu.VMEM)
+        kernel = _kernel(jnp.float32)
+        scratch = []
+    else:
+        raise ValueError(f"unknown route {route!r}")
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # block_cols
         grid=(n_br, kb),
         in_specs=[
             pl.BlockSpec((1, BLOCK, BLOCK), lambda g, j, bc: (g * kb + j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLOCK, tb), lambda g, j, bc: (bc[g * kb + j], 0),
-                         memory_space=pltpu.VMEM),
+            x_spec,
         ],
         out_specs=pl.BlockSpec((BLOCK, tb), lambda g, j, bc: (g, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=scratch,
     )
     return pl.pallas_call(
-        _kernel(jnp.float32),
+        kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_br * BLOCK, tb), jnp.float32),
         interpret=interpret,
@@ -140,14 +177,21 @@ def _chunk_call(dbsr: DeviceBSR, xp, interpret: bool):
     )(dbsr.block_cols, dbsr.blocks, xp)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def bsr_spmm_pallas(dbsr: DeviceBSR, X, *, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "route"))
+def bsr_spmm_pallas(dbsr: DeviceBSR, X, *, interpret: bool = False,
+                    route: str = "blockspec"):
     """Multi-RHS SpMM; returns ``(nrows, B)`` float32 in natural order.
 
     ``X`` is either the pre-padded ``(n_block_cols*128, B)`` table from
     :func:`pad_rhs` (preferred) or a raw ``(ncols, B)`` / ``(ncols,)``
     array (padded in-jit). Column blocks beyond ``_MAX_TB`` run as
     independent pallas_calls so their DMA streams overlap.
+
+    ``route`` selects how the X slab reaches VMEM: ``"blockspec"``
+    (data-dependent BlockSpec index map — pipelined by Mosaic) or
+    ``"dma"`` (explicit in-kernel ``make_async_copy``). Both are
+    oracle-validated in tests; the TPU A/B lives in
+    probes/bsr_spmm_tpu.py.
     """
     squeeze = X.ndim == 1
     if squeeze:
@@ -157,7 +201,7 @@ def bsr_spmm_pallas(dbsr: DeviceBSR, X, *, interpret: bool = False):
     bp = -(-b // BLOCK) * BLOCK  # lane dim: 128-multiples only
     if X.shape[0] != rp or bp != b:
         X = jnp.pad(X, ((0, rp - X.shape[0]), (0, bp - b)))
-    outs = [_chunk_call(dbsr, X[:, c:c + _MAX_TB], interpret)
+    outs = [_chunk_call(dbsr, X[:, c:c + _MAX_TB], interpret, route)
             for c in range(0, bp, _MAX_TB)]
     y = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
     y = y[:dbsr.nrows, :b]

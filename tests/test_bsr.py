@@ -85,19 +85,21 @@ def test_bsr_empty_and_tiny():
 # Pallas MXU kernel (interpret mode on CPU; conftest forces CPU)
 # ---------------------------------------------------------------------------
 
-def test_pallas_bsr_matches_oracle(rng):
+@pytest.mark.parametrize("route", ["blockspec", "dma"])
+def test_pallas_bsr_matches_oracle(rng, route):
     coo = syn.banded(500, 7, 30, seed=5)
     csr, s = _csr_and_scipy(coo)
     d = device_put_bsr(BSRMatrix.from_csr(csr))
     X = _rhs(rng, csr.ncols, 9)
-    y = np.asarray(bsr_spmm_pallas(d, pad_rhs(X, csr.ncols), interpret=True))
+    y = np.asarray(bsr_spmm_pallas(d, pad_rhs(X, csr.ncols), interpret=True,
+                                   route=route))
     ref = s @ X
     np.testing.assert_allclose(y[:, :9], ref, rtol=2e-5,
                                atol=2e-5 * np.abs(ref).max())
     # pad_rhs widens to a lane multiple; the kernel crops only when handed
     # the raw rhs — also exercise that path (in-jit pad + crop)
     y2 = np.asarray(bsr_spmm_pallas(d, jnp.asarray(X, jnp.float32),
-                                    interpret=True))
+                                    interpret=True, route=route))
     assert y2.shape == (csr.nrows, 9)
     np.testing.assert_allclose(y2, ref, rtol=2e-5,
                                atol=2e-5 * np.abs(ref).max())
@@ -152,12 +154,13 @@ def test_pallas_bsr_tpu_lowering():
     csr = CSRMatrix.from_coo(coo)
     d = device_put_bsr(BSRMatrix.from_csr(csr))
     xp = pad_rhs(np.ones((csr.ncols, 64)), csr.ncols)
-    lowered = jax.jit(
-        lambda dd, xx: bsr_spmm_pallas(dd, xx)
-    ).trace(d, xp).lower(lowering_platforms=("tpu",))
-    # lowering itself runs the Mosaic pipeline (unsupported ops raise);
-    # the kernel lands as a tpu_custom_call in the stablehlo text
-    assert "tpu_custom_call" in lowered.as_text()
+    for route in ("blockspec", "dma"):
+        lowered = jax.jit(
+            lambda dd, xx: bsr_spmm_pallas(dd, xx, route=route)
+        ).trace(d, xp).lower(lowering_platforms=("tpu",))
+        # lowering itself runs the Mosaic pipeline (unsupported ops raise);
+        # the kernel lands as a tpu_custom_call in the stablehlo text
+        assert "tpu_custom_call" in lowered.as_text()
 
 
 # ---------------------------------------------------------------------------
