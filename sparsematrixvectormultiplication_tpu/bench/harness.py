@@ -484,16 +484,35 @@ def run_matrix(
         from ..formats.pr import pr_from_csr
         from ..ops.pallas_pr import device_put_pr, pr_spmv_pallas
 
-        t0 = time.perf_counter()
-        pr = pr_from_csr(csr_k)
-        fstats["convert_pr_s"] = time.perf_counter() - t0
-        fstats["pr"] = pr.memory_stats()
-        dpr = device_put_pr(pr, dtype=dt)
+        from ..formats.pr import PANEL_TARGET_ROWS
+        from ..ops.pallas_pr_dd import DD_PANEL_TARGET_ROWS
+
         x_pr = device_put_x(x, N, dt)
-        if cfg.flush_between_stages:
-            flush_hbm()
-        y_pr = np.asarray(
-            pr_spmv_pallas(dpr, x_pr, interpret=not on_tpu), np.float64)
+        # 2^15-row panels crash the tunneled worker's compile helper at
+        # full suite scale (HTTP 500, Aug 19 PRAPPEND: powerlaw/webbase)
+        # while the dd twin's 2^14-row panels compile and run — so retry
+        # once at the dd cap before declaring the stage failed.
+        for cap in (PANEL_TARGET_ROWS, DD_PANEL_TARGET_ROWS):
+            t0 = time.perf_counter()
+            pr = pr_from_csr(csr_k, target_rows=cap)
+            fstats["convert_pr_s"] = time.perf_counter() - t0
+            fstats["pr"] = pr.memory_stats()
+            dpr = device_put_pr(pr, dtype=dt)
+            if cfg.flush_between_stages:
+                flush_hbm()
+            try:
+                y_pr = np.asarray(
+                    pr_spmv_pallas(dpr, x_pr, interpret=not on_tpu),
+                    np.float64)
+                break
+            except Exception as e:  # noqa: BLE001
+                if cap == DD_PANEL_TARGET_ROWS:
+                    raise
+                log(f"[{name}] pallas_pr panels at {cap} rows failed "
+                    f"({type(e).__name__}); retrying at "
+                    f"{DD_PANEL_TARGET_ROWS}")
+                del dpr
+                gc.collect()
         if seg_map is not None:  # host-exact heavy-row segment reduction
             ids = np.asarray(seg_map)[pr.row_perm]
             dm = validate(np.bincount(ids, weights=y_pr, minlength=M)[:M])
