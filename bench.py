@@ -65,7 +65,8 @@ def main():
         # measuring, and deferring then would just burn the deadline. Only
         # its actual measurement stages hold the device.
         needles = ("bench.cli", "pr_tpu_probe", "run_r3_ladders",
-                   "sg_tpu", "wlshed_ab_tpu", "pr_smoke")
+                   "sg_tpu", "wlshed_ab_tpu", "pr_smoke",
+                   "bsr_spmm_tpu", "bf16_ab_tpu", "spmm_sell_tpu")
         return any(n in line for line in out.splitlines() for n in needles)
 
     busy_deadline = time.time() + 3 * 3600
