@@ -68,6 +68,11 @@ class PRMatrix:
     y_rows: int                 # output rows = total_groups * 8
     row_perm: np.ndarray        # (nrows,) sigma: y_natural[row_perm] = y_kernel
     padding_ratio: float
+    # force_ladder panels only: kernel-y position of each natural row
+    # (real sigma positions are non-contiguous once padding groups are
+    # inserted mid-ladder; see from_csr force_ladder). None = positions
+    # 0..nrows-1, the default contiguous case.
+    y_pos: np.ndarray | None = None
 
     @property
     def shape(self):
@@ -79,7 +84,12 @@ class PRMatrix:
         return max(2 * p - 1, 0)
 
     def unpermute(self, y: np.ndarray) -> np.ndarray:
-        """Kernel output (sigma row order) -> natural row order."""
+        """Kernel output (sigma row order) -> natural row order.
+
+        ``force_ladder`` panels carry ``y_pos`` (real rows sit at
+        non-contiguous kernel positions) and need the FULL kernel y."""
+        if self.y_pos is not None:
+            return y[self.y_pos]
         out = np.empty(self.nrows, dtype=y.dtype)
         out[self.row_perm] = y[: self.nrows]
         return out
@@ -94,7 +104,17 @@ class PRMatrix:
     # ------------------------------------------------------------------
     @classmethod
     def from_csr(cls, csr: CSRMatrix, k_bins: tuple = DEFAULT_K_BINS,
-                 native: bool = True, max_rows: int = MAX_PR_ROWS) -> "PRMatrix":
+                 native: bool = True, max_rows: int = MAX_PR_ROWS,
+                 force_ladder: tuple | None = None,
+                 min_rows: int = 0) -> "PRMatrix":
+        """``force_ladder`` / ``min_rows`` harmonize panels for SPMD
+        stacking (parallel/spmd_pr.py): ``force_ladder`` is a
+        ``((K, group_count), ...)`` ladder (K strictly decreasing) that
+        every panel's natural ladder must fit inside — extra groups are
+        pure padding (their slots are dummy-filled like group tails);
+        ``min_rows`` lower-bounds the Beneš row count so all panels share
+        one power of two. The result carries ``y_pos`` because real rows
+        sit at non-contiguous kernel positions."""
         nr, nc, nnz = csr.nrows, csr.ncols, csr.nnz
         if nnz == 0:
             raise ValueError("PR layout needs at least one entry")
@@ -116,6 +136,41 @@ class PRMatrix:
         for g in range(n_groups):
             bigger = edges[edges >= max(gmax[g], 1)]
             kg[g] = bigger[0] if bigger.size else -(-gmax[g] // 8) * 8
+        # optional SPMD harmonization: embed the natural (non-increasing)
+        # ladder into a forced one; extra groups are pure padding and their
+        # slots dummy-fill exactly like natural group tails below.
+        remap = None
+        y_pos = None
+        if force_ladder is not None:
+            runs = []
+            i0 = 0
+            while i0 < n_groups:
+                i1 = i0
+                while i1 < n_groups and kg[i1] == kg[i0]:
+                    i1 += 1
+                runs.append((int(kg[i0]), i0, i1 - i0))
+                i0 = i1
+            forced = [(int(K), int(c)) for K, c in force_ladder]
+            if any(forced[i][0] <= forced[i + 1][0]
+                   for i in range(len(forced) - 1)):
+                raise ValueError("force_ladder K values must be strictly "
+                                 "decreasing")
+            off_of, cnt_of = {}, {}
+            pos = 0
+            for K, c in forced:
+                off_of[K] = pos
+                cnt_of[K] = c
+                pos += c
+            remap = np.empty(n_groups, dtype=np.int64)
+            for K, i0, c in runs:
+                if K not in off_of or c > cnt_of[K]:
+                    raise ValueError(
+                        f"force_ladder cannot host {c} groups of K={K}")
+                remap[i0:i0 + c] = off_of[K] + np.arange(c)
+            n_groups = pos
+            kg = np.concatenate([np.full(c, K, dtype=np.int64)
+                                 for K, c in forced])
+
         # groups are sigma-ordered (nnz desc) so kg is non-increasing:
         # contiguous bins
         bins = []
@@ -137,6 +192,8 @@ class PRMatrix:
             csr.row_ptr[:-1].astype(np.int64), nnz_per_row)
         sp = inv_perm[rows_of_entries]              # sigma position
         g_of = sp // GROUP_ROWS
+        if remap is not None:
+            g_of = remap[g_of]                      # forced group position
         loc = sp % GROUP_ROWS
         sub_i = loc // LANES
         dst_lane_real = (loc % LANES).astype(np.int64)
@@ -159,7 +216,7 @@ class PRMatrix:
         rows_per_slab = -(-cnt[occ] // LANES)
         s_rows = int(rows_per_slab.sum())
         n_rows = 1
-        while n_rows < max(s_rows, d_rows, 2):
+        while n_rows < max(s_rows, d_rows, min_rows, 2):
             n_rows <<= 1
         if n_rows > min(max_rows, MAX_PR_ROWS):
             # raised BEFORE the expensive routing so pr_from_csr's panel
@@ -201,7 +258,14 @@ class PRMatrix:
         # beyond nr (group tail) pad all K_g slots
         sp_all = np.arange(n_groups * GROUP_ROWS, dtype=np.int64)
         len_all = np.zeros(n_groups * GROUP_ROWS, dtype=np.int64)
-        len_all[:nr] = glen
+        if remap is not None:
+            newflat = (remap[np.arange(nr) // GROUP_ROWS] * GROUP_ROWS
+                       + np.arange(nr) % GROUP_ROWS)
+            len_all[newflat] = glen
+            y_pos = np.empty(nr, dtype=np.int64)
+            y_pos[row_perm] = newflat
+        else:
+            len_all[:nr] = glen
         kg_all = kg[sp_all // GROUP_ROWS]
         pads = kg_all - len_all
         tot = int(pads.sum())
@@ -263,6 +327,7 @@ class PRMatrix:
             masks=masks.astype(np.int32), final_lane=final_lane.astype(np.int32),
             bins=tuple(bins), y_rows=n_groups * SUBLANES,
             row_perm=row_perm, padding_ratio=float(padding),
+            y_pos=y_pos,
         )
 
     @classmethod
@@ -301,7 +366,8 @@ class PRMatrix:
             blk = a[off:off + G * K * SUBLANES].reshape(G, K, SUBLANES, LANES)
             ysub = blk.sum(axis=1)                       # (G, 8, 128)
             y[g0 * GROUP_ROWS:(g0 + G) * GROUP_ROWS] = ysub.reshape(-1)
-        return y[: self.nrows]
+        # force_ladder panels: callers index with y_pos — return FULL y
+        return y if self.y_pos is not None else y[: self.nrows]
 
 
 @dataclass(frozen=True)

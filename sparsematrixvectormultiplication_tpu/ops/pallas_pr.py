@@ -254,9 +254,10 @@ def _kernel_pr(n_rows: int, win: int, bins: tuple, TB: int, n_blocks: int,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("interpret", "phases", "stage_impl"))
+                   static_argnames=("interpret", "phases", "stage_impl",
+                                    "crop"))
 def pr_spmv_pallas(dpr, x, *, interpret: bool = False, phases: str = "all",
-                   stage_impl: str = "roll"):
+                   stage_impl: str = "roll", crop: bool = True):
     """SpMV over the PR layout. Returns y[:nrows] in SIGMA row order (like
     the sigma SELL stages — callers unpermute with the host matrix's
     ``unpermute`` / ``row_perm``). Panel inputs concatenate their panels'
@@ -310,4 +311,7 @@ def pr_spmv_pallas(dpr, x, *, interpret: bool = False, phases: str = "all",
         ),
     )(dpr.tile_base, dpr.tile_far, dpr.row_slab,
       x_tab, dpr.val, dpr.md, dpr.masks, dpr.final_lane)
-    return y.reshape(-1)[: dpr.nrows]
+    # crop=False: full kernel y for force_ladder panels, whose real rows
+    # sit at non-contiguous positions (indexed host-side via y_pos) — and
+    # whose shard_map stacking needs one uniform length (spmd_pr.py)
+    return y.reshape(-1)[: dpr.nrows] if crop else y.reshape(-1)

@@ -273,3 +273,61 @@ def test_spmd_sg_layout_scattered():
     x = np.random.default_rng(12).standard_normal(coo.ncols)
     y = sell_spmv_spmd(spmd, x, mesh, interpret=True)
     assert np.allclose(y, csr.spmv(x), rtol=1e-11, atol=1e-11)
+
+
+@pytest.mark.slow
+def test_spmd_pr_shard_map():
+    """The PR zero-locality kernel under shard_map: force_ladder panels
+    are geometry-identical, stack on a leading shard axis, and reproduce
+    the oracle through the 8-device mesh (heavy rows pre-split, segments
+    reduced host-side like bench/harness.py)."""
+    from sparsematrixvectormultiplication_tpu import CSRMatrix
+    from sparsematrixvectormultiplication_tpu.models.synthetic import power_law
+    from sparsematrixvectormultiplication_tpu.parallel.spmd_pr import (
+        build_spmd_pr,
+        pr_spmv_spmd,
+    )
+
+    coo = power_law(20000, 3, seed=13)
+    csr = CSRMatrix.from_coo(coo)
+    csr_k, seg = csr.split_heavy_rows(16, strided=True)
+    mesh = make_mesh(8, ("rows",))
+    spmd = build_spmd_pr(csr_k, 8, mesh=mesh, target_rows=1 << 12)
+    assert spmd.stacked.val.shape[:2] == (8, spmd.pps)
+
+    x = np.random.default_rng(14).standard_normal(coo.ncols)
+    y = pr_spmv_spmd(spmd, x, mesh, interpret=True).astype(np.float64)
+    if seg is not None:
+        y = np.bincount(np.asarray(seg), weights=y,
+                        minlength=csr.nrows)[:csr.nrows]
+    y_ref = csr.spmv(x)
+    rel = np.abs(y - y_ref) / np.maximum(np.abs(y_ref), 1e-30)
+    assert int(((np.abs(y - y_ref) > 1e-5) & (rel > 1e-5)).sum()) == 0
+
+
+@pytest.mark.slow
+def test_spmd_pr_needs_multiple_panels_per_shard():
+    """When one panel per shard cannot meet target_rows, the builder
+    grows panels-per-shard until the union geometry fits."""
+    from sparsematrixvectormultiplication_tpu import CSRMatrix
+    from sparsematrixvectormultiplication_tpu.models.synthetic import (
+        random_general,
+    )
+    from sparsematrixvectormultiplication_tpu.parallel.spmd_pr import (
+        build_spmd_pr,
+        pr_spmv_spmd,
+    )
+
+    coo = random_general(9000, 9000, 2e-3, seed=15)
+    csr = CSRMatrix.from_coo(coo)
+    mesh = make_mesh(2, ("rows",))
+    spmd = build_spmd_pr(csr, 2, mesh=mesh, target_rows=1 << 10)
+    assert spmd.pps > 1 and spmd.stacked.n_rows <= 1 << 10
+    # a target below the matrix's union-ladder floor raises, promptly
+    with pytest.raises(ValueError, match="union-ladder floor"):
+        build_spmd_pr(csr, 2, mesh=mesh, target_rows=1 << 7)
+    x = np.random.default_rng(16).standard_normal(coo.ncols)
+    y = pr_spmv_spmd(spmd, x, mesh, interpret=True).astype(np.float64)
+    y_ref = csr.spmv(x)
+    rel = np.abs(y - y_ref) / np.maximum(np.abs(y_ref), 1e-30)
+    assert int(((np.abs(y - y_ref) > 1e-5) & (rel > 1e-5)).sum()) == 0

@@ -315,3 +315,31 @@ def test_pr_dense_row_error_is_actionable(rng):
     y_seg = pr.spmv(x)
     y = np.bincount(seg, weights=y_seg, minlength=n)[:n]
     np.testing.assert_allclose(y, csr.spmv(x), rtol=1e-10, atol=1e-10)
+
+
+def test_pr_force_ladder_host_exact():
+    """force_ladder + min_rows (SPMD harmonization) must leave the routed
+    result bit-exact: padding groups dummy-fill like natural tails, and
+    y_pos maps each natural row to its non-contiguous kernel position."""
+    from sparsematrixvectormultiplication_tpu.models.synthetic import power_law
+
+    coo = power_law(5000, 3, seed=1)
+    csr = CSRMatrix.from_coo(coo)
+    p0 = PRMatrix.from_csr(csr, native=True)
+    nat = {K: G for (K, G, _, _) in p0.bins}
+    ladder = dict(nat)
+    ladder[64] = ladder.get(64, 0) + 1       # a K level absent naturally
+    for K in nat:
+        ladder[K] += 2                       # spare groups per level
+    forced = tuple(sorted(ladder.items(), key=lambda t: -t[0]))
+    p1 = PRMatrix.from_csr(csr, native=True, force_ladder=forced,
+                           min_rows=4 * p0.n_rows)
+    assert p1.n_rows == 4 * p0.n_rows
+    assert p1.y_pos is not None and p1.y_rows > p0.y_rows
+    x = np.random.default_rng(0).standard_normal(csr.ncols)
+    y_ref = csr.spmv(x)
+    np.testing.assert_allclose(p1.spmv(x), y_ref, rtol=1e-12, atol=1e-12)
+    # an undersized ladder is rejected
+    import pytest
+    with pytest.raises(ValueError, match="cannot host"):
+        PRMatrix.from_csr(csr, force_ladder=((1, 1),))
