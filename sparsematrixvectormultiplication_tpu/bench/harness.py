@@ -203,7 +203,14 @@ def run_matrix(
         # calls + block-dim CSV, main_cuda.cu:149,293,413 / utility.cu:236-261)
         from ..tune.autotune import autotune_hack_size, autotune_sell
 
-        tr = autotune_sell(csr, x=x, dtype=dt, log=log)
+        try:
+            tr = autotune_sell(csr, x=x, dtype=dt, log=log)
+        except Exception as e:  # noqa: BLE001 — tuning must never lose the
+            from ..tune.autotune import TuneResult  # matrix's stages
+
+            log(f"[{name}] autotune FAILED ({type(e).__name__}: "
+                f"{str(e)[:200]}) -> defaults")
+            tr = TuneResult(best=None, best_seconds=float("inf"))
         if tr.best is not None:
             sell_kw = {"layout": tr.best.layout, "k_bins": tr.best.k_bins,
                        "merge_bins": tr.best.merge_bins}

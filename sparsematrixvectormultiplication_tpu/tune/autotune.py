@@ -124,11 +124,25 @@ def autotune_sell(
         stats = sell.memory_stats()
         stats["convert_s"] = conv_s
         if on_tpu:
-            dsell = device_put_sell(sell, dtype=dtype)
-            xd = jnp.asarray(x, dtype)
-            sec, _ = time_device_fn_batched(
-                lambda d, xx: sell_spmv_pallas(d, xx), dsell, xd, reps=reps, rounds=2
-            )
+            # per-candidate failure tolerance: adversarial regimes produce
+            # candidates that exceed the upload guard (65x-padded scattered
+            # SELL -> MemoryError), SMEM (sb-list prefetch tables), or VMEM
+            # (register spills) — a losing candidate must cost a table row,
+            # not the whole matrix (sweep_r3 Aug 19: thermal/road/powerlaw/
+            # webbase all lost every stage to one bad candidate here)
+            try:
+                dsell = device_put_sell(sell, dtype=dtype)
+                xd = jnp.asarray(x, dtype)
+                sec, _ = time_device_fn_batched(
+                    lambda d, xx: sell_spmv_pallas(d, xx), dsell, xd,
+                    reps=reps, rounds=2
+                )
+            except Exception as e:  # noqa: BLE001
+                if log:
+                    log(f"[tune] {cand.name} FAILED: "
+                        f"{type(e).__name__}: {str(e)[:200]}")
+                table.append((cand.name, float("inf"), {"error": str(e)[:300]}))
+                continue
         else:
             # host cost model: same constants the converter's merge policy
             # uses (formats/sell.py, measured on TPU v5e)

@@ -99,3 +99,30 @@ def test_tune_sample_prefix_caps_nnz():
                       vals[: ptr[1024]])
     same, _ = _tune_sample(small, x)
     assert same is small
+
+
+def test_autotune_candidate_failure_is_tolerated(make_random_coo, monkeypatch):
+    """A candidate whose upload/compile fails (oversize-upload MemoryError,
+    SMEM/VMEM compile OOM through the tunnel) must cost one table row, not
+    the whole matrix (sweep_r3 Aug 19: four suite matrices lost every stage
+    to one bad candidate)."""
+    from sparsematrixvectormultiplication_tpu.tune import autotune as at
+
+    coo, _ = make_random_coo(600, 600, 0.01)
+    csr = CSRMatrix.from_coo(coo)
+
+    class _FakeDev:
+        platform = "tpu"
+
+    monkeypatch.setattr(at.jax, "devices", lambda: [_FakeDev()])
+
+    def _boom(sell, dtype=None):
+        raise MemoryError("SELL device arrays 2806 MiB > 2200 MiB")
+
+    monkeypatch.setattr(at, "device_put_sell", _boom)
+    msgs = []
+    tr = at.autotune_sell(csr, x=np.ones(600), log=msgs.append)
+    # every candidate failed -> no winner, but no exception either
+    assert tr.best is None
+    assert all(s == float("inf") for _, s, _ in tr.table)
+    assert any("FAILED" in m for m in msgs)
