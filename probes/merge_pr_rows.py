@@ -15,30 +15,36 @@ import os
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-SRC = os.path.join(REPO, "result_tpu_r3_pr", "spmv_results.csv")
+SRCS = [
+    os.path.join(REPO, "result_tpu_r3_pr", "spmv_results.csv"),   # dd rows
+    os.path.join(REPO, "result_tpu_r3_pr2", "spmv_results.csv"),  # f32 retry
+]
 DST = os.path.join(REPO, "result_tpu_r3", "spmv_results.csv")
 
 
 def main() -> None:
-    if not os.path.exists(SRC):
-        sys.exit(f"no source CSV at {SRC}")
     if not os.path.exists(DST):
         sys.exit(f"no destination CSV at {DST} (main sweep not done?)")
-    with open(SRC) as f:
-        src_rows = list(csv.reader(f))
     with open(DST) as f:
         dst_rows = list(csv.reader(f))
-    if not src_rows or src_rows[0] != dst_rows[0]:
-        sys.exit("schema mismatch between PR and main CSVs")
     have = {(r[0], r[4], r[5]) for r in dst_rows[1:] if len(r) > 5}
     merged = 0
-    with open(DST, "a", newline="") as f:
-        w = csv.writer(f)
-        for r in src_rows[1:]:
-            if len(r) > 5 and r[4].startswith("pallas_pr") \
-                    and (r[0], r[4], r[5]) not in have:
-                w.writerow(r)
-                merged += 1
+    for src in SRCS:
+        if not os.path.exists(src):
+            print(f"no source CSV at {src}, skipping")
+            continue
+        with open(src) as f:
+            src_rows = list(csv.reader(f))
+        if not src_rows or src_rows[0] != dst_rows[0]:
+            sys.exit(f"schema mismatch between {src} and main CSV")
+        with open(DST, "a", newline="") as f:
+            w = csv.writer(f)
+            for r in src_rows[1:]:
+                if len(r) > 5 and r[4].startswith("pallas_pr") \
+                        and (r[0], r[4], r[5]) not in have:
+                    w.writerow(r)
+                    have.add((r[0], r[4], r[5]))
+                    merged += 1
     print(f"merged {merged} pallas_pr rows into {DST}")
 
 
