@@ -443,3 +443,88 @@ def test_gershgorin_bounds_empty_rows_and_validation():
         chebyshev_coefficients(1.0, 0.5, 3)
     with pytest.raises(ValueError):
         chebyshev_coefficients(0.1, 1.0, 0)
+
+
+def test_lanczos_extremal_matches_dense_eigh():
+    """m-step Lanczos Ritz extremes vs numpy dense eigh on an SPD matrix
+    (solvers/lanczos.py — beyond-reference eigensolver capability)."""
+    import jax.numpy as jnp
+
+    from sparsematrixvectormultiplication_tpu.ops.xla import (csr_spmv,
+                                                               device_put_csr)
+    from sparsematrixvectormultiplication_tpu.solvers import lanczos_extremal
+
+    csr, dense = _spd_csr(n=800, seed=11)
+    w = np.linalg.eigvalsh(dense)
+    d = device_put_csr(csr, dtype=jnp.float64)
+    mv = lambda v: csr_spmv(d.values, d.col_idx, d.row_ids, v, nrows=d.nrows)  # noqa: E731
+
+    rng = np.random.default_rng(1)
+    v0 = jnp.asarray(rng.standard_normal(csr.nrows), jnp.float64)
+    lmin, lmax = lanczos_extremal(mv, v0, m=60)
+    # lmax converges fast from above the spectrum's interior; lmin of an
+    # SPD-shifted operator converges a little slower — generous rtol there
+    np.testing.assert_allclose(lmax, w[-1], rtol=1e-8)
+    np.testing.assert_allclose(lmin, w[0], rtol=1e-2)
+    # Ritz values are interior to the true spectrum (reorthogonalized)
+    assert lmin >= w[0] - 1e-8 * abs(w[0])
+    assert lmax <= w[-1] + 1e-8 * abs(w[-1])
+
+
+def test_lanczos_reorth_keeps_basis_orthogonal():
+    import jax.numpy as jnp
+
+    from sparsematrixvectormultiplication_tpu.ops.xla import (csr_spmv,
+                                                               device_put_csr)
+    from sparsematrixvectormultiplication_tpu.solvers import lanczos
+
+    csr, _ = _spd_csr(n=600, seed=5)
+    d = device_put_csr(csr, dtype=jnp.float64)
+    rng = np.random.default_rng(2)
+    v0 = jnp.asarray(rng.standard_normal(csr.nrows), jnp.float64)
+    mv = lambda v: csr_spmv(d.values, d.col_idx, d.row_ids, v, nrows=d.nrows)  # noqa: E731
+    _, _, V = lanczos(mv, v0, m=40, reorth=True)
+    G = np.asarray(V @ V.T)
+    np.testing.assert_allclose(G, np.eye(40), atol=1e-10)
+
+
+def test_lanczos_breakdown_invariant_subspace():
+    """Start vector inside a 2-dim invariant subspace -> breakdown at
+    step 2 must freeze cleanly (no NaNs) and still report both
+    eigenvalues of the subspace."""
+    import jax.numpy as jnp
+
+    from sparsematrixvectormultiplication_tpu.solvers import lanczos_extremal
+
+    n = 64
+    diag = np.arange(1.0, n + 1.0)
+    A = jnp.asarray(np.diag(diag))
+    # v0 spans e_3 and e_7 only -> Krylov space is 2-dimensional
+    v0 = np.zeros(n)
+    v0[3] = 1.0
+    v0[7] = 2.0
+    lmin, lmax = lanczos_extremal(lambda v: A @ v, jnp.asarray(v0), m=10)
+    np.testing.assert_allclose(lmin, diag[3], rtol=1e-12)
+    np.testing.assert_allclose(lmax, diag[7], rtol=1e-12)
+
+
+def test_lanczos_bounds_feed_chebyshev_pcg():
+    """lanczos_bounds must bracket the true spectrum and produce a working
+    Chebyshev-PCG setup (tighter than Gershgorin on banded SPD)."""
+    import jax.numpy as jnp
+
+    from sparsematrixvectormultiplication_tpu.ops.xla import (csr_spmv,
+                                                               device_put_csr)
+    from sparsematrixvectormultiplication_tpu.solvers import (
+        gershgorin_bounds, lanczos_bounds)
+
+    csr, dense = _spd_csr(n=700, seed=9)
+    w = np.linalg.eigvalsh(dense)
+    d = device_put_csr(csr, dtype=jnp.float64)
+    mv = lambda v: csr_spmv(d.values, d.col_idx, d.row_ids, v, nrows=d.nrows)  # noqa: E731
+    lmin, lmax = lanczos_bounds(mv, csr.nrows, m=50, dtype=jnp.float64)
+    assert lmax >= w[-1] * 0.999 and lmax <= w[-1] * 1.1
+    assert lmin <= w[0] * 1.001
+    g_lmin, g_lmax = gershgorin_bounds(csr)
+    # the Lanczos lmax bound is tighter than Gershgorin's on this matrix
+    assert lmax < g_lmax
