@@ -594,6 +594,52 @@ def run_matrix(
       except Exception as e:  # noqa: BLE001
         log(f"[{name}] pallas_pr_dd FAILED: {type(e).__name__}: {str(e)[:300]}")
 
+    if "pallas_split" in cfg.kernels:
+      # locality split: near-band SELL + natural-order PR far tail (one
+      # entry per row -> identity sigma -> plain vector add, no scatter).
+      # The road/circuit-regime answer to the reference's thread-per-row
+      # CUDA kernel (cuda_src/csr_matrix_cuda.cu:122-148); see
+      # formats/split.py for the measured rationale.
+      try:
+        from ..formats.split import SplitMatrix
+        from ..ops.pallas_split import device_put_split, split_spmv_pallas
+
+        t0 = time.perf_counter()
+        try:
+            sm = SplitMatrix.from_csr(csr_k)
+        except ValueError as e:
+            sm = None
+            log(f"[{name}] pallas_split skipped: {str(e)[:160]}")
+        if sm is not None:
+            fstats["convert_split_s"] = time.perf_counter() - t0
+            fstats["split"] = sm.memory_stats()
+            dsm = device_put_split(sm, dtype=dt)
+            x_sp = device_put_x(x, N, dt)
+            if cfg.flush_between_stages:
+                flush_hbm()
+            y_sp = np.asarray(
+                split_spmv_pallas(dsm, x_sp, interpret=not on_tpu),
+                np.float64)
+            if seg_map is not None:  # host-exact heavy-row reduction
+                dm = validate(np.bincount(np.asarray(seg_map), weights=y_sp,
+                                          minlength=M)[:M])
+            else:
+                dm = validate(y_sp)
+            sec, _ = time_device_fn_slope(
+                lambda d, xx: split_spmv_pallas(d, xx, interpret=not on_tpu),
+                dsm, x_sp, reps=cfg.iterations, rounds=cfg.rounds)
+            stages["pallas_split"] = StageResult(
+                "pallas_split", sec, calculate_flops(nnz, sec) / 1e9, dm,
+                extra={"slab_dist": sm.slab_dist, "far_frac": sm.far_frac})
+            log(f"[{name}] pallas_split: {sec*1e3:.3f} ms = "
+                f"{stages['pallas_split'].gflops:.3f} GFLOPS, "
+                f"far_frac={sm.far_frac:.3f}, "
+                f"sig_diffs={dm.significant_diffs}")
+            del dsm
+            gc.collect()
+      except Exception as e:  # noqa: BLE001
+        log(f"[{name}] pallas_split FAILED: {type(e).__name__}: {str(e)[:300]}")
+
     if "pallas_bsr_spmm" in cfg.kernels:
       # MXU block-sparse SpMM: Y = A @ X with cfg.spmm_rhs dense RHS — the
       # op class SpMV can never feed the MXU (ops/pallas_bsr.py). Runs on

@@ -31,8 +31,10 @@ from .pallas_sell_spmm import (
     pack_x_multi,
     sell_spmm_pallas,
 )
+from .pallas_split import DeviceSplit, device_put_split, split_spmv_pallas
 
 __all__ = [
+    "DeviceSplit", "device_put_split", "split_spmv_pallas",
     "device_put_x_multi", "pack_x_multi", "sell_spmm_pallas",
     "DeviceCSR", "DeviceELL", "csr_spmv", "csr_spmm", "device_put_csr",
     "device_put_ell", "ell_spmv", "sell_spmv_xla",

@@ -1,0 +1,65 @@
+"""Device composite for the locality-split layout (formats/split.py).
+
+One jitted program: the near SELL bins and the natural-order PR far part
+both read the same VMEM x-table; their outputs combine with a single
+vector add (both are in natural row order — see formats/split.py for why
+the PR part's sigma is the identity). No gather/scatter appears anywhere
+on the device path.
+
+≙ reference thread-per-row CUDA kernel's regime
+(cuda_src/csr_matrix_cuda.cu:122-148) — the TPU-native answer is a split,
+not a translation.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from .pallas_pr import DevicePR, device_put_pr, pr_spmv_pallas
+from .pallas_sell import (DeviceSell, device_put_sell, pack_x_table,
+                          sell_spmv_pallas)
+
+__all__ = ["DeviceSplit", "device_put_split", "split_spmv_pallas"]
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class DeviceSplit:
+    nrows: int
+    ncols: int
+    nnz: int
+    near: DeviceSell
+    far: DevicePR
+
+    def tree_flatten(self):
+        return (self.near, self.far), (self.nrows, self.ncols, self.nnz)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*aux, *children)
+
+    def spmv(self, x):
+        return split_spmv_pallas(self, x)
+
+
+def device_put_split(sm, dtype=jnp.float32, device=None) -> DeviceSplit:
+    return DeviceSplit(
+        nrows=sm.nrows, ncols=sm.ncols, nnz=sm.nnz,
+        near=device_put_sell(sm.near, dtype=dtype, device=device),
+        far=device_put_pr(sm.far, dtype=dtype, device=device),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "assembly"))
+def split_spmv_pallas(ds: DeviceSplit, x, *, interpret: bool = False,
+                      assembly: str = "auto"):
+    """y = near_sell(x) + far_pr(x), both natural row order, one program."""
+    x_tab = x if x.ndim == 2 else pack_x_table(x, ds.ncols)
+    y_near = sell_spmv_pallas(ds.near, x_tab, interpret=interpret,
+                              assembly=assembly)
+    y_far = pr_spmv_pallas(ds.far, x_tab, interpret=interpret)
+    return y_near + y_far[: ds.nrows]
