@@ -640,6 +640,60 @@ def run_matrix(
       except Exception as e:  # noqa: BLE001
         log(f"[{name}] pallas_split FAILED: {type(e).__name__}: {str(e)[:300]}")
 
+    if "pallas_split_dd" in cfg.kernels:
+      # fp64-class locality split: SELL-dd near + PR-dd far, renormalized
+      # with an error-free dd add (ops/pallas_split.py split_spmv_pallas_dd)
+      try:
+        from ..formats.split import SplitMatrix
+        from ..ops.pallas_split import (device_put_split_dd,
+                                        split_spmv_pallas_dd)
+
+        t0 = time.perf_counter()
+        try:
+            # reuse the f32 stage's conversion (dtype-agnostic host product)
+            sm_dd = locals().get("sm") or SplitMatrix.from_csr(csr_k)
+        except ValueError as e:
+            sm_dd = None
+            log(f"[{name}] pallas_split_dd skipped: {str(e)[:160]}")
+        if sm_dd is not None:
+            fstats["convert_split_dd_s"] = time.perf_counter() - t0
+            dsm_dd = device_put_split_dd(sm_dd)
+            xh = np.asarray(x, np.float32)
+            xl = np.asarray(x - xh.astype(np.float64), np.float32)
+            xh_d = device_put_x(xh, N, jnp.float32)
+            xl_d = device_put_x(xl, N, jnp.float32)
+            if cfg.flush_between_stages:
+                flush_hbm()
+            yh, yl = split_spmv_pallas_dd(dsm_dd, xh_d, xl_d,
+                                          interpret=not on_tpu)
+            y64 = np.asarray(yh, np.float64) + np.asarray(yl, np.float64)
+            if seg_map is not None:
+                dm = validate(np.bincount(np.asarray(seg_map), weights=y64,
+                                          minlength=M)[:M])
+            else:
+                dm = validate(y64)
+
+            def splitdd_fn(d, xh_, xl_):
+                yh_, yl_ = split_spmv_pallas_dd(d, xh_, xl_,
+                                                interpret=not on_tpu)
+                return yh_ + yl_
+
+            sec, _ = time_device_fn_slope(splitdd_fn, dsm_dd, xh_d, xl_d,
+                                          reps=cfg.iterations,
+                                          rounds=cfg.rounds)
+            stages["pallas_split_dd"] = StageResult(
+                "pallas_split_dd", sec, calculate_flops(nnz, sec) / 1e9, dm,
+                extra={"slab_dist": sm_dd.slab_dist,
+                       "far_frac": sm_dd.far_frac})
+            log(f"[{name}] pallas_split_dd: {sec*1e3:.3f} ms = "
+                f"{stages['pallas_split_dd'].gflops:.3f} GFLOPS "
+                f"(fp64-class), sig_diffs={dm.significant_diffs}")
+            del dsm_dd
+            gc.collect()
+      except Exception as e:  # noqa: BLE001
+        log(f"[{name}] pallas_split_dd FAILED: "
+            f"{type(e).__name__}: {str(e)[:300]}")
+
     if "pallas_bsr_spmm" in cfg.kernels:
       # MXU block-sparse SpMM: Y = A @ X with cfg.spmm_rhs dense RHS — the
       # op class SpMV can never feed the MXU (ops/pallas_bsr.py). Runs on

@@ -23,7 +23,8 @@ from .pallas_pr import DevicePR, device_put_pr, pr_spmv_pallas
 from .pallas_sell import (DeviceSell, device_put_sell, pack_x_table,
                           sell_spmv_pallas)
 
-__all__ = ["DeviceSplit", "device_put_split", "split_spmv_pallas"]
+__all__ = ["DeviceSplit", "device_put_split", "split_spmv_pallas",
+           "DeviceSplitDD", "device_put_split_dd", "split_spmv_pallas_dd"]
 
 
 @jax.tree_util.register_pytree_node_class
@@ -63,3 +64,62 @@ def split_spmv_pallas(ds: DeviceSplit, x, *, interpret: bool = False,
                               assembly=assembly)
     y_far = pr_spmv_pallas(ds.far, x_tab, interpret=interpret)
     return y_near + y_far[: ds.nrows]
+
+
+# ---------------------------------------------------------------------------
+# fp64-class (double-double) twin
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class DeviceSplitDD:
+    nrows: int
+    ncols: int
+    nnz: int
+    near: object   # DeviceSellDD
+    far: object    # DevicePRDD
+
+    def tree_flatten(self):
+        return (self.near, self.far), (self.nrows, self.ncols, self.nnz)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*aux, *children)
+
+
+def device_put_split_dd(sm, device=None) -> DeviceSplitDD:
+    """dd upload. The PR-dd kernel holds four VMEM scratch planes, so its
+    Beneš row cap is 2^14 (ops/pallas_pr_dd.py DD_PANEL_TARGET_ROWS)."""
+    from .pallas_pr_dd import (DD_PANEL_TARGET_ROWS, device_put_pr_dd)
+    from .pallas_sell_dd import device_put_sell_dd
+
+    if sm.far.n_rows > DD_PANEL_TARGET_ROWS:
+        raise ValueError(
+            f"split far PR problem has {sm.far.n_rows} Beneš rows > the dd "
+            f"VMEM cap {DD_PANEL_TARGET_ROWS} — dd split needs row panels "
+            f"(round-4 work); run the f32 stage instead")
+    return DeviceSplitDD(
+        nrows=sm.nrows, ncols=sm.ncols, nnz=sm.nnz,
+        near=device_put_sell_dd(sm.near, device=device),
+        far=device_put_pr_dd(sm.far, device=device),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def split_spmv_pallas_dd(ds: DeviceSplitDD, xh, xl, *,
+                         interpret: bool = False):
+    """fp64-class composite: (yh, yl) = near_dd(x) ⊕ far_dd(x), both
+    natural row order, renormalized with an error-free dd add."""
+    from .doubledouble import dd_add_dd
+    from .pallas_pr_dd import pr_spmv_pallas_dd
+    from .pallas_sell import pack_x_table as _pack
+    from .pallas_sell_dd import sell_spmv_pallas_dd
+
+    xh_tab = xh if xh.ndim == 2 else _pack(xh, ds.ncols)
+    xl_tab = xl if xl.ndim == 2 else _pack(xl, ds.ncols)
+    yh_n, yl_n = sell_spmv_pallas_dd(ds.near, xh_tab, xl_tab,
+                                     interpret=interpret)
+    yh_f, yl_f = pr_spmv_pallas_dd(ds.far, xh_tab, xl_tab,
+                                   interpret=interpret)
+    return dd_add_dd(yh_n, yl_n, yh_f[: ds.nrows], yl_f[: ds.nrows])

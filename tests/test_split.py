@@ -141,3 +141,29 @@ def test_split_kernel_road_network_interpret():
     y_ref = csr.spmv(x)
     rel = np.abs(y - y_ref) / np.maximum(1.0, np.abs(y_ref))
     assert rel.max() < 1e-5, f"max rel {rel.max():.2e}"
+
+
+@pytest.mark.slow
+def test_split_dd_kernel_interpret_fp64_class():
+    """dd composite: both halves' (hi, lo) planes renormalized with an
+    error-free add — fp64-class accuracy (~1e-13) on the band+tail shape."""
+    import jax.numpy as jnp
+
+    from sparsematrixvectormultiplication_tpu.ops.pallas_sell import (
+        device_put_x)
+    from sparsematrixvectormultiplication_tpu.ops.pallas_split import (
+        device_put_split_dd, split_spmv_pallas_dd)
+
+    csr = _band_plus_tail(n=6000, seed=13)
+    sm = SplitMatrix.from_csr(csr)
+    x = np.random.default_rng(8).standard_normal(csr.ncols)
+    xh = np.asarray(x, np.float32)
+    xl = np.asarray(x - xh.astype(np.float64), np.float32)
+    ds = device_put_split_dd(sm)
+    yh, yl = split_spmv_pallas_dd(
+        ds, device_put_x(xh, csr.ncols), device_put_x(xl, csr.ncols),
+        interpret=True)
+    y = np.asarray(yh, np.float64) + np.asarray(yl, np.float64)
+    ref = csr.spmv(x)
+    rel = np.abs(y - ref) / np.maximum(1.0, np.abs(ref))
+    assert rel.max() < 1e-11, f"max rel {rel.max():.2e}"
