@@ -41,6 +41,6 @@ echo "SPLITROAD START (budget ${LEFT}s) $(date)" >> "$LOG"
 timeout "$LEFT" python -m sparsematrixvectormultiplication_tpu.bench.cli \
   --matrix $D/road_like.mtx \
   --output-dir result_tpu_r3_split --iterations 64 --rounds 2 \
-  --kernels serial_csr,pallas_split --resume >> "$LOG" 2>&1
+  --kernels serial_csr,pallas_split,pallas_split_dd --resume >> "$LOG" 2>&1
 echo "SPLITROAD EXIT $? $(date)" >> "$LOG"
 echo "CHAIN7 DONE $(date)" >> "$LOG"
