@@ -55,6 +55,23 @@ class COOMatrix:
         nrows, ncols, row, col, val, _tc = read_matrix_market(path, **kwargs)
         return cls(nrows, ncols, row, col, val)
 
+    @classmethod
+    def from_scipy(cls, m) -> "COOMatrix":
+        """Adopt any ``scipy.sparse`` matrix/array (interop for users
+        migrating from the reference's scipy-oracle workflow, SURVEY §2
+        component 29)."""
+        c = m.tocoo()
+        return cls(int(c.shape[0]), int(c.shape[1]),
+                   c.row.astype(np.int32), c.col.astype(np.int32),
+                   np.asarray(c.data, np.float64))
+
+    def to_scipy(self):
+        """View as ``scipy.sparse.coo_matrix`` (zero-copy triplets)."""
+        import scipy.sparse as sp
+
+        return sp.coo_matrix((self.val, (self.row, self.col)),
+                             shape=(self.nrows, self.ncols))
+
     def sum_duplicates(self) -> "COOMatrix":
         """Coalesce duplicate (row, col) entries by summation."""
         key = self.row.astype(np.int64) * self.ncols + self.col.astype(np.int64)

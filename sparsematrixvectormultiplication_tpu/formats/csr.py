@@ -106,6 +106,22 @@ class CSRMatrix:
     def to_coo(self) -> COOMatrix:
         return COOMatrix(self.nrows, self.ncols, self.row_ids(), self.col_idx, self.values)
 
+    @classmethod
+    def from_scipy(cls, m) -> "CSRMatrix":
+        """Adopt any ``scipy.sparse`` matrix (sorted-column CSR)."""
+        c = m.tocsr()
+        c.sort_indices()
+        return cls(int(c.shape[0]), int(c.shape[1]),
+                   c.indptr.astype(np.int64), c.indices.astype(np.int32),
+                   np.asarray(c.data, np.float64))
+
+    def to_scipy(self):
+        """View as ``scipy.sparse.csr_matrix`` (zero-copy arrays)."""
+        import scipy.sparse as sp
+
+        return sp.csr_matrix((self.values, self.col_idx, self.row_ptr),
+                             shape=(self.nrows, self.ncols))
+
     def transpose(self) -> "CSRMatrix":
         """``A^T`` as a new CSR (counting-sort over swapped coordinates).
 

@@ -288,3 +288,24 @@ def test_native_csr_empty_and_single():
     row_ptr, col, val = out
     assert np.array_equal(row_ptr, [0, 0, 1, 1])
     assert col[0] == 2 and val[0] == 7.5
+
+
+def test_scipy_interop_roundtrip():
+    """from_scipy/to_scipy adapters (migration surface for reference users
+    whose oracle workflow is scipy, SURVEY §2 component 29)."""
+    import scipy.sparse as sp
+
+    from sparsematrixvectormultiplication_tpu.formats.coo import COOMatrix
+    from sparsematrixvectormultiplication_tpu.formats.csr import CSRMatrix
+
+    rng = np.random.default_rng(0)
+    m = sp.random(300, 200, density=0.02, random_state=rng, format="coo")
+    coo = COOMatrix.from_scipy(m)
+    assert coo.shape == (300, 200) and coo.nnz == m.nnz
+    back = coo.to_scipy()
+    assert (back != m.tocoo()).nnz == 0
+    csr = CSRMatrix.from_scipy(m)
+    x = rng.standard_normal(200)
+    np.testing.assert_allclose(csr.spmv(x), m @ x, rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(
+        np.asarray((csr.to_scipy() @ x)), m @ x, rtol=1e-12, atol=1e-14)
