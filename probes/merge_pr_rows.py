@@ -16,8 +16,9 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SRCS = [
-    os.path.join(REPO, "result_tpu_r3_pr", "spmv_results.csv"),   # dd rows
-    os.path.join(REPO, "result_tpu_r3_pr2", "spmv_results.csv"),  # f32 retry
+    os.path.join(REPO, "result_tpu_r3_pr", "spmv_results.csv"),    # dd rows
+    os.path.join(REPO, "result_tpu_r3_pr2", "spmv_results.csv"),   # f32 retry
+    os.path.join(REPO, "result_tpu_r3_split", "spmv_results.csv"),  # chain7
 ]
 DST = os.path.join(REPO, "result_tpu_r3", "spmv_results.csv")
 
@@ -40,7 +41,7 @@ def main() -> None:
         with open(DST, "a", newline="") as f:
             w = csv.writer(f)
             for r in src_rows[1:]:
-                if len(r) > 5 and r[4].startswith("pallas_pr") \
+                if len(r) > 5 and r[4].startswith(("pallas_pr", "pallas_split")) \
                         and (r[0], r[4], r[5]) not in have:
                     w.writerow(r)
                     have.add((r[0], r[4], r[5]))
