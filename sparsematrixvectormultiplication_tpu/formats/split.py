@@ -43,7 +43,7 @@ from .csr import CSRMatrix
 from .pr import PRMatrix
 from .sell import LANES, SellMatrix
 
-__all__ = ["SplitMatrix", "split_stats"]
+__all__ = ["SplitMatrix", "split_csr", "split_stats"]
 
 # candidate near thresholds, in x-slabs of |col//128 - row//128|
 _AUTO_DISTS = (1, 2, 4, 8, 16, 32)
@@ -67,6 +67,89 @@ def split_stats(csr: CSRMatrix, slab_dist: int) -> dict:
         "gslabs_all": int(np.unique(key_all).size) / max(ng, 1),
         "gslabs_near": int(np.unique(key_near).size) / max(ng, 1),
     }
+
+
+def split_csr(csr: CSRMatrix, *, slab_dist="auto",
+              max_far_frac: float = _MAX_FAR_FRAC):
+    """The host split underlying :class:`SplitMatrix` (reused by the SPMD
+    builder, parallel/spmd_split.py). Returns
+    ``(near_csr, pr_csr, slab_dist, far_frac)`` where ``pr_csr`` has
+    EXACTLY one entry per row (each far row's first far entry; zero-value
+    pads elsewhere, columns assigned to fill the far slabs' free lanes)."""
+    if csr.nnz == 0:
+        raise ValueError("split layout needs at least one entry")
+    rows = csr.row_ids().astype(np.int64)
+    col = csr.col_idx.astype(np.int64)
+    dist = np.abs((col >> 7) - (rows >> 7))
+    if slab_dist == "auto":
+        chosen = None
+        for d in _AUTO_DISTS:
+            st = split_stats(csr, d)
+            if (st["far_frac"] <= max_far_frac
+                    and st["gslabs_near"] <= 0.5 * st["gslabs_all"]):
+                chosen = d
+                break
+        if chosen is None:
+            raise ValueError(
+                "no profitable near threshold: matrix is pure-band "
+                "(use SellMatrix) or zero-locality (use PRMatrix)")
+        slab_dist = chosen
+    slab_dist = int(slab_dist)
+    far = dist > slab_dist
+    far_frac = float(far.mean())
+    if far_frac > max_far_frac:
+        raise ValueError(
+            f"far fraction {far_frac:.2f} > {max_far_frac} at "
+            f"slab_dist={slab_dist} — use plain PRMatrix instead")
+
+    # FIRST far entry of each row -> PR; the rest overflow to SELL
+    far_idx = np.flatnonzero(far)
+    far_rows = rows[far_idx]
+    first_mask = np.ones(far_idx.size, dtype=bool)
+    first_mask[1:] = far_rows[1:] != far_rows[:-1]  # CSR row-sorted
+    pr_idx = far_idx[first_mask]
+
+    keep = np.ones(csr.nnz, dtype=bool)
+    keep[pr_idx] = False
+    near_counts = np.bincount(rows[keep], minlength=csr.nrows)
+    near_ptr = np.zeros(csr.nrows + 1, dtype=np.int64)
+    np.cumsum(near_counts, out=near_ptr[1:])
+    near_csr = CSRMatrix(csr.nrows, csr.ncols, near_ptr,
+                         csr.col_idx[keep], csr.values[keep])
+
+    # ---- far part: one entry per row, natural-order PR ----
+    pr_col = np.zeros(csr.nrows, dtype=np.int64)
+    pr_val = np.zeros(csr.nrows, dtype=csr.values.dtype)
+    pr_rows_real = rows[pr_idx]
+    pr_col[pr_rows_real] = col[pr_idx]
+    pr_val[pr_rows_real] = csr.values[pr_idx]
+    # pad rows: fill the far slabs' free lanes so source rows don't grow;
+    # spill into the densest far slab (extra rows there are the fallback,
+    # still one slab)
+    pad_rows = np.flatnonzero(np.bincount(
+        pr_rows_real, minlength=csr.nrows) == 0)
+    if pad_rows.size:
+        far_slabs = col[pr_idx] >> 7
+        if far_slabs.size:
+            uniq, cnt = np.unique(far_slabs, return_counts=True)
+            free = (-(-cnt // LANES)) * LANES - cnt
+            fill_slabs = np.repeat(uniq, free)
+            if fill_slabs.size < pad_rows.size:
+                fill_slabs = np.concatenate([
+                    fill_slabs,
+                    np.full(pad_rows.size - fill_slabs.size,
+                            int(uniq[np.argmax(cnt)]), dtype=np.int64),
+                ])
+            pad_cols = fill_slabs[: pad_rows.size] * LANES
+        else:  # degenerate: no far entries at all
+            pad_cols = np.zeros(pad_rows.size, dtype=np.int64)
+        pr_col[pad_rows] = np.minimum(pad_cols, csr.ncols - 1)
+    ones = np.ones(csr.nrows, dtype=np.int64)
+    pr_ptr = np.zeros(csr.nrows + 1, dtype=np.int64)
+    np.cumsum(ones, out=pr_ptr[1:])
+    pr_csr = CSRMatrix(csr.nrows, csr.ncols, pr_ptr,
+                       pr_col.astype(np.int32), pr_val)
+    return near_csr, pr_csr, slab_dist, far_frac
 
 
 @dataclass(frozen=True)
@@ -116,80 +199,9 @@ class SplitMatrix:
         pure-band — use plain SELL — or zero-locality — use plain PR).
         ``sell_kw`` forwards to ``SellMatrix.from_csr`` for the near part.
         """
-        if csr.nnz == 0:
-            raise ValueError("split layout needs at least one entry")
-        rows = csr.row_ids().astype(np.int64)
-        col = csr.col_idx.astype(np.int64)
-        dist = np.abs((col >> 7) - (rows >> 7))
-        if slab_dist == "auto":
-            chosen = None
-            for d in _AUTO_DISTS:
-                st = split_stats(csr, d)
-                if (st["far_frac"] <= max_far_frac
-                        and st["gslabs_near"] <= 0.5 * st["gslabs_all"]):
-                    chosen = d
-                    break
-            if chosen is None:
-                raise ValueError(
-                    "no profitable near threshold: matrix is pure-band "
-                    "(use SellMatrix) or zero-locality (use PRMatrix)")
-            slab_dist = chosen
-        slab_dist = int(slab_dist)
-        far = dist > slab_dist
-        far_frac = float(far.mean())
-        if far_frac > max_far_frac:
-            raise ValueError(
-                f"far fraction {far_frac:.2f} > {max_far_frac} at "
-                f"slab_dist={slab_dist} — use plain PRMatrix instead")
-
-        # FIRST far entry of each row -> PR; the rest overflow to SELL
-        far_idx = np.flatnonzero(far)
-        far_rows = rows[far_idx]
-        first_mask = np.ones(far_idx.size, dtype=bool)
-        first_mask[1:] = far_rows[1:] != far_rows[:-1]  # CSR row-sorted
-        pr_idx = far_idx[first_mask]
-
-        keep = np.ones(csr.nnz, dtype=bool)
-        keep[pr_idx] = False
-        near_counts = np.bincount(rows[keep], minlength=csr.nrows)
-        near_ptr = np.zeros(csr.nrows + 1, dtype=np.int64)
-        np.cumsum(near_counts, out=near_ptr[1:])
-        near_csr = CSRMatrix(csr.nrows, csr.ncols, near_ptr,
-                             csr.col_idx[keep], csr.values[keep])
+        near_csr, pr_csr, slab_dist, far_frac = split_csr(
+            csr, slab_dist=slab_dist, max_far_frac=max_far_frac)
         near = SellMatrix.from_csr(near_csr, **sell_kw)
-
-        # ---- far part: one entry per row, natural-order PR ----
-        pr_col = np.zeros(csr.nrows, dtype=np.int64)
-        pr_val = np.zeros(csr.nrows, dtype=csr.values.dtype)
-        pr_rows_real = rows[pr_idx]
-        pr_col[pr_rows_real] = col[pr_idx]
-        pr_val[pr_rows_real] = csr.values[pr_idx]
-        # pad rows: fill the far slabs' free lanes so source rows don't
-        # grow; spill into the densest far slab (extra rows there are the
-        # fallback, still one slab)
-        pad_rows = np.flatnonzero(np.bincount(
-            pr_rows_real, minlength=csr.nrows) == 0)
-        if pad_rows.size:
-            far_slabs = col[pr_idx] >> 7
-            if far_slabs.size:
-                uniq, cnt = np.unique(far_slabs, return_counts=True)
-                free = (-(-cnt // LANES)) * LANES - cnt
-                fill_slabs = np.repeat(uniq, free)
-                if fill_slabs.size < pad_rows.size:
-                    fill_slabs = np.concatenate([
-                        fill_slabs,
-                        np.full(pad_rows.size - fill_slabs.size,
-                                int(uniq[np.argmax(cnt)]), dtype=np.int64),
-                    ])
-                pad_cols = fill_slabs[: pad_rows.size] * LANES
-            else:  # degenerate: no far entries at all
-                pad_cols = np.zeros(pad_rows.size, dtype=np.int64)
-            pr_col[pad_rows] = np.minimum(pad_cols, csr.ncols - 1)
-        ones = np.ones(csr.nrows, dtype=np.int64)
-        pr_ptr = np.zeros(csr.nrows + 1, dtype=np.int64)
-        np.cumsum(ones, out=pr_ptr[1:])
-        pr_csr = CSRMatrix(csr.nrows, csr.ncols, pr_ptr,
-                           pr_col.astype(np.int32), pr_val)
         far_pr = PRMatrix.from_csr(pr_csr, k_bins=(1,))
         # uniform nnz -> stable argsort is the identity: the PR kernel's
         # output is ALREADY natural row order, the whole point of the pads

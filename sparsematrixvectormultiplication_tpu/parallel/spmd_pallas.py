@@ -48,6 +48,10 @@ class SpmdSell:
     ncols: int
     nnz: int
     axis: str = "rows"
+    # (n_shards, 2) [group_start, group_end) of each shard's row range —
+    # lets composites (spmd_split.py) build aligned shards of a sibling
+    # structure over the SAME partition
+    group_bounds: np.ndarray | None = None
 
     @property
     def n_shards(self) -> int:
@@ -185,6 +189,7 @@ def build_spmd_sell(
         ncols=csr.ncols,
         nnz=csr.nnz,
         axis=axis,
+        group_bounds=np.stack([gstarts, gends], axis=1),
     )
 
 

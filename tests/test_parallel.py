@@ -331,3 +331,37 @@ def test_spmd_pr_needs_multiple_panels_per_shard():
     y_ref = csr.spmv(x)
     rel = np.abs(y - y_ref) / np.maximum(np.abs(y_ref), 1e-30)
     assert int(((np.abs(y - y_ref) > 1e-5) & (rel > 1e-5)).sum()) == 0
+
+
+@pytest.mark.slow
+def test_spmd_split_shard_map():
+    """The locality-split composite under shard_map: near SELL shards and
+    far natural-order PR shards over the SAME group partition, local
+    same-shape vector add, natural-order reassembly."""
+    from sparsematrixvectormultiplication_tpu import COOMatrix, CSRMatrix
+    from sparsematrixvectormultiplication_tpu.models.synthetic import banded
+    from sparsematrixvectormultiplication_tpu.parallel.spmd_split import (
+        build_spmd_split,
+        split_spmv_spmd,
+    )
+
+    # band + scattered tail at >= 8 groups so every shard is non-empty
+    rng = np.random.default_rng(21)
+    n = 9000
+    coo = banded(n, 4, 60, seed=21)
+    nf = coo.row.size // 20
+    fr = rng.integers(0, n, nf).astype(np.int32)
+    fc = rng.integers(0, n, nf).astype(np.int32)
+    c = COOMatrix(n, n, np.concatenate([coo.row, fr]),
+                  np.concatenate([coo.col, fc]),
+                  np.concatenate([coo.val, rng.standard_normal(nf)]))
+    csr = CSRMatrix.from_coo(c)
+
+    mesh = make_mesh(8, ("rows",))
+    spmd = build_spmd_split(csr, 8, mesh=mesh)
+    assert spmd.far.val.shape[0] == 8
+    x = rng.standard_normal(n)
+    y = split_spmv_spmd(spmd, x, mesh, interpret=True).astype(np.float64)
+    y_ref = csr.spmv(x)
+    rel = np.abs(y - y_ref) / np.maximum(1.0, np.abs(y_ref))
+    assert rel.max() < 1e-5, f"max rel {rel.max():.2e}"
