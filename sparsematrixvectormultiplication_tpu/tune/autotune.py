@@ -57,6 +57,11 @@ class TuneResult:
 # and re-uploads the matrix, and a 119M-nnz matrix makes that hours
 _TUNE_NNZ_CAP = 20_000_000
 
+# don't device-time candidates whose f32 device arrays exceed this — at
+# the runtime's ~20-40 MB/s upload rate a 65x-padded scattered candidate
+# costs minutes to time and its padding already disqualifies it
+_TUNE_UPLOAD_CAP_BYTES = 600 * 1024 * 1024
+
 
 def _tune_sample(csr: CSRMatrix, x):
     """Group-aligned row prefix of ~_TUNE_NNZ_CAP nnz (tuning measures
@@ -124,6 +129,21 @@ def autotune_sell(
         stats = sell.memory_stats()
         stats["convert_s"] = conv_s
         if on_tpu:
+            # upload-cost gate: this runtime sustains only ~20-40 MB/s to
+            # the device, so a 65x-padded scattered candidate costs 5-10
+            # MINUTES of pure upload to measure a kernel that padding
+            # already disqualifies (powerlaw_web, sweep_r3 Aug 19: the
+            # tune alone ate the resume budget). Candidates beyond the cap
+            # keep their host conversion stats but are not device-timed.
+            dev_bytes = int(stats["padded_nnz"]) * 8  # f32 ja+as planes
+            if dev_bytes > _TUNE_UPLOAD_CAP_BYTES:
+                if log:
+                    log(f"[tune] {cand.name} skipped: device arrays "
+                        f"{dev_bytes / 2**20:.0f} MiB > upload cap "
+                        f"{_TUNE_UPLOAD_CAP_BYTES / 2**20:.0f} MiB")
+                table.append((cand.name, float("inf"),
+                              {"skipped": f"upload {dev_bytes>>20} MiB"}))
+                continue
             # per-candidate failure tolerance: adversarial regimes produce
             # candidates that exceed the upload guard (65x-padded scattered
             # SELL -> MemoryError), SMEM (sb-list prefetch tables), or VMEM

@@ -126,3 +126,28 @@ def test_autotune_candidate_failure_is_tolerated(make_random_coo, monkeypatch):
     assert tr.best is None
     assert all(s == float("inf") for _, s, _ in tr.table)
     assert any("FAILED" in m for m in msgs)
+
+
+def test_autotune_upload_cap_skips_padded_candidates(make_random_coo, monkeypatch):
+    """Candidates whose padded device arrays exceed the upload cap must be
+    skipped without a device upload (the runtime uploads at ~20-40 MB/s:
+    powerlaw_web's 65x-padded candidates each cost minutes to time)."""
+    from sparsematrixvectormultiplication_tpu.tune import autotune as at
+
+    coo, _ = make_random_coo(600, 600, 0.01)
+    csr = CSRMatrix.from_coo(coo)
+
+    class _FakeDev:
+        platform = "tpu"
+
+    monkeypatch.setattr(at.jax, "devices", lambda: [_FakeDev()])
+    monkeypatch.setattr(at, "_TUNE_UPLOAD_CAP_BYTES", 1)  # everything too big
+
+    def _boom(sell, dtype=None):
+        raise AssertionError("device_put_sell must not be called")
+
+    monkeypatch.setattr(at, "device_put_sell", _boom)
+    msgs = []
+    tr = at.autotune_sell(csr, x=np.ones(600), log=msgs.append)
+    assert tr.best is None
+    assert any("skipped" in m for m in msgs)
