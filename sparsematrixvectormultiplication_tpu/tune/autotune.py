@@ -114,10 +114,35 @@ def autotune_sell(
         x = np.ones(csr.ncols)
     csr, x = _tune_sample(csr, x)
 
+    # pre-conversion padding estimate (K-bin pad from the row-nnz profile,
+    # no conversion): scattered power-law shapes pad 60x+, and CONVERTING
+    # such a candidate costs minutes before the upload gate can reject it
+    nnz_rows = np.diff(csr.row_ptr).astype(np.int64)
+    padded_rows_n = -(-csr.nrows // 1024) * 1024
+    prof = np.zeros(padded_rows_n, np.int64)
+    prof[: csr.nrows] = nnz_rows
+    kg_prof = prof.reshape(-1, 1024).max(axis=1)
+
+    def _est_padded(k_bins):
+        edges = np.asarray(sorted(set(int(e) for e in k_bins)), np.int64)
+        idx = np.minimum(np.searchsorted(edges, np.maximum(kg_prof, 1),
+                                         side="left"), edges.size - 1)
+        K = np.maximum(edges[idx], np.maximum(kg_prof, 1))
+        return int(K.sum()) * 1024
+
     table = []
     best = None
     best_sec = float("inf")
     for cand in candidates:
+        if on_tpu:
+            est_bytes = _est_padded(cand.k_bins) * 8
+            if est_bytes > _TUNE_UPLOAD_CAP_BYTES:
+                if log:
+                    log(f"[tune] {cand.name} skipped: est device arrays "
+                        f"{est_bytes / 2**20:.0f} MiB > upload cap")
+                table.append((cand.name, float("inf"),
+                              {"skipped": f"est {est_bytes>>20} MiB"}))
+                continue
         t0 = time.perf_counter()
         try:
             sell = SellMatrix.from_csr(csr, k_bins=cand.k_bins, layout=cand.layout,
