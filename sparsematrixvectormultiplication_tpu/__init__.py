@@ -12,6 +12,8 @@ from .formats.coo import COOMatrix
 from .formats.csr import CSRMatrix
 from .formats.hll import DEFAULT_HACK_SIZE, HLLMatrix
 from .formats.sell import SellMatrix
+from .formats.split import SplitMatrix
+from .ops.auto import auto_device_op, choose_format
 from .io.mmio import (
     MMIOError,
     MMTypeCode,
@@ -27,6 +29,9 @@ __all__ = [
     "CSRMatrix",
     "HLLMatrix",
     "SellMatrix",
+    "SplitMatrix",
+    "auto_device_op",
+    "choose_format",
     "DEFAULT_HACK_SIZE",
     "MMIOError",
     "MMTypeCode",
