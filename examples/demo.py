@@ -199,6 +199,14 @@ def main():
         print(f"PageRank: {int(iters)} iterations, L1 delta {float(delta):.2e}, "
               f"sum={float(np.asarray(p).sum()):.6f}")
 
+    # ---- automatic format selection (ops/auto.py) ----
+    kind, astats = spmv.choose_format(csr)
+    print(f"auto format: {kind} ({astats.get('reason')})")
+    op = spmv.auto_device_op(csr)
+    y_auto = op.matvec(x)
+    rel = np.abs(y_auto - y_oracle) / np.maximum(1.0, np.abs(y_oracle))
+    print(f"auto matvec ({op.kind}): max rel vs oracle {rel.max():.2e}")
+
     if on_tpu:
         from sparsematrixvectormultiplication_tpu.utils.timing import (
             time_device_fn_batched,

@@ -40,7 +40,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from .csr import CSRMatrix
-from .pr import PRMatrix
+from .pr import PanelPRMatrix, PRMatrix, pr_from_csr
 from .sell import LANES, SellMatrix
 
 __all__ = ["SplitMatrix", "split_csr", "split_stats"]
@@ -50,6 +50,12 @@ _AUTO_DISTS = (1, 2, 4, 8, 16, 32)
 # a split only pays when the tail is small: beyond this the PR part should
 # own the whole matrix instead (plain pallas_pr stage)
 _MAX_FAR_FRAC = 0.30
+# per-panel Beneš row cap for the far side. 2^14 is the dd kernel's VMEM
+# capacity (ops/pallas_pr_dd.py DD_PANEL_TARGET_ROWS: four scratch planes),
+# and also the f32 size this worker's compile helper accepts reliably —
+# building to the smaller cap lets ONE host product serve both precisions
+# (the harness reuses the f32 stage's SplitMatrix for pallas_split_dd).
+_FAR_TARGET_ROWS = 1 << 14
 
 
 def split_stats(csr: CSRMatrix, slab_dist: int) -> dict:
@@ -163,7 +169,9 @@ class SplitMatrix:
     slab_dist: int
     far_frac: float
     near: SellMatrix   # near entries + far overflow (>=2nd far entry/row)
-    far: PRMatrix      # uniform k=1, natural-order destinations
+    far: object        # PRMatrix | PanelPRMatrix: uniform k=1, natural order
+                       # (row panels for matrices beyond one Beneš problem's
+                       # cap; uniform k keeps panel concat in natural order)
 
     @property
     def shape(self):
@@ -189,6 +197,7 @@ class SplitMatrix:
     @classmethod
     def from_csr(cls, csr: CSRMatrix, *, slab_dist="auto",
                  max_far_frac: float = _MAX_FAR_FRAC,
+                 far_target_rows: int = _FAR_TARGET_ROWS,
                  **sell_kw) -> "SplitMatrix":
         """Split ``csr`` by column-slab distance from the diagonal.
 
@@ -197,14 +206,23 @@ class SplitMatrix:
         removes at least half the per-group distinct slabs; raises
         ``ValueError`` when no threshold qualifies (the matrix is either
         pure-band — use plain SELL — or zero-locality — use plain PR).
-        ``sell_kw`` forwards to ``SellMatrix.from_csr`` for the near part.
+        ``far_target_rows`` caps one far Beneš problem; larger matrices get
+        contiguous row-slice panels (PanelPRMatrix) whose concatenated
+        output is STILL natural row order because every far row holds
+        exactly one entry (stable sigma sort = identity within and across
+        panels). ``sell_kw`` forwards to ``SellMatrix.from_csr`` for the
+        near part.
         """
         near_csr, pr_csr, slab_dist, far_frac = split_csr(
             csr, slab_dist=slab_dist, max_far_frac=max_far_frac)
         near = SellMatrix.from_csr(near_csr, **sell_kw)
-        far_pr = PRMatrix.from_csr(pr_csr, k_bins=(1,))
+        far_pr = pr_from_csr(pr_csr, k_bins=(1,),
+                             target_rows=far_target_rows)
         # uniform nnz -> stable argsort is the identity: the PR kernel's
-        # output is ALREADY natural row order, the whole point of the pads
+        # output is ALREADY natural row order, the whole point of the pads.
+        # Panel builds must preserve it too (contiguous chunks, identity
+        # sigma inside each panel, no skipped chunks: every row has an
+        # entry, so no all-zero sigma tail exists).
         assert far_pr.row_perm.size == 0 or (
             far_pr.row_perm == np.arange(csr.nrows)).all()
 

@@ -89,16 +89,21 @@ class DeviceSplitDD:
 
 
 def device_put_split_dd(sm, device=None) -> DeviceSplitDD:
-    """dd upload. The PR-dd kernel holds four VMEM scratch planes, so its
-    Beneš row cap is 2^14 (ops/pallas_pr_dd.py DD_PANEL_TARGET_ROWS)."""
+    """dd upload. The PR-dd kernel holds four VMEM scratch planes, so ONE
+    Beneš problem caps at 2^14 rows (ops/pallas_pr_dd.py
+    DD_PANEL_TARGET_ROWS); SplitMatrix.from_csr builds the far side to
+    that per-panel cap (formats/split.py _FAR_TARGET_ROWS), so paneled
+    far sides upload directly — the guard checks the WORST panel only."""
     from .pallas_pr_dd import (DD_PANEL_TARGET_ROWS, device_put_pr_dd)
     from .pallas_sell_dd import device_put_sell_dd
 
-    if sm.far.n_rows > DD_PANEL_TARGET_ROWS:
+    worst = max(p.n_rows for p in getattr(sm.far, "panels", (sm.far,)))
+    if worst > DD_PANEL_TARGET_ROWS:
         raise ValueError(
-            f"split far PR problem has {sm.far.n_rows} Beneš rows > the dd "
-            f"VMEM cap {DD_PANEL_TARGET_ROWS} — dd split needs row panels "
-            f"(round-4 work); run the f32 stage instead")
+            f"split far PR panel has {worst} Beneš rows > the dd VMEM cap "
+            f"{DD_PANEL_TARGET_ROWS} — rebuild with "
+            f"SplitMatrix.from_csr(far_target_rows=<=2^14) or run the f32 "
+            f"stage instead")
     return DeviceSplitDD(
         nrows=sm.nrows, ncols=sm.ncols, nnz=sm.nnz,
         near=device_put_sell_dd(sm.near, device=device),
