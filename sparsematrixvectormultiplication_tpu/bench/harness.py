@@ -434,6 +434,9 @@ def run_matrix(
             log(f"[{name}] pallas_hll skipped: HLL padded area "
                 f"{hll_padded} / max block MAXNZ {hll_maxnz}")
         else:
+          try:  # upload guard raises MemoryError (2.4 GiB HLL repack on
+                # power-law heavy-split rows) — keep it a per-stage skip,
+                # not a whole-matrix abort
             from ..ops.pallas_hll import device_put_hll_pallas, hll_spmv_pallas
 
             dhll = device_put_hll_pallas(hll, dtype=dt)
@@ -442,6 +445,8 @@ def run_matrix(
                 lambda d, xx: hll_spmv_pallas(d, xx, interpret=not on_tpu),
                 dhll, device_put_x(x, N, dt),
             )
+          except MemoryError as e:
+            log(f"[{name}] pallas_hll skipped: {e}")
 
     if "pallas_sell_sigma" in cfg.kernels:
       # SELL-C-sigma: rows sorted by nnz (padding collapse on power-law);

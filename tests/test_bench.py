@@ -253,3 +253,28 @@ def test_native_csv_includes_new_stages(tmp_path):
     rows = _read_csv(p)
     stages = {r[4] for r in rows[1:]}
     assert {"pallas_sell", "pallas_sell_bf16", "pallas_sell_spmm"} <= stages
+
+
+def test_hll_upload_guard_is_per_stage(monkeypatch):
+    """An oversize pallas_hll upload (MemoryError from the worker-crash
+    guard) must skip that stage only — sweep_r3 Aug 19 evening: the raise
+    at harness.py's device_put_hll_pallas call aborted powerlaw_web's
+    whole run_matrix, losing the sigma and dd stages."""
+    from sparsematrixvectormultiplication_tpu.models.synthetic import banded
+    from sparsematrixvectormultiplication_tpu.ops import pallas_hll as ph
+
+    def _boom(hll, dtype=None, device=None):
+        raise MemoryError("SELL device arrays 2426 MiB > 2200 MiB")
+
+    monkeypatch.setattr(ph, "device_put_hll_pallas", _boom)
+    coo = banded(1500, 8, 64, seed=0)
+    cfg = BenchConfig(
+        iterations=2, rounds=1, skip=1,
+        kernels=("serial_csr", "pallas_hll", "pallas_sell_sigma"),
+        flush_between_stages=False,
+    )
+    msgs = []
+    res = run_matrix("hll_oom", coo, cfg, log=lambda m, *a, **k: msgs.append(m))
+    assert "pallas_hll" not in res.stages
+    assert "pallas_sell_sigma" in res.stages          # later stages survive
+    assert any("pallas_hll skipped" in m for m in msgs)
