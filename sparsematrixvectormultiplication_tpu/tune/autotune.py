@@ -12,6 +12,7 @@ candidate and returns the winner plus a log for
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 
@@ -130,10 +131,31 @@ def autotune_sell(
         K = np.maximum(edges[idx], np.maximum(kg_prof, 1))
         return int(K.sum()) * 1024
 
+    # operator opt-out: candidate names listed in <repo>/.tune_skip (one per
+    # line, '#' comments) are skipped without conversion or upload. Read per
+    # autotune_sell call so a LIVE sweep can be steered between matrices —
+    # added Aug 19 after a default-sbmajor device call blocked a worker-side
+    # hang for 40+ min with no timeout able to interrupt it in-process.
+    skip_names: set = set()
+    try:
+        _skip_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), ".tune_skip")
+        with open(_skip_path) as _f:
+            skip_names = {ln.strip() for ln in _f
+                          if ln.strip() and not ln.startswith("#")}
+    except OSError:
+        pass
+
     table = []
     best = None
     best_sec = float("inf")
     for cand in candidates:
+        if cand.name in skip_names:
+            if log:
+                log(f"[tune] {cand.name} skipped: listed in .tune_skip")
+            table.append((cand.name, float("inf"), {"skipped": ".tune_skip"}))
+            continue
         if on_tpu:
             est_bytes = _est_padded(cand.k_bins) * 8
             if est_bytes > _TUNE_UPLOAD_CAP_BYTES:

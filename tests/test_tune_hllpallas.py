@@ -151,3 +151,29 @@ def test_autotune_upload_cap_skips_padded_candidates(make_random_coo, monkeypatc
     tr = at.autotune_sell(csr, x=np.ones(600), log=msgs.append)
     assert tr.best is None
     assert any("skipped" in m for m in msgs)
+
+
+def test_tune_skip_file_opts_out_candidates(make_random_coo, monkeypatch, tmp_path):
+    """Candidate names listed in <repo>/.tune_skip are skipped before any
+    conversion/upload (live-steering escape hatch for worker-side hangs:
+    sweep_r3 Aug 19 evening, default-sbmajor blocked 40+ min in a tunnel
+    call no in-process timeout can interrupt)."""
+    import sparsematrixvectormultiplication_tpu.tune.autotune as at
+
+    coo, _ = make_random_coo(600, 600, 0.01)
+    csr = CSRMatrix.from_coo(coo)
+    skip = tmp_path / ".tune_skip"
+    skip.write_text("# comment\ndefault-sbmajor\n")
+    real_open = open
+
+    def _open(path, *a, **k):
+        if str(path).endswith(".tune_skip"):
+            return real_open(skip, *a, **k)
+        return real_open(path, *a, **k)
+
+    monkeypatch.setattr("builtins.open", _open)
+    msgs = []
+    tr = at.autotune_sell(csr, x=np.ones(600), log=msgs.append)
+    assert any("default-sbmajor skipped: listed in .tune_skip" in m for m in msgs)
+    skipped = dict((n, meta) for n, _, meta in tr.table)
+    assert skipped["default-sbmajor"] == {"skipped": ".tune_skip"}
