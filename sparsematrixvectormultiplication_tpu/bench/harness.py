@@ -217,9 +217,13 @@ def run_matrix(
         assembly = tr.assembly
         best_hack, hack_rows = autotune_hack_size(csr, log=log)
         hack_size = best_hack or hack_size
+        # tr.best None means the tuner RAN and every candidate lost or was
+        # skipped (upload caps, .tune_skip) — the shipped config is the
+        # default. Record that decision explicitly: an empty tuned_ladder
+        # column reads as "tuner never ran" (VERDICT r2 item 4).
         fstats["tune"] = {
-            "ladder": tr.best.name if tr.best else "",
-            "layout": tr.best.layout if tr.best else "",
+            "ladder": tr.best.name if tr.best else "default",
+            "layout": tr.best.layout if tr.best else cfg.sell_layout,
             "assembly": tr.assembly,
             "hack_size": best_hack,
             "table": [(n, s) for n, s, _ in tr.table],

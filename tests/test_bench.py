@@ -278,3 +278,27 @@ def test_hll_upload_guard_is_per_stage(monkeypatch):
     assert "pallas_hll" not in res.stages
     assert "pallas_sell_sigma" in res.stages          # later stages survive
     assert any("pallas_hll skipped" in m for m in msgs)
+
+
+def test_autotune_exhausted_records_default(monkeypatch):
+    """When the tuner runs but every candidate loses or is skipped
+    (tr.best None), the tile-config row must say "default", not "" —
+    an empty tuned_ladder column reads as "tuner never ran"
+    (VERDICT r2 item 4; powerlaw/webbase/dense_rows rows in
+    result_tpu_r3 predate this and document the same state as '')."""
+    from sparsematrixvectormultiplication_tpu.tune import autotune as at
+
+    monkeypatch.setattr(
+        at, "autotune_sell",
+        lambda csr, x=None, dtype=None, log=None: at.TuneResult(
+            best=None, best_seconds=float("inf")),
+    )
+    monkeypatch.setattr(
+        at, "autotune_hack_size", lambda csr, log=None: (None, []))
+    coo = banded(800, 6, 48, seed=3)
+    cfg = BenchConfig(iterations=2, rounds=1, skip=1, autotune=True,
+                      kernels=("serial_csr",), flush_between_stages=False)
+    res = run_matrix("tune_exhausted", coo, cfg, log=lambda *a, **k: None)
+    tune = res.format_stats["tune"]
+    assert tune["ladder"] == "default"
+    assert tune["layout"] == cfg.sell_layout
