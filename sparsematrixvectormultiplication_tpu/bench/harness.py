@@ -120,6 +120,21 @@ def _dtype(cfg: BenchConfig):
             "bfloat16": jnp.bfloat16}[cfg.dtype]
 
 
+def _transient_compile_error(e: Exception) -> bool:
+    """True for the tunneled worker's FLAKY remote-compile failures.
+
+    The axon worker's compile helper intermittently dies with
+    ``remote_compile: HTTP 500: tpu_compile_helper subprocess exit code 1``
+    on kernels that compiled fine seconds earlier in the same process (the
+    Aug-20 sweep lost ml_laplace's pallas_sell row to this after the tuner
+    timed the SAME wl-shed config at 3.95 ms).  These are worth one retry;
+    deterministic Mosaic rejections (ValueError, lowering errors) are not.
+    """
+    msg = str(e)
+    return ("remote_compile" in msg and
+            ("HTTP 50" in msg or "tpu_compile_helper" in msg))
+
+
 def run_matrix(
     name: str,
     coo: COOMatrix,
@@ -256,23 +271,31 @@ def run_matrix(
         # output (auto-sigma) against the permuted oracle. ``time_fn`` (if
         # given) is what gets TIMED — used to keep host-reducible epilogues
         # (heavy-row segment reduction) out of the timed kernel path.
-        try:
-            if cfg.flush_between_stages:
-                flush_hbm()
-            y = np.asarray(fn(*args))  # correctness pass (also compiles)
-            dm = validate(y, perm, ref)
-            # slope timing cancels the tunnel's fixed ~32 ms per-invocation
-            # cost, which inflates every sub-ms kernel by fixed/reps at
-            # one-point timing (utils/timing.py time_device_fn_slope)
-            sec, _ = time_device_fn_slope(time_fn or fn, *args,
-                                          reps=cfg.iterations,
-                                          rounds=cfg.rounds)
-        except Exception as e:  # noqa: BLE001
-            log(f"[{name}] {stage} FAILED: {type(e).__name__}: {str(e)[:300]}")
-            return
+        for attempt in (0, 1):
+            try:
+                if cfg.flush_between_stages:
+                    flush_hbm()
+                y = np.asarray(fn(*args))  # correctness pass (also compiles)
+                dm = validate(y, perm, ref)
+                # slope timing cancels the tunnel's fixed ~32 ms per-invocation
+                # cost, which inflates every sub-ms kernel by fixed/reps at
+                # one-point timing (utils/timing.py time_device_fn_slope)
+                sec, _ = time_device_fn_slope(time_fn or fn, *args,
+                                              reps=cfg.iterations,
+                                              rounds=cfg.rounds)
+                break
+            except Exception as e:  # noqa: BLE001
+                if attempt == 0 and _transient_compile_error(e):
+                    log(f"[{name}] {stage} transient remote-compile failure "
+                        f"({str(e)[:120]}) — retrying in 30 s")
+                    time.sleep(30)
+                    continue
+                log(f"[{name}] {stage} FAILED: {type(e).__name__}: {str(e)[:300]}")
+                return False
         stages[stage] = StageResult(stage, sec, calculate_flops(nnz, sec) / 1e9, dm)
         log(f"[{name}] {stage}: {sec*1e3:.3f} ms = {stages[stage].gflops:.3f} GFLOPS, "
             f"sig_diffs={dm.significant_diffs}, max_rel={dm.max_rel_err:.2e}")
+        return True
 
     # NOTE: device data is always threaded through as jit ARGUMENTS, never
     # captured in closures — this runtime ships closure constants inside the
@@ -366,25 +389,52 @@ def run_matrix(
         fstats["sell"] = sell.memory_stats()
     on_tpu = jax.devices()[0].platform != "cpu"
 
-    if "pallas_sell" in cfg.kernels and sell is not None:
-      try:  # the upload guard can raise MemoryError — keep it a per-stage
-            # skip like xla_csr/sigma/dd, not a whole-matrix abort
-        dsell = device_put_sell(sell, dtype=dt)
-        ids = _kernel_ids(sell)
+    def _run_pallas_sell(sell_obj, asm):
+        """Returns True on success OR clean MemoryError skip (no fallback
+        wanted), False on a stage failure worth falling back from."""
+        try:  # the upload guard can raise MemoryError — keep it a per-stage
+              # skip like xla_csr/sigma/dd, not a whole-matrix abort
+            dsell = device_put_sell(sell_obj, dtype=dt)
+        except MemoryError as e:
+            log(f"[{name}] pallas_sell skipped: {e}")
+            return True
+        ids = _kernel_ids(sell_obj)
 
         def _sell_fn(d, xx, _ids=ids):
-            y = sell_spmv_pallas(d, xx, interpret=not on_tpu,
-                                 assembly=assembly)
+            y = sell_spmv_pallas(d, xx, interpret=not on_tpu, assembly=asm)
             if _ids is not None:
                 y = jax.ops.segment_sum(y, _ids, num_segments=M)
             return y
 
-        run_device_stage(
-            "pallas_sell", _sell_fn, dsell, _x_for(sell),
+        return bool(run_device_stage(
+            "pallas_sell", _sell_fn, dsell, _x_for(sell_obj),
             time_fn=lambda d, xx: sell_spmv_pallas(
-                d, xx, interpret=not on_tpu, assembly=assembly))
-      except MemoryError as e:
-        log(f"[{name}] pallas_sell skipped: {e}")
+                d, xx, interpret=not on_tpu, assembly=asm)))
+
+    if "pallas_sell" in cfg.kernels and sell is not None:
+        default_kw = {"layout": cfg.sell_layout}
+        if not _run_pallas_sell(sell, assembly) and (
+                sell_kw != default_kw or assembly != "auto"):
+            # the tuned ladder's kernel failed even after the transient
+            # retry (worker compile-helper HTTP 500s hit specific tuned
+            # configs, Aug-19/20 sweeps) — fall back to the default ladder
+            # so the matrix still ships a pallas_sell row; sigma/dd below
+            # reuse the fallback bins, matching what actually measured.
+            log(f"[{name}] pallas_sell fallback: tuned config "
+                f"{sell_kw}/{assembly} failed -> default ladder")
+            sell_kw, assembly = default_kw, "auto"
+            try:
+                t0 = time.perf_counter()
+                sell = build_sell(**sell_kw)
+                fstats["convert_sell_fallback_s"] = time.perf_counter() - t0
+                fstats["sell"] = sell.memory_stats()
+                if "tune" in fstats:
+                    fstats["tune"]["ladder"] += "->default(fallback)"
+                    fstats["tune"]["layout"] = cfg.sell_layout
+                _run_pallas_sell(sell, assembly)
+            except Exception as e:  # noqa: BLE001
+                log(f"[{name}] pallas_sell fallback FAILED: "
+                    f"{type(e).__name__}: {str(e)[:300]}")
 
     if "pallas_sell_bf16" in cfg.kernels and sell is not None:
       # bf16 VALUE planes on the same SELL bins: halves the dominant HBM
@@ -837,18 +887,30 @@ def run_matrix(
                 y = jax.ops.segment_sum(y, _ids, num_segments=M)
             return y
 
-        if cfg.flush_between_stages:
-            flush_hbm()
-        yh, yl = sell_spmv_pallas_dd(dsell_dd, xh_d, xl_d, interpret=not on_tpu)
-        y64 = np.asarray(yh, np.float64) + np.asarray(yl, np.float64)
-        if ids_dd is not None:  # host-exact f64 segment reduction
-            y64 = np.bincount(np.asarray(ids_dd), weights=y64,
-                              minlength=M)[:M]
-        dm = validate(y64)
-        sec, _ = time_device_fn_slope(
-            lambda d, hh, ll: sell_spmv_pallas_dd(
-                d, hh, ll, interpret=not on_tpu)[0],
-            dsell_dd, xh_d, xl_d, reps=cfg.iterations, rounds=cfg.rounds)
+        for attempt in (0, 1):
+            try:
+                if cfg.flush_between_stages:
+                    flush_hbm()
+                yh, yl = sell_spmv_pallas_dd(dsell_dd, xh_d, xl_d,
+                                             interpret=not on_tpu)
+                y64 = np.asarray(yh, np.float64) + np.asarray(yl, np.float64)
+                if ids_dd is not None:  # host-exact f64 segment reduction
+                    y64 = np.bincount(np.asarray(ids_dd), weights=y64,
+                                      minlength=M)[:M]
+                dm = validate(y64)
+                sec, _ = time_device_fn_slope(
+                    lambda d, hh, ll: sell_spmv_pallas_dd(
+                        d, hh, ll, interpret=not on_tpu)[0],
+                    dsell_dd, xh_d, xl_d, reps=cfg.iterations,
+                    rounds=cfg.rounds)
+                break
+            except Exception as e:  # noqa: BLE001
+                if attempt == 0 and _transient_compile_error(e):
+                    log(f"[{name}] pallas_sell_dd transient remote-compile "
+                        f"failure — retrying in 30 s")
+                    time.sleep(30)
+                    continue
+                raise
         stages["pallas_sell_dd"] = StageResult(
             "pallas_sell_dd", sec, calculate_flops(nnz, sec) / 1e9, dm
         )

@@ -302,3 +302,49 @@ def test_autotune_exhausted_records_default(monkeypatch):
     tune = res.format_stats["tune"]
     assert tune["ladder"] == "default"
     assert tune["layout"] == cfg.sell_layout
+
+
+def test_pallas_sell_fallback_to_default_ladder(monkeypatch):
+    """A tuned (non-default) SELL config whose kernel fails to compile must
+    fall back to the default ladder instead of shipping no pallas_sell row
+    — sweep_r3 Aug 20: ml_laplace's tuned wl-shed stage died to a worker
+    remote-compile HTTP 500 and the matrix lost its flagship row."""
+    from sparsematrixvectormultiplication_tpu.bench import harness as hz
+    from sparsematrixvectormultiplication_tpu.models.synthetic import banded
+
+    real = hz.sell_spmv_pallas
+    calls = {"n": 0}
+
+    def flaky(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise ValueError("Mosaic lowering rejected the tuned kernel")
+        return real(*a, **k)
+
+    monkeypatch.setattr(hz, "sell_spmv_pallas", flaky)
+    coo = banded(1200, 6, 48, seed=5)
+    cfg = BenchConfig(
+        iterations=2, rounds=1, skip=1,
+        kernels=("serial_csr", "pallas_sell"),
+        sell_k_bins=(4, 64),              # non-default -> fallback eligible
+        flush_between_stages=False,
+    )
+    msgs = []
+    res = run_matrix("sell_fb", coo, cfg, log=lambda m, *a, **k: msgs.append(m))
+    assert any("pallas_sell fallback" in m for m in msgs)
+    st = res.stage("pallas_sell")
+    assert st is not None and st.diff.significant_diffs == 0
+
+
+def test_transient_compile_error_classifier():
+    from sparsematrixvectormultiplication_tpu.bench.harness import (
+        _transient_compile_error,
+    )
+
+    assert _transient_compile_error(RuntimeError(
+        "INTERNAL: http://127.0.0.1:8083/remote_compile: HTTP 500: "
+        "tpu_compile_helper subprocess exit code 1"))
+    assert not _transient_compile_error(ValueError(
+        "Mosaic lowering rejected: unsupported gather"))
+    assert not _transient_compile_error(MemoryError(
+        "SELL device arrays 2426 MiB > 2200 MiB"))
