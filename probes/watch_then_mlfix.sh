@@ -1,0 +1,65 @@
+#!/bin/sh
+# Post-chain-v9 recovery: ml_laplace_like lost its pallas_sell /
+# pallas_sell_dd sweep rows to the worker's transient remote-compile
+# HTTP 500 (the tuner timed wl-shed fine at 3.95 ms, then the benchmarked
+# conversion 500'd; the retry/fallback fix in harness.py landed at 03:29,
+# AFTER that matrix's sweep pass). Re-measure those two stages with the
+# default ladder (r2's 26.2 GF config) into result_tpu_r3_mlfix, fold the
+# rows into result_tpu_r3/spmv_results.csv, run the final PR/split row
+# merge, and commit.
+#
+# Usage: nohup sh probes/watch_then_mlfix.sh > /tmp/mlfix_watch.log 2>&1 &
+cd /root/repo || exit 1
+LOG=/root/repo/sweep_r3.log
+END_TS=$(date -d "2026-08-20 12:30" +%s)
+
+# Wait for chain v9 to finish (or its deadline to lapse).
+while ! grep -q "CHAIN9 DONE" "$LOG" 2>/dev/null; do
+  [ "$(date +%s)" -ge "$END_TS" ] && { echo "deadline, proceeding anyway"; break; }
+  sleep 60
+done
+echo "chain done / deadline at $(date), starting mlfix"
+
+# Gate: one quick device round-trip before committing to the run.
+if ! timeout 420 python -c "
+import numpy as np, jax, jax.numpy as jnp
+_ = np.asarray(jax.device_put(jnp.ones((1024,), jnp.float32)) + 1)
+print('TPU OK')"; then
+  echo "TPU gate failed, skipping mlfix measurement"
+else
+  timeout 2400 python -m sparsematrixvectormultiplication_tpu.bench.cli \
+    --matrix suite_mtx/ml_laplace_like.mtx \
+    --output-dir result_tpu_r3_mlfix --iterations 64 --rounds 2 \
+    --kernels serial_csr,pallas_sell,pallas_sell_dd --resume
+  echo "mlfix sweep exit $?"
+fi
+
+python - <<'EOF'
+# Fold the recovered ml_laplace device rows into the main CSV (idempotent:
+# keyed on (matrix, stage, dtype); serial_csr is already present).
+import csv, os
+dst = "result_tpu_r3/spmv_results.csv"
+src = "result_tpu_r3_mlfix/spmv_results.csv"
+if os.path.exists(src) and os.path.exists(dst):
+    dst_rows = list(csv.reader(open(dst)))
+    have = {(r[0], r[4], r[5]) for r in dst_rows[1:] if len(r) > 5}
+    src_rows = list(csv.reader(open(src)))
+    assert src_rows[0] == dst_rows[0], "schema mismatch"
+    added = 0
+    with open(dst, "a", newline="") as f:
+        w = csv.writer(f)
+        for r in src_rows[1:]:
+            if len(r) > 5 and r[4].startswith("pallas_") and (r[0], r[4], r[5]) not in have:
+                w.writerow(r); have.add((r[0], r[4], r[5])); added += 1
+    print(f"mlfix merge: {added} rows")
+else:
+    print("mlfix merge: source or dest missing, skipped")
+EOF
+
+# Final PR/split row merge (pr2 + split dirs now exist if those stages ran).
+python probes/merge_pr_rows.py
+
+git add -A result_tpu_r3 result_tpu_r3_mlfix result_tpu_r3_pr2 \
+  result_tpu_r3_split result_tpu_r3_steady result_tpu_r3_steadypr 2>/dev/null
+git diff --cached --quiet || git commit -q -m "Results: recover ml_laplace pallas rows lost to transient compile failure; final PR/split row merge"
+echo "mlfix watcher done $(date)"
