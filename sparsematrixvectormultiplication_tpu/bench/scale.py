@@ -194,7 +194,7 @@ def run_ladder_sweep(
     from ..formats.sell import SellMatrix
     from ..ops.pallas_sell import device_put_sell, sell_spmv_pallas
     from ..tune.autotune import DEFAULT_LADDERS
-    from .csv_report import NATIVE_HEADER
+    from .csv_report import NATIVE_HEADER, STREAM_BW_BYTES
 
     dtype = dtype or jnp.float32
     on_tpu = jax.devices()[0].platform == "tpu"
@@ -223,13 +223,16 @@ def run_ladder_sweep(
         log(f"[{name}] pallas_sell@{ladder}: {sec*1e3:.3f} ms = {gf:.3f} GFLOPS "
             f"(pad {sell.padding_ratio:.2f}, {len(sell.bins)} bins, "
             f"sig_diffs={dm.significant_diffs})")
+        per_nnz = 8.0 * sell.padding_ratio
+        pct_bw = per_nnz * csr.nnz / max(sec, 1e-12) / STREAM_BW_BYTES * 100
         _append_row(
             out_csv, NATIVE_HEADER,
             [name, csr.nrows, csr.ncols, csr.nnz, f"pallas_sell@{ladder}",
-             str(jnp.dtype(dtype)), _fmt(sec), f"{gf:.6f}", "",
+             str(jnp.dtype(dtype)), "fp32", _fmt(sec), f"{gf:.6f}", "",
              f"{dm.mean_rel_err:.15e}", dm.significant_diffs,
              f"{dm.max_abs_err:.15e}", f"{dm.max_rel_err:.15e}",
-             f"{sell.padding_ratio:.6f}", f"{8.0 * sell.padding_ratio:.2f}"],
+             f"{sell.padding_ratio:.6f}", f"{per_nnz:.2f}",
+             f"{pct_bw:.2f}"],
         )
         out.append((ladder, sec, gf, dm))
     return out
