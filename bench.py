@@ -147,6 +147,10 @@ def main():
         cfg3 = BenchConfig(
             iterations=128, rounds=2, dtype="float32",
             kernels=("serial_csr", "pallas_sell"),
+            # r3 tuning: forced sb-list beats the auto pick on road-class
+            # scatter (7.55 vs 6.29 GF, result_tpu_r3 tuned_ladder
+            # default-sblist) — bench the tuned config
+            sell_layout="sb-list",
             flush_between_stages=False,
         )
         res3 = run_matrix("road_scattered", coo3, cfg3, log=log)

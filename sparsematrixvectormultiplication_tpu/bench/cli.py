@@ -71,6 +71,9 @@ def build_parser():
                             "wl-shed", "sg"],
                    help="force the SELL per-group layout instead of the "
                         "cost model's choice (head-to-head A/B timing)")
+    p.add_argument("--sell-no-merge", action="store_true",
+                   help="keep span/layout sub-bins as separate pallas "
+                        "calls instead of cost-model merging (A/B lever)")
     p.add_argument("--autotune", action="store_true",
                    help="pick SELL ladder/layout + HLL hack size by measurement "
                         "per matrix (≙ cudaOccupancyMaxPotentialBlockSize)")
@@ -175,6 +178,7 @@ def main(argv=None):
         autotune=args.autotune,
         reorder=args.reorder,
         sell_layout=args.sell_layout,
+        sell_merge_bins=not args.sell_no_merge,
     )
 
     os.makedirs(args.output_dir, exist_ok=True)

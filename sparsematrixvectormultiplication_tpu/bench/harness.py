@@ -72,6 +72,9 @@ class BenchConfig:
                                   # main_cuda.cu:149,293,413)
     sell_k_bins: tuple | None = None   # explicit K-bin ladder override
     sell_layout: str = "auto"          # "auto" | "k-major" | "sb-major" | "sb-list"
+    sell_merge_bins: bool = True       # False = keep span/layout sub-bins
+                                       # separate (A/B lever: the r2->r3
+                                       # ml_laplace regression suspect)
     reorder: str = "none"              # "none" | "rcm" | "auto" — symmetric
                                        # P A Pᵀ bandwidth-reducing preprocessing
                                        # (formats/reorder.py; workload-equivalent,
@@ -208,7 +211,8 @@ def run_matrix(
         return xd if isinstance(sell_obj, _PanelSell) \
             else device_put_x(x, N, dt)
 
-    sell_kw = {"layout": cfg.sell_layout}
+    sell_kw = {"layout": cfg.sell_layout,
+               "merge_bins": cfg.sell_merge_bins}
     assembly = "auto"  # bin-assembly mode (autotune may pick "sum")
     if cfg.sell_k_bins:
         sell_kw["k_bins"] = tuple(cfg.sell_k_bins)
@@ -412,7 +416,8 @@ def run_matrix(
                 d, xx, interpret=not on_tpu, assembly=asm)))
 
     if "pallas_sell" in cfg.kernels and sell is not None:
-        default_kw = {"layout": cfg.sell_layout}
+        default_kw = {"layout": cfg.sell_layout,
+                      "merge_bins": cfg.sell_merge_bins}
         if not _run_pallas_sell(sell, assembly) and (
                 sell_kw != default_kw or assembly != "auto"):
             # the tuned ladder's kernel failed even after the transient

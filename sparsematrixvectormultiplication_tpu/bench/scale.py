@@ -31,7 +31,126 @@ from ..utils.validation import (
 from .csv_report import OPENMP_HEADER, _append_row, _fmt
 
 __all__ = ["run_device_scale_sweep", "run_spmm_device_scale_sweep",
-           "run_ladder_sweep"]
+           "run_path_scale_sweep", "run_ladder_sweep"]
+
+
+def run_path_scale_sweep(
+    name: str,
+    csr: CSRMatrix,
+    out_csv: str,
+    path: str,
+    *,
+    device_counts=None,
+    dtype=None,
+    iterations: int = 16,
+    rounds: int = 2,
+    x: np.ndarray | None = None,
+    log=print,
+):
+    """Device-scale curve for one shard path: ``"sell"`` (SPMD Pallas
+    SELL), ``"hll"`` (row-sharded ELL, XLA kernel — fills the reference
+    CSV's hll column family), ``"pr"`` (Beneš-routed scattered kernel) or
+    ``"split"`` (locality-split composite). One openmp-schema row per
+    device count, labeled ``name[path]`` (VERDICT r3 item 7: the r3 CSVs
+    cover the SELL path only)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.sharding import make_mesh
+
+    dtype = dtype or jnp.float32
+    ndev = len(jax.devices())
+    on_tpu = jax.devices()[0].platform == "tpu"
+    counts = device_counts or [n for n in (1, 2, 4, 8, 16, 32) if n <= ndev]
+    if x is None:
+        x = np.ones(csr.ncols, dtype=np.float64)
+    y_ref = csr.spmv(x)
+    results = []
+
+    for n in counts:
+        mesh = make_mesh(n)
+        t0 = time.perf_counter()
+        if path == "sell":
+            from ..parallel.spmd_pallas import _spmd_run, build_spmd_sell
+            spmd = build_spmd_sell(csr, n, mesh=mesh, dtype=dtype)
+            xd = jax.device_put(jnp.asarray(x, dtype),
+                                NamedSharding(mesh, P()))
+            fn = lambda st, xx: _spmd_run(st, xx, mesh=mesh, axis=spmd.axis,
+                                          interpret=not on_tpu)
+            timed_args = (spmd.stacked, xd)
+            # one verification call in natural row order
+            from ..parallel.spmd_pallas import sell_spmv_spmd
+            y = np.asarray(sell_spmv_spmd(spmd, jnp.asarray(x, dtype), mesh,
+                                          interpret=not on_tpu), np.float64)
+        elif path == "hll":
+            from ..formats.hll import HLLMatrix
+            from ..parallel.sharding import shard_ell_rows
+            import functools
+            hll = HLLMatrix.from_csr(csr)
+            sharded = shard_ell_rows(hll, mesh, dtype=dtype)
+            x_sh = jax.device_put(jnp.asarray(x, dtype),
+                                  NamedSharding(mesh, P()))
+
+            @functools.partial(
+                jax.jit, out_shardings=NamedSharding(mesh, P("rows")))
+            def _hll_run(ja, as_, xv):
+                return jnp.sum(as_ * jnp.take(xv, ja), axis=1)
+
+            fn = _hll_run
+            timed_args = (sharded.ja, sharded.as_, x_sh)
+            y = np.asarray(_hll_run(*timed_args), np.float64)[: csr.nrows]
+        elif path == "pr":
+            from ..parallel.spmd_pr import (_spmd_run, build_spmd_pr,
+                                            pr_spmv_spmd)
+            from ..ops.pallas_sell import slab_table_rows
+            from ..formats.sell import LANES
+            spmd = build_spmd_pr(csr, n, mesh=mesh, dtype=dtype)
+            Rp = slab_table_rows(csr.ncols)
+            xp = np.zeros(Rp * LANES, np.dtype(dtype))
+            xp[: csr.ncols] = x[: csr.ncols]
+            Xr = jax.device_put(xp.reshape(Rp, LANES),
+                                NamedSharding(mesh, P()))
+            fn = lambda st, xx: _spmd_run(st, xx, mesh=mesh, axis=spmd.axis,
+                                          pps=spmd.pps,
+                                          interpret=not on_tpu)
+            timed_args = (spmd.stacked, Xr)
+            y = pr_spmv_spmd(spmd, x, mesh, interpret=not on_tpu).astype(
+                np.float64)
+        elif path == "split":
+            from ..parallel.spmd_split import (_spmd_run_split,
+                                               build_spmd_split,
+                                               split_spmv_spmd)
+            from ..ops.pallas_sell import slab_table_rows
+            from ..formats.sell import LANES
+            spmd = build_spmd_split(csr, n, dtype=dtype, mesh=mesh)
+            Rp = slab_table_rows(csr.ncols)
+            xp = np.zeros(Rp * LANES, np.dtype(dtype))
+            xp[: csr.ncols] = x[: csr.ncols]
+            Xr = jax.device_put(xp.reshape(Rp, LANES),
+                                NamedSharding(mesh, P()))
+            fn = lambda ns, fs, xx: _spmd_run_split(
+                ns, fs, xx, mesh=mesh, axis=spmd.axis, interpret=not on_tpu)
+            timed_args = (spmd.near.stacked, spmd.far, Xr)
+            y = split_spmv_spmd(spmd, x, mesh, interpret=not on_tpu).astype(
+                np.float64)
+        else:
+            raise ValueError(f"unknown path {path!r}")
+        conv_s = time.perf_counter() - t0
+
+        dm = difference_metrics(y_ref, y[: csr.nrows],
+                                DEFAULT_ABS_TOL, DEFAULT_REL_TOL)
+        sec, _ = time_device_fn_slope(fn, *timed_args, reps=iterations,
+                                      rounds=rounds)
+        gf = calculate_flops(csr.nnz, sec) / 1e9
+        log(f"[{name}] spmd_{path} x{n} dev: {sec*1e3:.3f} ms = "
+            f"{gf:.3f} GFLOPS, sig_diffs={dm.significant_diffs} "
+            f"(convert {conv_s:.1f}s)")
+        results.append((n, sec, gf, dm))
+
+    _write_scale_rows(out_csv, f"{name}[{path}]", csr, results, csr.nnz,
+                      role="hll" if path == "hll" else "parallel")
+    return results
 
 
 def run_device_scale_sweep(
@@ -89,23 +208,32 @@ def run_device_scale_sweep(
     return results
 
 
-def _write_scale_rows(out_csv, label, csr, results, work):
+def _write_scale_rows(out_csv, label, csr, results, work, role="parallel"):
     """openmp-schema rows for a device-scale curve (num_threads = device
     count; ``work`` = flops numerator/2, nnz for SpMV or nnz*B for SpMM).
-    Shared by both device sweeps so the 33-column mapping lives once."""
+    Shared by all device sweeps so the 33-column mapping lives once.
+
+    ``role`` picks the reference column family the curve fills:
+    ``"parallel"`` (the CSR-kernel columns) or ``"hll"`` (time_parallel_hll
+    / flops_parallel_hll / speedup_hll / efficiency_hll — zero in the r3
+    CSVs, VERDICT r3 weak-5). Paths with no reference analogue (pr, split)
+    use the parallel columns under a ``[path]``-suffixed label."""
     t1 = results[0][1] if results else 0.0
+    # column indices per role: (t1, sec, err_rel, err_abs, flops_t1,
+    # flops, speedup, efficiency) in the 33-column reference layout
+    idx = {"parallel": (5, 7, 11, 12, 19, 21, 25, 29),
+           "hll": (6, 9, 13, 14, 20, 23, 27, 31)}[role]
     for n, sec, gf, dm in results:
         sp = t1 / sec if sec > 0 else 0.0
-        row = [
-            label, csr.nrows, csr.ncols, csr.nnz, n,
-            _fmt(t1), _fmt(0.0), _fmt(sec), _fmt(0.0), _fmt(0.0), _fmt(0.0),
-            _fmt(dm.mean_rel_err), _fmt(dm.mean_abs_err),
-            _fmt(0.0), _fmt(0.0), _fmt(0.0), _fmt(0.0), _fmt(0.0), _fmt(0.0),
-            _fmt(calculate_flops(work, t1) if t1 > 0 else 0.0), _fmt(0.0),
-            _fmt(gf * 1e9), _fmt(0.0), _fmt(0.0), _fmt(0.0),
-            _fmt(sp), _fmt(0.0), _fmt(0.0), _fmt(0.0),
-            _fmt(sp / n), _fmt(0.0), _fmt(0.0), _fmt(0.0),
-        ]
+        row = [label, csr.nrows, csr.ncols, csr.nnz, n] + [_fmt(0.0)] * 28
+        row[idx[0]] = _fmt(t1)
+        row[idx[1]] = _fmt(sec)
+        row[idx[2]] = _fmt(dm.mean_rel_err)
+        row[idx[3]] = _fmt(dm.mean_abs_err)
+        row[idx[4]] = _fmt(calculate_flops(work, t1) if t1 > 0 else 0.0)
+        row[idx[5]] = _fmt(gf * 1e9)
+        row[idx[6]] = _fmt(sp)
+        row[idx[7]] = _fmt(sp / n)
         _append_row(out_csv, OPENMP_HEADER, row)
 
 
