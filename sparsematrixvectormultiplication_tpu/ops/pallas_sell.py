@@ -100,13 +100,21 @@ class DeviceSell:
     nnz: int
     num_groups: int
     bins: list
+    # y groups incl. contiguous-tail padding (0 = num_groups): bins whose
+    # contiguous range ends the group list may be padded with zero groups
+    # so multi-group grid steps don't require ng % g_per == 0 (the r3
+    # ml_laplace regression: a merged 391-group bin fell to g_per=1 and
+    # paid the ~9 us/grid-step floor 391 times; see _contig_tail_pad)
+    y_groups: int = 0
 
     def tree_flatten(self):
-        return (tuple(self.bins),), (self.nrows, self.ncols, self.nnz, self.num_groups)
+        return (tuple(self.bins),), (self.nrows, self.ncols, self.nnz,
+                                     self.num_groups, self.y_groups)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*aux, list(children[0]))
+        return cls(*aux[:4], list(children[0]),
+                   *aux[4:])
 
     def spmv(self, x):
         return sell_spmv_pallas(self, x)
@@ -131,6 +139,7 @@ def device_put_sell(sell, dtype=jnp.float32, device=None, resident=True):
             f"{_MAX_UPLOAD_BYTES/2**20:.0f} MiB — uploads this large crash "
             "the tunneled TPU worker (sigma-sort or coarser guards needed)")
     bins = []
+    y_groups = sell.num_groups
     itemsize = jnp.dtype(dtype).itemsize
     for b in sell.bins:
         gids = np.asarray(b.group_ids, np.int64)
@@ -141,6 +150,14 @@ def device_put_sell(sell, dtype=jnp.float32, device=None, resident=True):
         )
         res_g_per, padded = (_resident_pad(b, sell.num_groups, itemsize)
                              if resident else (0, None))
+        if padded is None and resident:
+            # end-of-range contiguous bins: zero-group tail padding so an
+            # odd group count can't force g_per=1 (the per-grid-step floor)
+            _gp, ng_p, tail = _contig_tail_pad(b, sell.num_groups, itemsize,
+                                               contig)
+            if tail is not None:
+                padded = tail
+                y_groups = max(y_groups, contig + ng_p)
         if padded is not None:
             gid_h, ja_h, as_h, sl_h, cnt_h = padded
             ng_dev = gid_h.size
@@ -166,7 +183,8 @@ def device_put_sell(sell, dtype=jnp.float32, device=None, resident=True):
                 sg_slots=bool(getattr(b, "sg_slots", False)),
             )
         )
-    return DeviceSell(sell.nrows, sell.ncols, sell.nnz, sell.num_groups, bins)
+    return DeviceSell(sell.nrows, sell.ncols, sell.nnz, sell.num_groups,
+                      bins, y_groups=y_groups)
 
 
 # v5e VMEM is 128 MiB; the x table plus double-buffered entry tiles must fit.
@@ -176,6 +194,69 @@ _X_TABLE_VMEM_BUDGET = 96 * 1024 * 1024
 # can process many groups per step with predicated dynamic-offset writes
 _RESIDENT_Y_BYTES = 16 * 1024 * 1024
 _RESIDENT_LAYOUTS = ("k-major", "sg")
+
+
+def _contig_tail_pad(b, num_groups: int, value_itemsize: int,
+                     contig: int):
+    """Zero-group padding for a contiguous bin whose range ENDS the group
+    list, so ``_pick_g_per`` can use multi-group grid steps without an
+    ``ng % g_per == 0`` divisibility accident.
+
+    Measured motivation (round 4): ml_laplace_like's merged sb-major bin
+    has 391 groups (odd) — ``g_per`` fell from r2's 2 to 1 and the kernel
+    paid the ~9 us/grid-step floor 391 times (3.53 ms, 15.7 GF) where r2's
+    374+17-group split ran 187 steps (1.6 ms true, ~34 GF). Padding the
+    tail bin to a g_per multiple restores (and extends) multi-group steps;
+    the padded groups stream all-zero JA/AS tiles (slab 0 gathers * 0.0)
+    into y rows past ``num_groups`` which the final crop discards.
+
+    Only the END-of-range bin may be padded: interior bins' following group
+    ids belong to OTHER bins, and a plain-write zero tile there would wipe
+    their results. Returns (g_per, ng_padded, padded host arrays) or
+    (0, 0, None)."""
+    ng = int(b.n_groups)
+    if contig < 0 or contig + ng != num_groups or ng < 3:
+        return 0, 0, None
+    per_group = int(b.k) * SUBLANES * LANES * (4 + value_itemsize)
+    want = max(1, _MAX_STEP_BYTES // max(per_group, 1))
+    g_per = 0
+    for cand in (16, 8, 4, 2):
+        pad_c = (-ng) % cand
+        # bound the zero-group stream cost: padding may not exceed a third
+        # of the bin (small bins take a smaller g_per instead)
+        if cand <= want and contig % cand == 0 and pad_c <= max(1, ng // 3):
+            g_per = cand
+            break
+    if g_per <= 1 or ng % g_per == 0:
+        return 0, 0, None  # nothing to gain / already divisible
+    ng_p = -(-ng // g_per) * g_per
+    pad = ng_p - ng
+    # slab_list shapes are layout-specific; pad only the per-group forms
+    # (first axis == ng, or 1-D with a whole number of entries per group)
+    sl = np.asarray(b.slab_list)
+    if sl.ndim == 2 and sl.shape[0] == ng:
+        sl_p = np.concatenate([sl, np.zeros((pad, sl.shape[1]), sl.dtype)])
+    elif sl.ndim == 1 and sl.size % max(ng, 1) == 0:
+        per = sl.size // max(ng, 1)
+        sl_p = np.concatenate([sl, np.zeros(pad * per, sl.dtype)])
+    elif sl.size == 0:
+        sl_p = sl
+    else:
+        return 0, 0, None
+    gids = np.asarray(b.group_ids, np.int64)
+    gid_p = np.concatenate([gids.astype(np.int32),
+                            (contig + ng + np.arange(pad)).astype(np.int32)])
+    kb = b.ja.shape[0] // max(ng, 1)  # rows per group in the entry planes
+    if kb * ng != b.ja.shape[0]:
+        return 0, 0, None
+    ja_p = np.concatenate([b.ja, np.zeros((pad * kb, LANES), b.ja.dtype)])
+    as_p = np.concatenate([b.as_, np.zeros((pad * kb, LANES), b.as_.dtype)])
+    cnt = np.asarray(b.slab_count, np.int32)
+    cnt_p = (np.concatenate([cnt, np.zeros(pad, np.int32)])
+             if cnt.ndim == 1 and cnt.size == ng else cnt)
+    if cnt_p is cnt and cnt.size not in (0, ng):
+        return 0, 0, None
+    return g_per, ng_p, (gid_p, ja_p, as_p, sl_p, cnt_p)
 
 
 def _resident_pad(b, num_groups: int, value_itemsize: int):
@@ -771,13 +852,16 @@ def sell_spmv_pallas(dsell, x, *, interpret: bool = False, assembly: str = "auto
         return _panel_spmv(dsell, x, interpret)
     # 2-D input = already the packed (Rp, 128) slab table (device_put_x)
     x_tab = x if x.ndim == 2 else pack_x_table(x, dsell.ncols)
-    y = jnp.zeros((dsell.num_groups * SUBLANES, LANES), dtype=x_tab.dtype)
+    # y covers the contiguous-tail-padded groups (zero tiles past
+    # num_groups, discarded by the final crop)
+    yg = dsell.y_groups or dsell.num_groups
+    y = jnp.zeros((yg * SUBLANES, LANES), dtype=x_tab.dtype)
     has_far = any(b.add_into for b in dsell.bins)
     if assembly == "sum" and len(dsell.bins) > 1:
         # every bin writes its own zero buffer (add_into bins included — the
         # final sum assembles overlapping groups exactly)
         ys = [
-            _bin_call(bin_, x_tab, jnp.zeros_like(y), dsell.num_groups, interpret)
+            _bin_call(bin_, x_tab, jnp.zeros_like(y), yg, interpret)
             for bin_ in dsell.bins
         ]
         for yb in ys:
@@ -785,14 +869,14 @@ def sell_spmv_pallas(dsell, x, *, interpret: bool = False, assembly: str = "auto
     elif assembly == "auto" and has_far:
         for bin_ in dsell.bins:
             if not bin_.add_into:
-                y = _bin_call(bin_, x_tab, y, dsell.num_groups, interpret)
+                y = _bin_call(bin_, x_tab, y, yg, interpret)
         for bin_ in dsell.bins:
             if bin_.add_into:
                 y = y + _bin_call(bin_, x_tab, jnp.zeros_like(y),
-                                  dsell.num_groups, interpret)
+                                  yg, interpret)
     else:
         for bin_ in dsell.bins:
-            y = _bin_call(bin_, x_tab, y, dsell.num_groups, interpret,
+            y = _bin_call(bin_, x_tab, y, yg, interpret,
                           accumulate=bin_.add_into)
     return y.reshape(-1)[: dsell.nrows]
 
@@ -855,12 +939,15 @@ def device_put_panel_sell(psell, dtype=jnp.float32, device=None,
 
 
 def _panel_spmv(dps: DevicePanelSell, x, interpret: bool):
-    y = jnp.zeros((dps.num_groups * SUBLANES, LANES), dtype=x.dtype)
+    # y covers any panel's contiguous-tail padding (zero tiles, cropped)
+    yg = max([dps.num_groups]
+             + [p.y_groups or p.num_groups for p in dps.panels])
+    y = jnp.zeros((yg * SUBLANES, LANES), dtype=x.dtype)
     for p, dsell in enumerate(dps.panels):
         c0, c1 = dps.bounds[p], dps.bounds[p + 1]
         x_tab = pack_x_table(x[c0:c1], c1 - c0)
         for bin_ in dsell.bins:
             # always accumulate: panels may write the same group tiles
-            y = _bin_call(bin_, x_tab, y, dps.num_groups, interpret,
+            y = _bin_call(bin_, x_tab, y, yg, interpret,
                           accumulate=True)
     return y.reshape(-1)[: dps.nrows]

@@ -73,13 +73,17 @@ class DeviceSellDD:
     nnz: int
     num_groups: int
     bins: list
+    # y groups incl. contiguous-tail padding (0 = num_groups); see
+    # pallas_sell._contig_tail_pad
+    y_groups: int = 0
 
     def tree_flatten(self):
-        return (tuple(self.bins),), (self.nrows, self.ncols, self.nnz, self.num_groups)
+        return (tuple(self.bins),), (self.nrows, self.ncols, self.nnz,
+                                     self.num_groups, self.y_groups)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*aux, list(children[0]))
+        return cls(*aux[:4], list(children[0]), *aux[4:])
 
     def spmv(self, x):
         return sell_spmv_pallas_dd(self, x)
@@ -107,9 +111,10 @@ def device_put_sell_dd(sell, device=None):
             f"total {total/2**20:.0f} MiB exceed the worker-crash guard "
             f"({_MAX_ARRAY_BYTES/2**20:.0f} / "
             f"{2*_MAX_UPLOAD_BYTES/2**20:.0f} MiB)")
-    from .pallas_sell import _resident_pad
+    from .pallas_sell import _contig_tail_pad, _resident_pad
 
     bins = []
+    y_groups = sell.num_groups
     for b in sell.bins:
         if b.layout == "sg" and getattr(b, "sg_slots", False):
             raise ValueError(
@@ -125,6 +130,11 @@ def device_put_sell_dd(sell, device=None):
         )
         # itemsize 8: the dd y pair (hi, lo) doubles the resident-y budget use
         res_g_per, padded = _resident_pad(b, sell.num_groups, 8)
+        if padded is None:
+            _gp, ng_p, tail = _contig_tail_pad(b, sell.num_groups, 8, contig)
+            if tail is not None:
+                padded = tail
+                y_groups = max(y_groups, contig + ng_p)
         if padded is not None:
             gid_h, ja_h, as_h, sl_h, cnt_h = padded
             ng_dev = gid_h.size
@@ -151,7 +161,8 @@ def device_put_sell_dd(sell, device=None):
                 slab_count=jax.device_put(jnp.asarray(cnt_h, jnp.int32), device),
             )
         )
-    return DeviceSellDD(sell.nrows, sell.ncols, sell.nnz, sell.num_groups, bins)
+    return DeviceSellDD(sell.nrows, sell.ncols, sell.nnz, sell.num_groups,
+                        bins, y_groups=y_groups)
 
 
 def _dd_chunk_accumulate(acc_h, acc_l, vals_h, vals_l, g_h, g_l):
@@ -683,7 +694,10 @@ def sell_spmv_pallas_dd(dsell, xh, xl, *, interpret: bool = False):
     """
     yh = None
     if isinstance(dsell, DevicePanelSellDD):
-        yh = jnp.zeros((dsell.num_groups * SUBLANES, LANES), jnp.float32)
+        yg = max([dsell.num_groups]
+                 + [getattr(p, "y_groups", 0) or p.num_groups
+                    for p in dsell.panels])
+        yh = jnp.zeros((yg * SUBLANES, LANES), jnp.float32)
         yl = jnp.zeros_like(yh)
         for p, panel in enumerate(dsell.panels):
             c0, c1 = dsell.bounds[p], dsell.bounds[p + 1]
@@ -691,13 +705,14 @@ def sell_spmv_pallas_dd(dsell, xh, xl, *, interpret: bool = False):
             xl_tab = pack_x_table(xl[c0:c1], c1 - c0)
             for bin_ in panel.bins:
                 yh, yl = _bin_call_dd(bin_, xh_tab, xl_tab, yh, yl,
-                                      dsell.num_groups, interpret,
+                                      yg, interpret,
                                       accumulate=True)
         return yh.reshape(-1)[: dsell.nrows], yl.reshape(-1)[: dsell.nrows]
     # 2-D inputs = already packed (Rp, 128) tables (pallas_sell.device_put_x)
     xh_tab = xh if xh.ndim == 2 else pack_x_table(xh, dsell.ncols)
     xl_tab = xl if xl.ndim == 2 else pack_x_table(xl, dsell.ncols)
-    yh = jnp.zeros((dsell.num_groups * SUBLANES, LANES), jnp.float32)
+    yg = dsell.y_groups or dsell.num_groups
+    yh = jnp.zeros((yg * SUBLANES, LANES), jnp.float32)
     yl = jnp.zeros_like(yh)
     # like the f32 twin's assembly="auto": add_into bins (sg far remainders)
     # write PRIVATE zero buffers and combine with an exact dd two-sum at the
@@ -706,13 +721,13 @@ def sell_spmv_pallas_dd(dsell, xh, xl, *, interpret: bool = False):
     for bin_ in dsell.bins:
         if not bin_.add_into:
             yh, yl = _bin_call_dd(bin_, xh_tab, xl_tab, yh, yl,
-                                  dsell.num_groups, interpret)
+                                  yg, interpret)
     for bin_ in dsell.bins:
         if bin_.add_into:
             fh = jnp.zeros_like(yh)
             fl = jnp.zeros_like(yl)
             fh, fl = _bin_call_dd(bin_, xh_tab, xl_tab, fh, fl,
-                                  dsell.num_groups, interpret)
+                                  yg, interpret)
             yh, yl = dd_add_dd(yh, yl, fh, fl)
     return yh.reshape(-1)[: dsell.nrows], yl.reshape(-1)[: dsell.nrows]
 

@@ -209,3 +209,73 @@ def test_sb_list_dd(make_random_coo):
     y_ref = s @ x
     nz = y_ref != 0
     assert np.max(np.abs(y - y_ref)[nz] / np.abs(y_ref[nz])) < 1e-10
+
+
+# ---------------------------------------------------------------------------
+# contiguous-tail group padding (round 4): odd group counts must not force
+# g_per=1 (the per-grid-step floor behind the r3 ml_laplace regression)
+# ---------------------------------------------------------------------------
+
+
+def test_contig_tail_pad_odd_groups_validates():
+    """A 5-group single-bin matrix pads to a g_per multiple; the padded
+    zero groups stream x[0]*0.0 into cropped y rows — results must stay
+    oracle-exact and y_groups must cover the padding."""
+    import jax.numpy as jnp
+
+    from sparsematrixvectormultiplication_tpu.formats.csr import CSRMatrix
+    from sparsematrixvectormultiplication_tpu.formats.sell import SellMatrix
+    from sparsematrixvectormultiplication_tpu.models.synthetic import banded
+    from sparsematrixvectormultiplication_tpu.ops.pallas_sell import (
+        device_put_sell,
+        sell_spmv_pallas,
+    )
+
+    csr = CSRMatrix.from_coo(banded(5 * 1024, 12, 200, seed=5))
+    sell = SellMatrix.from_csr(csr, layout="sb-major")
+    d = device_put_sell(sell, dtype=jnp.float32)
+    assert d.y_groups >= d.num_groups
+    padded_bins = [b for b in d.bins if b.n_groups > sell.num_groups]
+    if d.y_groups > d.num_groups:
+        assert padded_bins, "y_groups grew but no bin was padded"
+        # padded bin group count is a multiple of a power-of-two g_per
+        assert padded_bins[0].n_groups % 2 == 0
+    x = np.random.default_rng(0).standard_normal(csr.ncols)
+    y = np.asarray(
+        sell_spmv_pallas(d, jnp.asarray(x, jnp.float32), interpret=True),
+        np.float64)
+    y_ref = csr.spmv(x)
+    rel = np.abs(y - y_ref) / np.maximum(1e-6, np.abs(y_ref))
+    assert y.shape[0] == csr.nrows
+    assert np.max(rel) < 1e-3
+
+
+def test_contig_tail_pad_dd_validates():
+    import jax.numpy as jnp
+
+    from sparsematrixvectormultiplication_tpu.formats.csr import CSRMatrix
+    from sparsematrixvectormultiplication_tpu.formats.sell import SellMatrix
+    from sparsematrixvectormultiplication_tpu.models.synthetic import banded
+    from sparsematrixvectormultiplication_tpu.ops.doubledouble import (
+        combine_f64,
+        split_f64,
+    )
+    from sparsematrixvectormultiplication_tpu.ops.pallas_sell_dd import (
+        device_put_sell_dd,
+        sell_spmv_pallas_dd,
+    )
+
+    csr = CSRMatrix.from_coo(banded(5 * 1024, 12, 200, seed=7))
+    sell = SellMatrix.from_csr(csr, layout="sb-major")
+    d = device_put_sell_dd(sell)
+    assert d.y_groups >= d.num_groups
+    x = np.random.default_rng(1).standard_normal(csr.ncols)
+    xh, xl = split_f64(x)
+    yh, yl = sell_spmv_pallas_dd(d, jnp.asarray(xh), jnp.asarray(xl),
+                                 interpret=True)
+    y = np.asarray(combine_f64(yh, yl), np.float64)
+    y_ref = csr.spmv(x)
+    rel = np.abs(y - y_ref) / np.maximum(1e-6, np.abs(y_ref))
+    # 1.13e-11 measured with AND without padding on this matrix (the
+    # rel-floor near-zero rows dominate); padding adds zero error
+    assert np.max(rel) < 1e-10
