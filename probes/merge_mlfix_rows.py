@@ -36,5 +36,30 @@ if os.path.exists(src) and os.path.exists(dst):
     with open(dst, "w", newline="") as f:
         csv.writer(f).writerows(dst_rows)
     print(f"mlfix merge: {added} added, {replaced} replaced")
+
+    # Keep the artifact dir self-describing (ADVICE r3 low-2): a replaced
+    # results row must be accompanied by the tile-config row of the run
+    # that PRODUCED it, not the superseded tuned config.
+    tc_dst = os.path.join(os.path.dirname(dst), "spmv_tile_config.csv")
+    tc_src = os.path.join(os.path.dirname(src), "spmv_tile_config.csv")
+    if replaced and os.path.exists(tc_src) and os.path.exists(tc_dst):
+        tc_rows = list(csv.reader(open(tc_dst)))
+        tc_hdr = tc_rows[0]
+        tc_idx = {(r[0], r[2]): k for k, r in enumerate(tc_rows) if k and len(r) > 2}
+        tc_replaced = 0
+        for r in list(csv.reader(open(tc_src)))[1:]:
+            if len(r) <= 2:
+                continue
+            key = (r[0], r[2])
+            if key in tc_idx and tc_rows[tc_idx[key]] != r:
+                tc_rows[tc_idx[key]] = r
+                tc_replaced += 1
+            elif key not in tc_idx:
+                tc_rows.append(r)
+                tc_idx[key] = len(tc_rows) - 1
+        if tc_replaced:
+            with open(tc_dst, "w", newline="") as f:
+                csv.writer(f).writerows(tc_rows)
+        print(f"mlfix merge: {tc_replaced} tile-config rows updated")
 else:
     print("mlfix merge: source or dest missing, skipped")
