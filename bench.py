@@ -66,7 +66,8 @@ def main():
         # its actual measurement stages hold the device.
         needles = ("bench.cli", "pr_tpu_probe", "run_r3_ladders",
                    "sg_tpu", "wlshed_ab_tpu", "pr_smoke",
-                   "bsr_spmm_tpu", "bf16_ab_tpu", "spmm_sell_tpu")
+                   "bsr_spmm_tpu", "bf16_ab_tpu", "spmm_sell_tpu",
+                   "run_r4_ladders", "pr15_diag")
         return any(n in line for line in out.splitlines() for n in needles)
 
     busy_deadline = time.time() + 3 * 3600
