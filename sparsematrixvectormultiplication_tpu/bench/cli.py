@@ -71,6 +71,9 @@ def build_parser():
                             "wl-shed", "sg"],
                    help="force the SELL per-group layout instead of the "
                         "cost model's choice (head-to-head A/B timing)")
+    p.add_argument("--chunk-k", type=int, default=0,
+                   help="force the sb-major chunk height (bypasses the "
+                        "K>64 ck>=16 rule; 0 = auto)")
     p.add_argument("--sell-no-merge", action="store_true",
                    help="keep span/layout sub-bins as separate pallas "
                         "calls instead of cost-model merging (A/B lever)")
@@ -179,6 +182,7 @@ def main(argv=None):
         reorder=args.reorder,
         sell_layout=args.sell_layout,
         sell_merge_bins=not args.sell_no_merge,
+        sell_chunk_k=args.chunk_k,
     )
 
     os.makedirs(args.output_dir, exist_ok=True)

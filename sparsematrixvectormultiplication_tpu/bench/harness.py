@@ -75,6 +75,9 @@ class BenchConfig:
     sell_merge_bins: bool = True       # False = keep span/layout sub-bins
                                        # separate (A/B lever: the r2->r3
                                        # ml_laplace regression suspect)
+    sell_chunk_k: int = 0              # >0: force sb-major chunk height,
+                                       # bypassing the K>64 ck>=16 rule
+                                       # (r2->r4 ml_laplace bisect lever)
     reorder: str = "none"              # "none" | "rcm" | "auto" — symmetric
                                        # P A Pᵀ bandwidth-reducing preprocessing
                                        # (formats/reorder.py; workload-equivalent,
@@ -213,6 +216,9 @@ def run_matrix(
 
     sell_kw = {"layout": cfg.sell_layout,
                "merge_bins": cfg.sell_merge_bins}
+    if cfg.sell_chunk_k > 0:
+        sell_kw["chunk_k"] = cfg.sell_chunk_k
+        sell_kw["chunk_k_forced"] = True
     assembly = "auto"  # bin-assembly mode (autotune may pick "sum")
     if cfg.sell_k_bins:
         sell_kw["k_bins"] = tuple(cfg.sell_k_bins)

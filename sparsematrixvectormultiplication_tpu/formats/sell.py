@@ -227,6 +227,7 @@ class SellMatrix:
         layout: str = "auto",
         sigma_sort: bool = False,
         chunk_k: int = CHUNK_K,
+        chunk_k_forced: bool = False,
         skip_empty: bool = False,
         merge_bins: bool = True,
         sg_slots: bool = True,
@@ -532,7 +533,11 @@ class SellMatrix:
             # ~1.33x the span keeps wide-random K=96 groups (banded_fem_large)
             # inside both static-unroll caps, re-admitting sb-major (measured
             # ck16 gathers run at the same floor as ck8, probes/kernel_probe2)
-            ck = int(chunk_k) if K <= 64 else max(int(chunk_k), 16)
+            # wide bins default to taller (16,128) chunks (see comment
+            # above); an EXPLICIT chunk_k (chunk_k_forced, --chunk-k) wins —
+            # the r2->r4 ml_laplace bisect runs K=96 at ck=8 through this
+            ck = (int(chunk_k) if (K <= 64 or chunk_k_forced)
+                  else max(int(chunk_k), 16))
             Kp = -(-K // ck) * ck  # sb-major padded width
             nchunks = Kp // ck
             # sb-major view (ng, 8, Kp, 128) and per-chunk q ranges

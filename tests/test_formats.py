@@ -309,3 +309,30 @@ def test_scipy_interop_roundtrip():
     np.testing.assert_allclose(csr.spmv(x), m @ x, rtol=1e-12, atol=1e-14)
     np.testing.assert_allclose(
         np.asarray((csr.to_scipy() @ x)), m @ x, rtol=1e-12, atol=1e-14)
+
+
+def test_forced_chunk_k_bypasses_wide_bin_rule():
+    """--chunk-k forces the sb-major chunk height even on K>64 bins (the
+    auto rule promotes those to ck>=16; the r2->r4 ml_laplace bisect needs
+    ck=8 at K=96). Device kernel parity is covered by the interpret drive
+    in tests/test_ops.py."""
+    from sparsematrixvectormultiplication_tpu.formats.coo import COOMatrix
+    from sparsematrixvectormultiplication_tpu.formats.csr import CSRMatrix
+    from sparsematrixvectormultiplication_tpu.formats.sell import SellMatrix
+
+    rng = np.random.default_rng(3)
+    n, k = 2048, 80  # ~80 nnz/row -> K=96 bin
+    rows = np.repeat(np.arange(n), k)
+    cols = rng.integers(0, n, rows.size)
+    coo = COOMatrix(n, n, rows.astype(np.int64), cols.astype(np.int64),
+                    rng.standard_normal(rows.size))
+    csr = CSRMatrix.from_coo(coo)
+
+    auto = SellMatrix.from_csr(csr, layout="sb-major")
+    forced = SellMatrix.from_csr(csr, layout="sb-major",
+                                 chunk_k=8, chunk_k_forced=True)
+    assert all(b.chunk_k >= 16 for b in auto.bins if b.k > 64)
+    assert all(b.chunk_k == 8 for b in forced.bins)
+    x = rng.standard_normal(n)
+    np.testing.assert_allclose(forced.spmv(x), csr.spmv(x),
+                               rtol=1e-12, atol=1e-12)
