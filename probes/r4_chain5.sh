@@ -10,6 +10,9 @@
 #
 # Then the remaining round-4 stages in VERDICT-priority order, all guarded.
 # Subsumes v4 (kills it before it can race on v3's death).
+# Drain needles are suffix-anchored: the autocommit watcher's command
+# line contains 'probes/bf16_ab_r4.out' etc. and matched the v3/v4
+# prefix needles, pinning their drain loops at the 30-min cap.
 #
 # Usage: CHAIN_END="2026-08-20 19:40" nohup sh probes/r4_chain5.sh &
 cd /root/repo || exit 1
@@ -37,7 +40,7 @@ for pf in /tmp/chain_r4v4.pid /tmp/chain_r4v3.pid; do
 done
 N=0
 while [ "$N" -lt 60 ]; do
-  if ps -eo args | grep -v grep | grep -Eq 'bench\.cli|probes/(bf16_ab|spmm_sell|bsr_spmm|pr15_diag|run_r4_ladders|split_breakdown)'; then
+  if ps -eo args | grep -v grep | grep -Eq 'bench\.cli --(matrix|suite-entry)|_tpu\.py|run_r4_ladders\.py|pr15_diag\.py'; then
     sleep 30; N=$((N+1))
   else
     break
