@@ -529,29 +529,49 @@ class SellMatrix:
             slab_list = np.ascontiguousarray(slab_list[:, :w])
 
             # ---- per-group layout + span decision ----
-            # wide bins use taller (16,128) chunks: half the chunk count at
-            # ~1.33x the span keeps wide-random K=96 groups (banded_fem_large)
-            # inside both static-unroll caps, re-admitting sb-major (measured
-            # ck16 gathers run at the same floor as ck8, probes/kernel_probe2)
-            # wide bins default to taller (16,128) chunks (see comment
-            # above); an EXPLICIT chunk_k (chunk_k_forced, --chunk-k) wins —
-            # the r2->r4 ml_laplace bisect runs K=96 at ck=8 through this
-            ck = (int(chunk_k) if (K <= 64 or chunk_k_forced)
-                  else max(int(chunk_k), 16))
+            def _chunk_view(ck_c):
+                """(jat, q, qc, qmin, spans) for chunk height ck_c."""
+                Kp_c = -(-K // ck_c) * ck_c
+                jat_c = np.transpose(ja, (0, 2, 1, 3))
+                if Kp_c != K:
+                    jat_c = np.concatenate(
+                        [jat_c, np.broadcast_to(
+                            pad_cols[:, :, None, :],
+                            (ng, SUBLANES, Kp_c - K, LANES))],
+                        axis=2,
+                    )
+                q_c = jat_c >> 7  # col // 128, int32 (no upcast copy)
+                qc_c = q_c.reshape(ng, SUBLANES, Kp_c // ck_c, ck_c, LANES)
+                qmin_c = qc_c.min(axis=(3, 4))          # (ng, 8, nchunks)
+                spans_c = qc_c.max(axis=(3, 4)) - qmin_c + 1
+                return jat_c, q_c, qc_c, qmin_c, spans_c
+
+            # Chunk height for K>64 bins is SPAN-RESOLVED (round 4): the r3
+            # blanket "K>64 -> ck16" rule regressed ml_laplace 2x — on
+            # span-scan shapes a (16,128) chunk's pass costs ~3x an (8,128)
+            # pass while its span only shrinks ~17% (TPU-measured Aug 20:
+            # ck8 1.69 ms / 32.8 GF vs ck16 3.01 ms / 18.4 GF, no-merge,
+            # result_tpu_r4_mlck8 vs _mlab). Taller chunks exist to fit the
+            # static-unroll caps on wide-random bins (banded_fem_large):
+            # use them ONLY when the base chunk's typical (median) group
+            # span would overflow those caps. Explicit chunk_k
+            # (chunk_k_forced, --chunk-k) always wins.
+            base_ck = int(chunk_k)
+            if K <= 64 or chunk_k_forced:
+                ck = base_ck
+            else:
+                ck = max(base_ck, 16)
+                if base_ck < 16:
+                    _, _, _, _, spans_b = _chunk_view(base_ck)
+                    gs_b = spans_b.max(axis=(1, 2))
+                    med_b = int(np.median(gs_b)) if gs_b.size else 1
+                    nch_b = -(-K // base_ck)
+                    if (med_b <= _MAX_STATIC_SPAN
+                            and nch_b * med_b <= _MAX_STATIC_BODIES):
+                        ck = base_ck
             Kp = -(-K // ck) * ck  # sb-major padded width
             nchunks = Kp // ck
-            # sb-major view (ng, 8, Kp, 128) and per-chunk q ranges
-            jat = np.transpose(ja, (0, 2, 1, 3))
-            if Kp != K:
-                jat = np.concatenate(
-                    [jat, np.broadcast_to(pad_cols[:, :, None, :],
-                                          (ng, SUBLANES, Kp - K, LANES))],
-                    axis=2,
-                )
-            q = jat >> 7  # col // 128, int32 (no upcast copy)
-            qc = q.reshape(ng, SUBLANES, nchunks, ck, LANES)
-            qmin = qc.min(axis=(3, 4))                      # (ng, 8, nchunks)
-            spans = qc.max(axis=(3, 4)) - qmin + 1
+            jat, q, qc, qmin, spans = _chunk_view(ck)
             g_span = spans.max(axis=(1, 2))                 # (ng,) max span per group
             # quantize spans: multiples of 4 up to 64 (tight), pow2 beyond
             # (bounds sub-bin count without the ~60% pow2 over-scan waste)
@@ -579,8 +599,12 @@ class SellMatrix:
             #             the earlier 2x penalty was SMEM-table pressure from
             #             an over-merged 1.4 MB prefetch list, now guarded)
             #   k-major : per distinct slab, K tile-vregs x ~5 ops
-            cost_sb_g = SUBLANES * nchunks * (5 * s_q + 2)
-            cost_sl_g = SUBLANES * nchunks * (6 * d_q + 2)
+            # a (16,128) chunk's pass costs ~3x an (8,128) pass (2 vregs +
+            # non-dual-issued mask/select; TPU-measured ml_laplace Aug 20:
+            # 3.01 ms at 6x24 ck16 passes vs 1.69 ms at 12x20 ck8 passes)
+            ck_vf = 1 if ck <= SUBLANES else 3
+            cost_sb_g = SUBLANES * nchunks * (5 * s_q + 2) * ck_vf
+            cost_sl_g = SUBLANES * nchunks * (6 * d_q + 2) * ck_vf
             cost_km_g = 5 * slab_count.astype(np.int64) * K + K
             #   wl      : per row-block, NW windows x (W build + L gathers)
             nw_b = wl_nwin_g[gids_all]

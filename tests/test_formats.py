@@ -311,28 +311,45 @@ def test_scipy_interop_roundtrip():
         np.asarray((csr.to_scipy() @ x)), m @ x, rtol=1e-12, atol=1e-14)
 
 
-def test_forced_chunk_k_bypasses_wide_bin_rule():
-    """--chunk-k forces the sb-major chunk height even on K>64 bins (the
-    auto rule promotes those to ck>=16; the r2->r4 ml_laplace bisect needs
-    ck=8 at K=96). Device kernel parity is covered by the interpret drive
-    in tests/test_ops.py."""
+def test_chunk_k_span_resolved_and_forced():
+    """K>64 chunk height is span-resolved (round-4 ml_laplace fix): narrow
+    median spans keep the base ck=8 (a (16,128) chunk's pass costs ~3x an
+    (8,128) pass, measured result_tpu_r4_mlck8 vs _mlab); wide spans that
+    would overflow the static-unroll caps take ck16. --chunk-k
+    (chunk_k_forced) always wins. Device kernel parity is covered by the
+    interpret drive in tests/test_ops.py."""
     from sparsematrixvectormultiplication_tpu.formats.coo import COOMatrix
     from sparsematrixvectormultiplication_tpu.formats.csr import CSRMatrix
     from sparsematrixvectormultiplication_tpu.formats.sell import SellMatrix
 
     rng = np.random.default_rng(3)
     n, k = 2048, 80  # ~80 nnz/row -> K=96 bin
-    rows = np.repeat(np.arange(n), k)
-    cols = rng.integers(0, n, rows.size)
-    coo = COOMatrix(n, n, rows.astype(np.int64), cols.astype(np.int64),
-                    rng.standard_normal(rows.size))
-    csr = CSRMatrix.from_coo(coo)
 
-    auto = SellMatrix.from_csr(csr, layout="sb-major")
-    forced = SellMatrix.from_csr(csr, layout="sb-major",
+    def build(ncols_spread):
+        rows = np.repeat(np.arange(n), k)
+        cols = rng.integers(0, ncols_spread, rows.size)
+        coo = COOMatrix(n, ncols_spread, rows.astype(np.int64),
+                        cols.astype(np.int64),
+                        rng.standard_normal(rows.size))
+        return CSRMatrix.from_coo(coo)
+
+    # narrow spread: every chunk spans <= 16 slabs -> base ck=8 kept
+    narrow = build(2048)
+    s_narrow = SellMatrix.from_csr(narrow, layout="sb-major")
+    assert all(b.chunk_k == 8 for b in s_narrow.bins if b.k > 64)
+
+    # wide spread: ~160 slabs >> _MAX_STATIC_SPAN -> ck16 fallback
+    wide = build(20480)
+    s_wide = SellMatrix.from_csr(wide, layout="sb-major")
+    assert all(b.chunk_k >= 16 for b in s_wide.bins if b.k > 64)
+
+    # explicit chunk_k wins on the wide matrix too
+    forced = SellMatrix.from_csr(wide, layout="sb-major",
                                  chunk_k=8, chunk_k_forced=True)
-    assert all(b.chunk_k >= 16 for b in auto.bins if b.k > 64)
     assert all(b.chunk_k == 8 for b in forced.bins)
-    x = rng.standard_normal(n)
-    np.testing.assert_allclose(forced.spmv(x), csr.spmv(x),
+    x = rng.standard_normal(wide.ncols)
+    np.testing.assert_allclose(forced.spmv(x), wide.spmv(x),
+                               rtol=1e-12, atol=1e-12)
+    x2 = rng.standard_normal(narrow.ncols)
+    np.testing.assert_allclose(s_narrow.spmv(x2), narrow.spmv(x2),
                                rtol=1e-12, atol=1e-12)
