@@ -108,7 +108,8 @@ def main():
         iterations=256,
         rounds=2,
         dtype="float32",
-        kernels=("serial_csr", "pallas_sell", "pallas_sell_dd"),
+        kernels=("serial_csr", "pallas_sell", "pallas_sell_bf16",
+                 "pallas_sell_dd"),
         flush_between_stages=False,
     )
 
@@ -119,6 +120,7 @@ def main():
     res = run_matrix("fem3d_cube", coo, cfg, log=log)
     s = res.stage("pallas_sell")
     dd = res.stage("pallas_sell_dd")
+    b16 = res.stage("pallas_sell_bf16")
     assert s is not None, "pallas_sell stage missing"
     ok = s.diff.significant_diffs == 0 or s.diff.mean_rel_err < 1e-4
 
@@ -174,6 +176,10 @@ def main():
                 "fp64_dd_gflops": round(dd.gflops, 3) if dd else None,
                 "fp64_dd_vs_baseline": round(dd.gflops / BASELINE_GFLOPS, 4) if dd else None,
                 "fp64_dd_max_rel_err": dd.diff.max_rel_err if dd else None,
+                # bf16 value planes (precision ladder's fast end; validated
+                # vs the bf16-quantized fp64 oracle) — r4 measured 111.3 GF
+                "bf16_gflops": round(b16.gflops, 3) if b16 else None,
+                "bf16_vs_baseline": round(b16.gflops / BASELINE_GFLOPS, 4) if b16 else None,
                 "adversarial_banded_f32_gflops": round(s2.gflops, 3) if s2 else None,
                 "adversarial_banded_dd_gflops": round(dd2.gflops, 3) if dd2 else None,
                 # scattered short-row regime vs the reference's roadNet-PA
