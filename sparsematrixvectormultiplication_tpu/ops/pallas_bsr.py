@@ -108,8 +108,16 @@ def _kernel(acc_dtype):
         def _():
             o_ref[:] = jnp.zeros_like(o_ref)
 
+        # precision=HIGHEST: Mosaic's default f32 matmul runs single-pass
+        # bf16xbf16 on the MXU — TPU-measured Aug 20 (probes/bsr_spmm_r4
+        # first run): bf16-level error on EVERY output (31.1M sig_diffs),
+        # invisible in interpret mode (XLA CPU does true f32). HIGHEST
+        # selects the multi-pass f32 decomposition. For native bf16 inputs
+        # the single pass IS the honest mode (precision left default).
+        prec = ("highest" if a_ref.dtype == jnp.float32 else None)
         o_ref[:] += jnp.dot(a_ref[0], x_ref[:],
-                            preferred_element_type=acc_dtype)
+                            preferred_element_type=acc_dtype,
+                            precision=prec)
     return kernel
 
 
@@ -133,8 +141,11 @@ def _kernel_dma(kb, acc_dtype):
             x_hbm.at[pl.ds(bc * BLOCK, BLOCK), :], xb, sem)
         cp.start()
         cp.wait()
+        # precision: see _kernel — Mosaic f32 dots default to bf16 passes
+        prec = ("highest" if a_ref.dtype == jnp.float32 else None)
         o_ref[:] += jnp.dot(a_ref[0], xb[:],
-                            preferred_element_type=acc_dtype)
+                            preferred_element_type=acc_dtype,
+                            precision=prec)
     return kernel
 
 
