@@ -80,7 +80,8 @@ checkpoint() {
            result_tpu_r4_mld result_tpu_r4_mlck8 result_tpu_r4_mlsteady \
            result_tpu_r4_pr result_tpu_r4_road result_tpu_r4_split \
            probes/bf16_ab_r4.out probes/spmm_sell_r4.out probes/bsr_spmm_r4.out \
-           probes/pr15_diag_r4.out probes/ladders_r4.out probes/split_brk_r4.out; do
+           probes/pr15_diag_r4.out probes/ladders_r4.out probes/split_brk_r4.out \
+           probes/bsr_fix_r4.out; do
     [ -e "$p" ] && git add -A "$p" 2>/dev/null
   done
   git diff --cached --quiet 2>/dev/null || \
@@ -118,6 +119,12 @@ run_stage MLSTEADY 1800 "$D/ml_laplace_like.mtx" "result_tpu_r4_mlsteady/spmv_re
   "$CLI --matrix $D/ml_laplace_like.mtx \
   --output-dir result_tpu_r4_mlsteady --iterations 256 --rounds 2 \
   --kernels serial_csr,pallas_sell,pallas_hll,pallas_sell_dd >> $LOG 2>&1"
+
+# f32 BSR re-measure with the HIGHEST-precision dot fix (b4959ee) — the
+# first BSR run measured 1.21 TF/s but with Mosaic's default bf16-pass f32
+# matmul (31M sig_diffs); bf16 rows of that run remain honest
+run_stage BSRFIX 2400 "" "probes/bsr_fix_r4.out" \
+  "python probes/bsr_spmm_tpu.py > probes/bsr_fix_r4.out 2>&1"
 
 run_stage NEWMAT 3600 "" "result_tpu_r4/.newmat_done" \
   "$CLI --suite-entry kkt_like --suite-entry amazon_like --autotune \
