@@ -1,5 +1,5 @@
 #!/bin/sh
-# Round-4 chain v6 — preempts v5 after SPLITROAD2 to promote MLSTEADY (the
+# Round-4 chain v6c (drain cap 150x30s: outlasts an orphaned NEWMAT) — preempts v5 after SPLITROAD2 to promote MLSTEADY (the
 # on-device validation of the span-resolved chunk fix c799e9e: default auto
 # now rebuilds r2's winning ck8 structure; 256-rep pallas_sell + dd) ahead
 # of the long NEWMAT/FEM127/LADDERS tail, then continues that tail guarded.
@@ -27,7 +27,7 @@ if [ -n "$P" ] && kill -0 "$P" 2>/dev/null; then
   echo "CHAIN-R4v6: killed v5 ($P) $(date)" >> "$LOG"
 fi
 N=0
-while [ "$N" -lt 60 ]; do
+while [ "$N" -lt 150 ]; do
   if ps -eo args | grep -v grep | grep -Eq 'bench\.cli --(matrix|suite-entry)|_tpu\.py|run_r4_ladders\.py|pr15_diag\.py'; then
     sleep 30; N=$((N+1))
   else
