@@ -340,13 +340,22 @@ def run_ladder_sweep(
             log(f"[{name}] ladder {ladder}: conversion failed: {e}")
             continue
         conv_s = time.perf_counter() - t0
-        dsell = device_put_sell(sell, dtype=dtype)
-        fn = lambda d, xx: sell_spmv_pallas(d, xx, interpret=not on_tpu)
-        y = np.asarray(fn(dsell, xd), np.float64)
-        dm = difference_metrics(y_ref, y[: csr.nrows],
-                                DEFAULT_ABS_TOL, DEFAULT_REL_TOL)
-        sec, _ = time_device_fn_slope(fn, dsell, xd, reps=iterations,
-                                        rounds=rounds)
+        # one bad ladder costs one row, not the pass: upload guards raise
+        # MemoryError here, and scattered-shape kernels have crashed the
+        # worker mid-call (r4 ladders: powerlaw_web killed the worker and
+        # every later matrix in the process read UNAVAILABLE)
+        try:
+            dsell = device_put_sell(sell, dtype=dtype)
+            fn = lambda d, xx: sell_spmv_pallas(d, xx, interpret=not on_tpu)
+            y = np.asarray(fn(dsell, xd), np.float64)
+            dm = difference_metrics(y_ref, y[: csr.nrows],
+                                    DEFAULT_ABS_TOL, DEFAULT_REL_TOL)
+            sec, _ = time_device_fn_slope(fn, dsell, xd, reps=iterations,
+                                          rounds=rounds)
+        except Exception as e:  # noqa: BLE001
+            log(f"[{name}] ladder {ladder}: device run failed: "
+                f"{type(e).__name__}: {str(e)[:300]}")
+            continue
         gf = calculate_flops(csr.nnz, sec) / 1e9
         log(f"[{name}] pallas_sell@{ladder}: {sec*1e3:.3f} ms = {gf:.3f} GFLOPS "
             f"(pad {sell.padding_ratio:.2f}, {len(sell.bins)} bins, "
