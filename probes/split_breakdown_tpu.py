@@ -46,7 +46,6 @@ def main():
 
     from sparsematrixvectormultiplication_tpu.formats.csr import CSRMatrix
     from sparsematrixvectormultiplication_tpu.formats.split import SplitMatrix
-    from sparsematrixvectormultiplication_tpu.io.mmio import read_matrix_market
     from sparsematrixvectormultiplication_tpu.ops.pallas_pr import pr_spmv_pallas
     from sparsematrixvectormultiplication_tpu.ops.pallas_sell import (
         device_put_x, sell_spmv_pallas)
@@ -66,7 +65,8 @@ def main():
         coo = road_network(60_000, seed=5)
     else:
         path = os.path.join(REPO, "suite_mtx", "road_like.mtx")
-        coo = read_matrix_market(path)
+        from sparsematrixvectormultiplication_tpu.formats.coo import COOMatrix
+        coo = COOMatrix.from_mtx(path)
     csr = CSRMatrix.from_coo(coo)
     log(f"load: {time.time()-t0:.1f}s nnz={csr.nnz}")
 
