@@ -63,6 +63,12 @@ def build_parser():
                         "stage (VMEM-bounded: each RHS keeps a whole "
                         "x-table resident; capped at 32)")
     p.add_argument("--no-validate", action="store_true")
+    p.add_argument("--device-validate", action="store_true",
+                   help="per-iteration in-graph validation (≙ the "
+                        "reference's in-loop checkResult, "
+                        "main_cuda.cu:183-188): accumulate max|y_i - y_0| "
+                        "across chained reps on-device, one readback; "
+                        "overhead recorded per stage")
     p.add_argument("--reorder", default="none", choices=["none", "rcm", "auto"],
                    help="symmetric RCM bandwidth-reducing preprocessing "
                         "(auto = keep only if p98 bandwidth improves >=2x)")
@@ -113,11 +119,13 @@ def iter_matrices(args):
         from ..models.synthetic import BENCH_SUITE
 
         by_name = {e.name: e for e in BENCH_SUITE}
+        # fail loudly: a mistyped entry must not become a 0-matrix sweep
+        # that exits 0 inside an unattended chain (ADVICE r4)
+        unknown = [nm for nm in args.suite_entry if nm not in by_name]
+        if unknown:
+            raise SystemExit(
+                f"unknown suite entries {unknown}; have {sorted(by_name)}")
         for nm in args.suite_entry:
-            if nm not in by_name:
-                print(f"unknown suite entry {nm!r}; have "
-                      f"{sorted(by_name)}", file=sys.stderr)
-                continue
             yield nm, by_name[nm].builder
     elif args.matrix:
         for path in args.matrix:
@@ -178,6 +186,7 @@ def main(argv=None):
         spmm_rhs=args.spmm_rhs,
         sell_spmm_rhs=args.sell_spmm_rhs,
         validate=not args.no_validate,
+        device_validate=args.device_validate,
         autotune=args.autotune,
         reorder=args.reorder,
         sell_layout=args.sell_layout,

@@ -33,6 +33,18 @@ __all__ = [
 def _append_row(path: str, header: list, row: list):
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     new = not os.path.exists(path) or os.path.getsize(path) == 0
+    if not new:
+        # Fail loudly on schema drift: appending rows of a newer schema
+        # under an older header silently misaligns every column after the
+        # divergence point (ADVICE r4).
+        with open(path, newline="") as f:
+            existing = next(csv.reader(f), None)
+        if existing is not None and existing != [str(h) for h in header]:
+            raise ValueError(
+                f"CSV schema mismatch appending to {path}: file header has "
+                f"{len(existing)} cols {existing[:4]}..., writer expects "
+                f"{len(header)} cols {header[:4]}... — migrate or use a new "
+                "result dir")
     with open(path, "a", newline="") as f:
         w = csv.writer(f)
         if new:

@@ -82,6 +82,13 @@ class BenchConfig:
                                        # P A Pᵀ bandwidth-reducing preprocessing
                                        # (formats/reorder.py; workload-equivalent,
                                        # x=ones is permutation-invariant)
+    device_validate: bool = False      # per-iteration in-graph validation
+                                       # (≙ the reference's in-loop
+                                       # checkResult, main_cuda.cu:183-188):
+                                       # one extra chained run accumulating
+                                       # max|y_i - y_0| on-device, single
+                                       # readback; overhead recorded per
+                                       # stage, never part of the timed run
 
 
 @dataclass
@@ -293,6 +300,23 @@ def run_matrix(
                 sec, _ = time_device_fn_slope(time_fn or fn, *args,
                                               reps=cfg.iterations,
                                               rounds=cfg.rounds)
+                dv = None
+                if cfg.device_validate:
+                    # per-iteration running validation, fully on-device
+                    # (run_device_validated): compares every chained rep
+                    # against the correctness pass's output
+                    from ..utils.timing import run_device_validated
+                    dv_reps = min(cfg.iterations, 16)
+                    tfn = time_fn or fn
+                    y_tref = tfn(*args)  # the timed fn's own reference run
+                    y_tref = y_tref[0] if isinstance(y_tref, tuple) else y_tref
+                    dv_diff, dv_sec = run_device_validated(
+                        tfn, *args, y_ref=y_tref, reps=dv_reps)
+                    dv = {"device_val_max_diff": dv_diff,
+                          "device_val_reps": dv_reps,
+                          "device_val_overhead_pct":
+                              (dv_sec / sec - 1.0) * 100.0 if sec > 0
+                              else 0.0}
                 break
             except Exception as e:  # noqa: BLE001
                 if attempt == 0 and _transient_compile_error(e):
@@ -302,9 +326,14 @@ def run_matrix(
                     continue
                 log(f"[{name}] {stage} FAILED: {type(e).__name__}: {str(e)[:300]}")
                 return False
-        stages[stage] = StageResult(stage, sec, calculate_flops(nnz, sec) / 1e9, dm)
+        stages[stage] = StageResult(stage, sec, calculate_flops(nnz, sec) / 1e9, dm,
+                                    extra=dict(dv) if dv else {})
         log(f"[{name}] {stage}: {sec*1e3:.3f} ms = {stages[stage].gflops:.3f} GFLOPS, "
             f"sig_diffs={dm.significant_diffs}, max_rel={dm.max_rel_err:.2e}")
+        if dv:
+            log(f"[{name}] {stage} device-validate: max|y_i-y_0|="
+                f"{dv['device_val_max_diff']:.3e} over {dv['device_val_reps']} "
+                f"reps, overhead {dv['device_val_overhead_pct']:+.1f}%")
         return True
 
     # NOTE: device data is always threaded through as jit ARGUMENTS, never
@@ -565,35 +594,19 @@ def run_matrix(
         from ..ops.pallas_pr_dd import DD_PANEL_TARGET_ROWS
 
         x_pr = device_put_x(x, N, dt)
-        # 2^15-row panels crash the tunneled worker's compile helper at
-        # full suite scale (HTTP 500, Aug 19 PRAPPEND: powerlaw/webbase)
-        # while the dd twin's 2^14-row panels compile and run — on TPU go
-        # straight to the known-good dd cap (a failed 2^15 attempt costs
-        # minutes of conversion + upload + compile before the 500); keep
-        # the full cap on interpret backends so tests exercise it.
-        caps = ((DD_PANEL_TARGET_ROWS,) if on_tpu
-                else (PANEL_TARGET_ROWS, DD_PANEL_TARGET_ROWS))
-        for cap in caps:
-            t0 = time.perf_counter()
-            pr = pr_from_csr(csr_k, target_rows=cap)
-            fstats["convert_pr_s"] = time.perf_counter() - t0
-            fstats["pr"] = pr.memory_stats()
-            dpr = device_put_pr(pr, dtype=dt)
-            if cfg.flush_between_stages:
-                flush_hbm()
-            try:
-                y_pr = np.asarray(
-                    pr_spmv_pallas(dpr, x_pr, interpret=not on_tpu),
-                    np.float64)
-                break
-            except Exception as e:  # noqa: BLE001
-                if cap == DD_PANEL_TARGET_ROWS:
-                    raise
-                log(f"[{name}] pallas_pr panels at {cap} rows failed "
-                    f"({type(e).__name__}); retrying at "
-                    f"{DD_PANEL_TARGET_ROWS}")
-                del dpr
-                gc.collect()
+        # Panel rows are clamped host-side by the predictive VMEM model
+        # (formats/pr.py max_pr_rows, calibrated to the decoded compile-
+        # helper OOM anchors) — the old two-cap crash-and-retry loop is
+        # gone (VERDICT r4 item 5).
+        t0 = time.perf_counter()
+        pr = pr_from_csr(csr_k, target_rows=PANEL_TARGET_ROWS)
+        fstats["convert_pr_s"] = time.perf_counter() - t0
+        fstats["pr"] = pr.memory_stats()
+        dpr = device_put_pr(pr, dtype=dt)
+        if cfg.flush_between_stages:
+            flush_hbm()
+        y_pr = np.asarray(
+            pr_spmv_pallas(dpr, x_pr, interpret=not on_tpu), np.float64)
         if seg_map is not None:  # host-exact heavy-row segment reduction
             ids = np.asarray(seg_map)[pr.row_perm]
             dm = validate(np.bincount(ids, weights=y_pr, minlength=M)[:M])
@@ -627,14 +640,17 @@ def run_matrix(
 
         t0 = time.perf_counter()
         # reuse the f32 stage's conversion when every problem fits dd's
-        # four-scratch-plane VMEM cap (the routing is dtype-agnostic)
+        # predictive VMEM budget (the routing is dtype-agnostic)
+        from ..formats.pr import max_pr_rows
+        dd_cap = min(DD_PANEL_TARGET_ROWS, max_pr_rows(N, dd=True))
         if pr is not None and all(
-            q.n_rows <= DD_PANEL_TARGET_ROWS
+            q.n_rows <= dd_cap
             for q in getattr(pr, "panels", (pr,))
         ):
             pr_dd = pr
         else:
-            pr_dd = pr_from_csr(csr_k, target_rows=DD_PANEL_TARGET_ROWS)
+            pr_dd = pr_from_csr(csr_k, target_rows=DD_PANEL_TARGET_ROWS,
+                                dd=True)
         fstats["convert_pr_dd_s"] = time.perf_counter() - t0
         dprd = device_put_pr_dd(pr_dd)
         xh = np.asarray(x, np.float32)

@@ -360,12 +360,18 @@ def run_ladder_sweep(
         log(f"[{name}] pallas_sell@{ladder}: {sec*1e3:.3f} ms = {gf:.3f} GFLOPS "
             f"(pad {sell.padding_ratio:.2f}, {len(sell.bins)} bins, "
             f"sig_diffs={dm.significant_diffs})")
-        per_nnz = 8.0 * sell.padding_ratio
+        # Byte estimate + arith label derive from the actual dtype (ADVICE
+        # r4: a bf16/f64 ladder sweep must not be labeled fp32/8B).
+        val_bytes = jnp.dtype(dtype).itemsize
+        per_nnz = (4.0 + val_bytes) * sell.padding_ratio
+        arith = {"float32": "fp32", "float64": "fp64",
+                 "bfloat16": "bf16"}.get(str(jnp.dtype(dtype)),
+                                         str(jnp.dtype(dtype)))
         pct_bw = per_nnz * csr.nnz / max(sec, 1e-12) / STREAM_BW_BYTES * 100
         _append_row(
             out_csv, NATIVE_HEADER,
             [name, csr.nrows, csr.ncols, csr.nnz, f"pallas_sell@{ladder}",
-             str(jnp.dtype(dtype)), "fp32", _fmt(sec), f"{gf:.6f}", "",
+             str(jnp.dtype(dtype)), arith, _fmt(sec), f"{gf:.6f}", "",
              f"{dm.mean_rel_err:.15e}", dm.significant_diffs,
              f"{dm.max_abs_err:.15e}", f"{dm.max_rel_err:.15e}",
              f"{sell.padding_ratio:.6f}", f"{per_nnz:.2f}",

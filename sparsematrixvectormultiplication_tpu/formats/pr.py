@@ -41,11 +41,51 @@ from .csr import CSRMatrix
 from .sell import DEFAULT_K_BINS, GROUP_ROWS, LANES, SUBLANES
 
 __all__ = ["PRMatrix", "PanelPRMatrix", "pr_from_csr", "MAX_PR_ROWS",
-           "PANEL_TARGET_ROWS"]
+           "PANEL_TARGET_ROWS", "estimate_pr_vmem_bytes", "max_pr_rows"]
 
 MAX_PR_ROWS = 1 << 16          # mask bit-packing holds <= 31 stages
 PANEL_TARGET_ROWS = 1 << 15    # per-panel Beneš rows (VMEM residency)
 _NEAR_WIN = 16                  # x rows per near-tile window read
+
+# --- Predictive VMEM guard (VERDICT r4 item 5) ------------------------------
+# The tunneled compile helper's "HTTP 500" is a DETERMINISTIC VMEM OOM at
+# AOT compile (docs/DESIGN.md "The compile-helper HTTP 500 decoded"):
+# f32 kernel at 2^15 Beneš rows = "Used 152.59M of 128.00M"; the 2^14
+# control compiles at ~76M. Model the footprint host-side and size panels
+# so no shape ever discovers the limit by crashing the helper.
+#
+# Empirical per-row cost, linear fit through the two measured f32 anchors
+# (152.59M@2^15, ~76M@2^14 -> 4674 B/row; naive plane accounting gives
+# 5*512 B/row, i.e. Mosaic's effective overhead is ~1.83x the declared
+# whole-array planes). dd holds 8 per-row planes vs f32's 5 (4 scratch +
+# 2 outputs, ops/pallas_pr_dd.py:246-250) but is calibrated slightly
+# below the 8/5 ratio so the MEASURED-working dd 2^14 @ 1M-col config
+# stays admissible: per_row_dd = 7000 -> 114.7M + x-table.
+_PR_VMEM_PER_ROW_F32 = 4674
+_PR_VMEM_PER_ROW_DD = 7000
+PR_VMEM_BUDGET = 126 * 1024 * 1024   # reject just under the 128M chip limit
+
+
+def estimate_pr_vmem_bytes(n_rows: int, ncols: int, dd: bool = False) -> int:
+    """Host-side VMEM model of one PR pallas_call at ``n_rows`` Beneš rows.
+
+    Includes the packed whole-x table (1 f32 plane, 2 for dd hi/lo); the
+    per-row coefficient covers masks/final_lane/scratch/outputs and
+    Mosaic's measured overhead."""
+    per_row = _PR_VMEM_PER_ROW_DD if dd else _PR_VMEM_PER_ROW_F32
+    x_planes = 2 if dd else 1
+    x_bytes = -(-int(ncols) // LANES) * LANES * 4 * x_planes
+    return int(n_rows) * per_row + x_bytes
+
+
+def max_pr_rows(ncols: int, dd: bool = False,
+                budget: int = PR_VMEM_BUDGET) -> int:
+    """Largest power-of-two Beneš row count whose modeled VMEM footprint
+    fits ``budget``. Floor 2^10 (smaller problems are never VMEM-bound)."""
+    rows = MAX_PR_ROWS
+    while rows > (1 << 10) and estimate_pr_vmem_bytes(rows, ncols, dd) > budget:
+        rows >>= 1
+    return rows
 
 
 @dataclass(frozen=True)
@@ -502,10 +542,14 @@ def _sub_csr(csr: CSRMatrix, rows: np.ndarray) -> CSRMatrix:
 
 
 def pr_from_csr(csr: CSRMatrix, k_bins: tuple = DEFAULT_K_BINS,
-                native: bool = True, target_rows: int = PANEL_TARGET_ROWS):
+                native: bool = True, target_rows: int = PANEL_TARGET_ROWS,
+                dd: bool = False):
     """PRMatrix when one Beneš problem suffices, PanelPRMatrix beyond.
-    ``target_rows`` caps a problem's Beneš rows (dd kernels hold four
-    scratch planes and pass a smaller cap)."""
+    ``target_rows`` caps a problem's Beneš rows; it is further clamped by
+    the predictive VMEM model (:func:`max_pr_rows`) so no panel shape can
+    reach the compile helper's deterministic VMEM OOM (``dd=True`` prices
+    the dd kernel's extra scratch/output planes)."""
+    target_rows = min(int(target_rows), max_pr_rows(csr.ncols, dd=dd))
     # quick bound: padded entries ~ nnz * 1.6 is the common case; try the
     # single problem first and fall back on the capacity guard. A single
     # problem above target_rows would hold (with its scratches, masks and

@@ -349,10 +349,17 @@ class SellMatrix:
         )
 
         # window-layered (wl) profile, also computed once (clustered-matrix
-        # layout: one gather per layer tile; see _wl_profile)
-        wl_rb, wl_w, wl_s, wl_layer, wl_nwin_g, wl_L_g = _wl_profile(
-            rows_of_entries, csr.col_idx, num_groups, Rp
-        )
+        # layout: one gather per layer tile; see _wl_profile). Forced
+        # non-wl layouts skip it (r5 profile: 6-13 s at 22.7M nnz, output
+        # discarded): zero NW keeps wl_ok False everywhere.
+        if layout in ("auto", "wl"):
+            wl_rb, wl_w, wl_s, wl_layer, wl_nwin_g, wl_L_g = _wl_profile(
+                rows_of_entries, csr.col_idx, num_groups, Rp
+            )
+        else:
+            wl_rb = wl_w = wl_s = wl_layer = np.zeros(0, np.int64)
+            wl_nwin_g = np.zeros(max(num_groups, 1), np.int64)[:num_groups]
+            wl_L_g = np.ones(max(num_groups, 1), np.int64)[:num_groups]
         wl_kw_g = 8 * wl_nwin_g * wl_L_g          # wl slots per row
         group_nnz_all = row_nnz.reshape(num_groups, GROUP_ROWS).sum(axis=1) \
             if num_groups else np.zeros(0, np.int64)
@@ -585,12 +592,19 @@ class SellMatrix:
             # per-chunk DISTINCT slab lists ("sb-list" hybrid): robust when a
             # chunk's slab *range* is wide but its distinct count is small
             # (boundary rows in stencil matrices shift k-alignment: fem3d
-            # chunks span ~85 slabs while touching ~4 distinct ones)
-            chunk_lists, chunk_distinct = _per_chunk_distinct(
-                qc.reshape(ng * SUBLANES * nchunks, ck * LANES)
-            )
-            g_distinct = chunk_distinct.reshape(ng, -1).max(axis=1)
-            d_q = np.minimum(-(-g_distinct // 2) * 2, np.maximum(s_q, 2))
+            # chunks span ~85 slabs while touching ~4 distinct ones).
+            # Skipped for forced non-sb-list layouts: the distinct pass is
+            # the conversion's hottest host op (r5 profile: ~9-13 s at 22.7M
+            # nnz) and its output would be discarded.
+            if layout in ("auto", "sb-list"):
+                chunk_lists, chunk_distinct = _per_chunk_distinct(
+                    qc.reshape(ng * SUBLANES * nchunks, ck * LANES)
+                )
+                g_distinct = chunk_distinct.reshape(ng, -1).max(axis=1)
+                d_q = np.minimum(-(-g_distinct // 2) * 2, np.maximum(s_q, 2))
+            else:
+                chunk_lists = None
+                d_q = np.maximum(s_q, 2)
 
             # modeled vreg-op-equivalents per group (ops on (8,128) registers):
             #   sb-major: per chunk, span gather passes (~5 ops) + 2
@@ -1413,7 +1427,10 @@ def _per_chunk_distinct(q2d: np.ndarray):
     new[:, 1:] = s[:, 1:] != s[:, :-1]
     counts = new.sum(axis=1)
     width = max(int(counts.max()) if counts.size else 1, 1)
-    pos = np.cumsum(new, axis=1) - 1  # index within the distinct list
+    # int32 accumulator: the default int64 cumsum over the padded entry
+    # plane was the conversion's single hottest op (r5 profile: 13 s at
+    # 22.7M nnz); row width is <= ck*LANES so int32 can't overflow
+    pos = np.cumsum(new, axis=1, dtype=np.int32) - 1  # index in distinct list
     lists = np.full((q2d.shape[0], width), -1, dtype=np.int32)
     ridx = np.broadcast_to(
         np.arange(q2d.shape[0])[:, None], q2d.shape

@@ -292,6 +292,95 @@ def copurchase_graph(n: int = 262_000, avg_deg: int = 5,
     return _dedup(n, n, row.astype(np.int32), col.astype(np.int32), val)
 
 
+def econ_sectors(n: int = 206_500, sector: int = 500, avg_nnz: int = 6,
+                 cross_frac: float = 0.25, seed: int = 0) -> COOMatrix:
+    """mac_econ_fwd500-class macroeconomic model (VERDICT r4 item 7).
+
+    The reference sweep's mac_econ_fwd500 (206,500^2, 1.27M nnz ~6.2/row,
+    result_cuda.csv) is a forward-simulation economic model: variables
+    group into sector blocks; each short row couples mostly within its
+    sector (block-local columns) with a minority of cross-sector links to
+    arbitrary sectors. Signature regime: SHORT scattered rows with
+    two-scale locality — between road_like (pure local) and powerlaw_web
+    (none) — and a bimodal |col-row| distribution."""
+    rng = np.random.default_rng(seed)
+    deg = np.maximum(1, rng.poisson(avg_nnz - 1, size=n) + 1)
+    np.clip(deg, 1, 44, out=deg)   # mac_econ max row nnz is 44
+    row = np.repeat(np.arange(n, dtype=np.int64), deg)
+    base = (row // sector) * sector
+    local = base + rng.integers(0, sector, size=row.size)
+    target_sector = rng.integers(0, n // sector, size=row.size)
+    cross = target_sector * sector + rng.integers(0, sector, size=row.size)
+    use_cross = rng.random(row.size) < cross_frac
+    col = np.where(use_cross, cross, local)
+    np.clip(col, 0, n - 1, out=col)
+    val = rng.standard_normal(row.size)
+    return _dedup(n, n, row.astype(np.int32), col.astype(np.int32), val)
+
+
+def unstructured_fem(n_target: int = 121_000, avg_nnz: int = 22,
+                     shuffle_frac: float = 0.35, seed: int = 0) -> COOMatrix:
+    """cop20k_A-class unstructured-mesh FEM (VERDICT r4 item 7).
+
+    The reference sweep's cop20k_A (121,192^2, 2.62M nnz ~21.7/row,
+    result_cuda.csv) is an accelerator-cavity FEM on an unstructured
+    tetrahedral mesh with a jumbled node numbering: neighbor couplings
+    are mesh-local but the id ordering scatters a large fraction of
+    columns far from the diagonal. Modeled as a 3-D 27-point operator
+    whose node ids are partially shuffled (``shuffle_frac`` of nodes get
+    random ids): the surviving local fraction keeps slab reuse alive
+    while the shuffled tail stresses the gather path — the regime between
+    fem3d_cube (perfect banding) and random_uniform."""
+    rng = np.random.default_rng(seed)
+    g = int(round(n_target ** (1 / 3)))
+    base = fem_3d(g, g, g, dof=1, seed=seed)
+    n = base.nrows
+    perm = np.arange(n, dtype=np.int64)
+    k = int(n * shuffle_frac)
+    pick = rng.choice(n, size=k, replace=False)
+    perm[np.sort(pick)] = pick[rng.permutation(k)]
+    row = perm[base.row.astype(np.int64)]
+    col = perm[base.col.astype(np.int64)]
+    # thin to the target average row length (27-pt gives ~27/row)
+    keep = rng.random(row.size) < min(1.0, avg_nnz / 27.0)
+    keep |= row == col  # keep the diagonal
+    return _dedup(n, n, row[keep].astype(np.int32),
+                  col[keep].astype(np.int32), base.val[keep])
+
+
+def cfd_multidof(nx: int = 180, ny: int = 180, dof: int = 5,
+                 seed: int = 0) -> COOMatrix:
+    """PR02R-class CFD Jacobian (VERDICT r4 item 7).
+
+    The reference sweep's PR02R (161,070^2, 8.19M nnz ~50.8/row,
+    result_cuda.csv; its best CUDA number is the WARP kernel at 43.89
+    fp64 GF — long clustered rows) is a reacting-flow CFD Jacobian:
+    multiple conserved quantities per cell give dense dof x dof blocks
+    over a 2-D 9-point stencil — rows of ~45 tightly clustered entries.
+    The structure class is the dd-headroom showcase: long rows, few
+    distinct slabs per chunk."""
+    rng = np.random.default_rng(seed)
+    cells = nx * ny
+    cid = np.arange(cells, dtype=np.int64)
+    cx, cy = cid % nx, cid // nx
+    neigh = []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            ox, oy = cx + dx, cy + dy
+            ok = (ox >= 0) & (ox < nx) & (oy >= 0) & (oy < ny)
+            neigh.append((cid[ok], (oy[ok] * nx + ox[ok])))
+    ci = np.concatenate([a for a, _ in neigh])
+    cj = np.concatenate([b for _, b in neigh])
+    # expand to dof x dof dense blocks
+    di = np.arange(dof, dtype=np.int64)
+    row = (ci[:, None, None] * dof + di[None, :, None]).repeat(dof, axis=2)
+    col = (cj[:, None, None] * dof + di[None, None, :]).repeat(dof, axis=1)
+    row, col = row.ravel(), col.ravel()
+    val = rng.standard_normal(row.size)
+    return _dedup(cells * dof, cells * dof, row.astype(np.int32),
+                  col.astype(np.int32), val)
+
+
 @dataclass(frozen=True)
 class SuiteEntry:
     name: str
@@ -334,6 +423,15 @@ BENCH_SUITE = [
     SuiteEntry("fem3d_large", "3-D FEM 27-point x 3 dof, 127M nnz "
                "(Cube_Coup_dt0-size)",
                lambda: fem_3d(82, 82, 82, dof=3, seed=12)),
+    SuiteEntry("econ_like", "sector-block economic model, short scattered "
+               "rows (mac_econ_fwd500-class)",
+               lambda: econ_sectors(206_500, seed=13)),
+    SuiteEntry("cop20k_like", "unstructured-mesh FEM, shuffled node ids "
+               "(cop20k_A-class)",
+               lambda: unstructured_fem(121_000, seed=14)),
+    SuiteEntry("cfd_like", "multi-dof CFD Jacobian, long clustered rows "
+               "(PR02R-class)",
+               lambda: cfd_multidof(180, 180, dof=5, seed=15)),
 ]
 
 

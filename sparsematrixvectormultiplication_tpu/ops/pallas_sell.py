@@ -264,10 +264,15 @@ def _resident_pad(b, num_groups: int, value_itemsize: int):
     return (g_per, padded host arrays). Pads group lists to a multiple of
     g_per with gid = -1 (the kernels predicate the write off)."""
     ng = int(b.n_groups)
+    # Budget against the WORST-CASE y buffer: a sibling end-of-range bin's
+    # _contig_tail_pad may grow y_groups up to g_per-1 = 15 groups past
+    # num_groups, and the resident kernels size their constant VMEM window
+    # from y.shape at call time (ADVICE r4).
+    y_groups_worst = num_groups + 15
     if (
         b.layout not in _RESIDENT_LAYOUTS
         or ng < 4
-        or num_groups * SUBLANES * LANES * value_itemsize > _RESIDENT_Y_BYTES
+        or y_groups_worst * SUBLANES * LANES * value_itemsize > _RESIDENT_Y_BYTES
     ):
         return 0, None
     gids = np.asarray(b.group_ids, np.int64)

@@ -23,6 +23,7 @@ __all__ = [
     "force_readback",
     "time_device_fn",
     "time_device_fn_batched",
+    "run_device_validated",
     "ITERATION_SKIP",
 ]
 
@@ -117,6 +118,45 @@ def time_device_fn_batched(fn, *args, reps: int = 20, rounds: int = 3, checksum=
         force_readback(chained(*args))
         times.append((time.perf_counter() - t0) / reps)
     return min(times), times
+
+
+def run_device_validated(fn, *args, y_ref, reps: int = 16):
+    """Per-iteration validation WITHOUT host readbacks (≙ the reference's
+    in-loop `checkResult` on every timed iteration, main_cuda.cu:183-188 /
+    main.c:145): run ``reps`` chained executions, accumulating the running
+    max |out - y_ref| in-graph, and read ONE scalar back at the end.
+
+    The reference pays a D2H copy + host compare per iteration; on this
+    tunneled runtime that would cost ~32 ms/rep (the fixed invocation
+    cost), so the accumulator is the TPU-native equivalent: the compare
+    rides the chip, the chain stays irreducibly sequential (each
+    iteration's carry data-depends on the previous output), and a single
+    readback reports the worst iteration.
+
+    Returns (max_abs_diff_across_reps, seconds_per_rep) — the seconds
+    include the in-graph compare, so callers can quantify its overhead
+    against the plain timed chain.
+    """
+    y_ref = jnp.asarray(y_ref)
+
+    @jax.jit
+    def chained(y_r, *args):
+        def body(carry, _):
+            out = fn(*args)
+            out0 = out[0] if isinstance(out, tuple) else out
+            d = jnp.max(jnp.abs(out0.reshape(-1)[: y_r.size]
+                                - y_r.reshape(-1).astype(out0.dtype)))
+            # max() ties each iteration to the carry (no LICM hoist)
+            return jnp.maximum(carry, d.astype(jnp.float32)), ()
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=reps)
+        return acc
+
+    force_readback(chained(y_ref, *args))  # compile
+    t0 = time.perf_counter()
+    max_diff = force_readback(chained(y_ref, *args))
+    sec = (time.perf_counter() - t0) / reps
+    return float(max_diff), sec
 
 
 def time_device_fn_slope(fn, *args, reps: int = 64, rounds: int = 3):

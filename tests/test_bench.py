@@ -348,3 +348,43 @@ def test_transient_compile_error_classifier():
         "Mosaic lowering rejected: unsupported gather"))
     assert not _transient_compile_error(MemoryError(
         "SELL device arrays 2426 MiB > 2200 MiB"))
+
+
+def test_run_device_validated_deterministic_and_detects_drift():
+    """Per-iteration in-graph validation (VERDICT r4 missing-3): a
+    deterministic fn accumulates 0 drift across reps; a wrong reference
+    reports the exact max deviation."""
+    import jax.numpy as jnp
+
+    from sparsematrixvectormultiplication_tpu.utils.timing import (
+        run_device_validated,
+    )
+
+    a = jnp.arange(64, dtype=jnp.float32)
+    fn = lambda v: v * 2.0 + 1.0
+    y0 = fn(a)
+    diff, sec = run_device_validated(fn, a, y_ref=y0, reps=4)
+    assert diff == 0.0
+    assert sec > 0
+    # perturbed reference: max |y - (y0+3)| = 3 on every iteration
+    diff2, _ = run_device_validated(fn, a, y_ref=y0 + 3.0, reps=4)
+    assert abs(diff2 - 3.0) < 1e-6
+
+
+def test_harness_device_validate_flag():
+    """cfg.device_validate records per-stage drift metrics in extra."""
+    import numpy as np
+
+    from sparsematrixvectormultiplication_tpu.bench.harness import (
+        BenchConfig, run_matrix,
+    )
+    from sparsematrixvectormultiplication_tpu.models.synthetic import banded
+
+    coo = banded(512, nnz_per_row=4, bandwidth=16, seed=3)
+    cfg = BenchConfig(iterations=2, rounds=1, device_validate=True,
+                      kernels=("serial_csr", "pallas_sell"))
+    res = run_matrix("dv_probe", coo, cfg, log=lambda *_: None)
+    s = res.stages["pallas_sell"]
+    assert "device_val_max_diff" in s.extra
+    assert s.extra["device_val_max_diff"] == 0.0
+    assert s.extra["device_val_reps"] == 2

@@ -171,3 +171,42 @@ def test_webbase_like_locality():
     # power-law degree structure retained
     deg = np.bincount(web.row)
     assert deg.max() > 20 * np.median(deg[deg > 0])
+
+
+def test_new_reference_class_generators():
+    """mac_econ / cop20k / PR02R structure analogues (VERDICT r4 item 7):
+    row-length and locality signatures in class-distinct ranges."""
+    import numpy as np
+
+    from sparsematrixvectormultiplication_tpu.models.synthetic import (
+        cfd_multidof, econ_sectors, unstructured_fem,
+    )
+
+    econ = econ_sectors(20_000, seed=1)
+    rc = np.bincount(econ.row, minlength=econ.nrows)
+    assert 4 <= econ.nnz / econ.nrows <= 9        # short rows (~6.2 ref)
+    assert rc.max() <= 44                         # mac_econ max row nnz
+    d = np.abs(econ.col.astype(np.int64) - econ.row)
+    # two-scale locality: most entries sector-local, a cross-sector tail
+    assert np.median(d) < 1000 < np.percentile(d, 95)
+
+    cop = unstructured_fem(12_000, seed=2)
+    assert 15 <= cop.nnz / cop.nrows <= 27        # ~21.7 ref
+    d = np.abs(cop.col.astype(np.int64) - cop.row)
+    assert np.percentile(d, 90) > 400             # shuffled-id scattering
+
+    cfd = cfd_multidof(40, 40, dof=5, seed=3)
+    rc = np.bincount(cfd.row, minlength=cfd.nrows)
+    assert 35 <= cfd.nnz / cfd.nrows <= 55        # long rows (~50.8 ref)
+    assert rc.max() == 45                         # 9-pt x 5 dof dense blocks
+    # oracle sanity: symmetric-pattern SpMV equals scipy
+    import scipy.sparse as sp
+
+    from sparsematrixvectormultiplication_tpu.formats.csr import CSRMatrix
+
+    csr = CSRMatrix.from_coo(cfd)
+    x = np.random.default_rng(0).standard_normal(cfd.ncols)
+    y = csr.spmv(x)
+    m = sp.coo_matrix((cfd.val, (cfd.row, cfd.col)),
+                      shape=(cfd.nrows, cfd.ncols)).tocsr()
+    assert np.allclose(y, m @ x)
