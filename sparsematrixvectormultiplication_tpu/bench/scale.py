@@ -331,6 +331,27 @@ def run_ladder_sweep(
     y_ref = csr.spmv(x)
     xd = jnp.asarray(x, dtype)
 
+    # Heavy-row split, SAME policy as the harness (bench/harness.py): the
+    # r4 ladder sweep fed unsplit power-law heads straight to conversion —
+    # K>=1024 bins compile to ~3k-vreg kernels that FAULT the TPU worker
+    # (probes/ladders_r4.out: powerlaw_web "kernel fault" killed the
+    # process and every later matrix read UNAVAILABLE). This was the
+    # bisected root cause (VERDICT r4 item 4): the faulting geometry is
+    # the unsplit K~=n_cols bin, and the guard is the split.
+    nrows_nat = csr.nrows
+    med_nnz = float(np.median(csr.row_nnz())) if nrows_nat else 0.0
+    split_cap = 16 if med_nnz <= 24 else 256
+    csr, seg_map = csr.split_heavy_rows(split_cap, strided=split_cap < 256)
+    if seg_map is not None:
+        log(f"[{name}] ladders: split heavy rows {nrows_nat} -> {csr.nrows} "
+            f"(cap {split_cap})")
+
+    def _to_natural(y_k):
+        if seg_map is None:
+            return y_k[:nrows_nat]
+        return np.bincount(np.asarray(seg_map), weights=y_k,
+                           minlength=nrows_nat)[:nrows_nat]
+
     out = []
     for ladder, k_bins in DEFAULT_LADDERS.items():
         t0 = time.perf_counter()
@@ -348,7 +369,7 @@ def run_ladder_sweep(
             dsell = device_put_sell(sell, dtype=dtype)
             fn = lambda d, xx: sell_spmv_pallas(d, xx, interpret=not on_tpu)
             y = np.asarray(fn(dsell, xd), np.float64)
-            dm = difference_metrics(y_ref, y[: csr.nrows],
+            dm = difference_metrics(y_ref, _to_natural(y[: csr.nrows]),
                                     DEFAULT_ABS_TOL, DEFAULT_REL_TOL)
             sec, _ = time_device_fn_slope(fn, dsell, xd, reps=iterations,
                                           rounds=rounds)
@@ -370,7 +391,7 @@ def run_ladder_sweep(
         pct_bw = per_nnz * csr.nnz / max(sec, 1e-12) / STREAM_BW_BYTES * 100
         _append_row(
             out_csv, NATIVE_HEADER,
-            [name, csr.nrows, csr.ncols, csr.nnz, f"pallas_sell@{ladder}",
+            [name, nrows_nat, csr.ncols, csr.nnz, f"pallas_sell@{ladder}",
              str(jnp.dtype(dtype)), arith, _fmt(sec), f"{gf:.6f}", "",
              f"{dm.mean_rel_err:.15e}", dm.significant_diffs,
              f"{dm.max_abs_err:.15e}", f"{dm.max_rel_err:.15e}",

@@ -32,6 +32,7 @@ loops must fully unroll; output blocks must be >= (8,128).
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 
 import jax
@@ -303,10 +304,15 @@ def _resident_pad(b, num_groups: int, value_itemsize: int):
 # total device-array budget per structure: the observed worker-killers were
 # ~1.4 GB SINGLE arrays (xla_csr, HLL repack); many-array SELL structures up
 # to ~1.9 GB uploaded fine in r1 (119M-nnz dd) — budget set between
-_MAX_UPLOAD_BYTES = 2200 * 1024 * 1024
+_MAX_UPLOAD_BYTES = int(os.environ.get("SPMV_MAX_UPLOAD_MB",
+                                       "2200")) * 1024 * 1024
 # single-array transfer cap: the observed worker-killers were ~1.4 GB SINGLE
-# arrays; bin-by-bin uploads below this ran fine up to ~1.9 GB total (r1)
-_MAX_ARRAY_BYTES = 1200 * 1024 * 1024
+# arrays; bin-by-bin uploads below this ran fine up to ~1.9 GB total (r1).
+# Both caps are env-tunable (SPMV_MAX_UPLOAD_MB / SPMV_MAX_ARRAY_MB) so a
+# supervised chain stage can probe beyond the conservative defaults — e.g.
+# the fem3d_large dd wl structure needs ~2.9 GB total in <1 GB arrays.
+_MAX_ARRAY_BYTES = int(os.environ.get("SPMV_MAX_ARRAY_MB",
+                                      "1200")) * 1024 * 1024
 
 
 def pack_x_table(x, ncols: int):

@@ -88,3 +88,36 @@ def test_hll_role_fills_hll_columns_only(tmp_path):
     # the parallel (CSR-kernel) family stays zero for the hll curve
     assert float(r[_col(rows, "time_parallel")]) == 0.0
     assert float(r[_col(rows, "flops_parallel")]) == 0.0
+
+
+def test_ladder_sweep_splits_heavy_rows(tmp_path):
+    """Regression for the r4 powerlaw worker crash (VERDICT r4 item 4):
+    the ladder sweep must apply the harness's heavy-row split so no
+    K>=1024 bin (the faulting kernel geometry) ever reaches conversion,
+    and validation must reduce segments back to natural rows."""
+    import csv as csvmod
+
+    import numpy as np
+
+    from sparsematrixvectormultiplication_tpu.bench.scale import (
+        run_ladder_sweep,
+    )
+    from sparsematrixvectormultiplication_tpu.formats.csr import CSRMatrix
+    from sparsematrixvectormultiplication_tpu.models.synthetic import (
+        power_law,
+    )
+
+    coo = power_law(2048, avg_nnz_per_row=6, seed=5)
+    csr = CSRMatrix.from_coo(coo)
+    assert int(csr.row_nnz().max()) > 256  # a real power-law head
+    out = str(tmp_path / "ladders.csv")
+    rows = run_ladder_sweep("pl_probe", csr, out, iterations=2, rounds=1,
+                            log=lambda *_: None)
+    assert rows, "no ladder produced a row"
+    with open(out) as f:
+        table = list(csvmod.reader(f))
+    sig_col = table[0].index("significant_diffs")
+    nrows_col = table[0].index("rows")
+    for r in table[1:]:
+        assert int(r[sig_col]) == 0          # exact after segment reduce
+        assert int(r[nrows_col]) == csr.nrows  # natural rows reported
