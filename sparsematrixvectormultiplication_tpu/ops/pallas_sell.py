@@ -77,20 +77,24 @@ class DeviceSellBin:
                              # matrices fragment group ids, forcing g_per=1
                              # revolving tiles of a few KB).
     sg_slots: bool = False   # sg: free sublane-slot positions (sigma-reduce)
+    ja_packed: bool = False  # wl: index plane packed 4 lane-bytes/int32
+                             # (_pack_wl_ja) — 4B -> 1B of HBM index traffic
+                             # per slot; kernels unpack with shift+mask
 
     def tree_flatten(self):
         return (
             (self.group_ids, self.ja, self.as_, self.slab_list, self.slab_count),
             (self.k, self.n_groups, self.layout, self.span, self.contig_start,
-             self.chunk_k, self.add_into, self.resident_g_per, self.sg_slots),
+             self.chunk_k, self.add_into, self.resident_g_per, self.sg_slots,
+             self.ja_packed),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        k, ng, layout, span, contig, ck, add, res, slots = aux
+        k, ng, layout, span, contig, ck, add, res, slots, packed = aux
         return cls(k, ng, layout, span, *children, contig_start=contig,
                    chunk_k=ck, add_into=add, resident_g_per=res,
-                   sg_slots=slots)
+                   sg_slots=slots, ja_packed=packed)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -119,6 +123,39 @@ class DeviceSell:
 
     def spmv(self, x):
         return sell_spmv_pallas(self, x)
+
+
+def _wl_pack_enabled() -> bool:
+    """wl index bit-plane packing (VERDICT r4 item 6) — opt-in via
+    SPMV_WL_PACK=1 until the A/B lands; r2 measured an int16 CAST losing
+    (cast cost > bytes saved), so this packs four 7-bit lane indices into
+    one int32 TILE instead: the index plane's HBM traffic drops 4x and the
+    kernels unpack with one shift+mask per (8,128) tile."""
+    return os.environ.get("SPMV_WL_PACK", "0") == "1"
+
+
+def _pack_wl_ja(ja_h: np.ndarray, rows_per_group: int) -> np.ndarray:
+    """Pack a wl bin's lane-index plane 4 tiles -> 1 int32 tile, per group.
+
+    wl ``ja`` values are lane offsets 0..127 (7 bits; _kernel_wl docstring).
+    Within each group, (8,128) tile ``t`` lands in byte ``t % 4`` of packed
+    tile ``t // 4``; the per-group tile count pads to a multiple of 4 with
+    zero tiles (gathers lane 0 times value 0.0 — the existing wl padding
+    semantics). Top byte holds values <= 0x7F so the int32 view is never
+    negative and arithmetic shifts are safe."""
+    ng = ja_h.shape[0] // rows_per_group
+    Tn = rows_per_group // 8
+    Tp = -(-Tn // 4)
+    tiles = ja_h.reshape(ng, Tn, 8, LANES).astype(np.uint32)
+    if Tp * 4 != Tn:
+        tiles = np.concatenate(
+            [tiles, np.zeros((ng, Tp * 4 - Tn, 8, LANES), np.uint32)], axis=1)
+    tiles = tiles.reshape(ng, Tp, 4, 8, LANES)
+    packed = (tiles[:, :, 0]
+              | (tiles[:, :, 1] << np.uint32(8))
+              | (tiles[:, :, 2] << np.uint32(16))
+              | (tiles[:, :, 3] << np.uint32(24)))
+    return packed.reshape(ng * Tp * 8, LANES).astype(np.int32)
 
 
 def device_put_sell(sell, dtype=jnp.float32, device=None, resident=True):
@@ -166,6 +203,9 @@ def device_put_sell(sell, dtype=jnp.float32, device=None, resident=True):
             gid_h, ja_h, as_h, sl_h, cnt_h = (
                 b.group_ids, b.ja, b.as_, b.slab_list, b.slab_count)
             ng_dev = int(b.n_groups)
+        packed = b.layout == "wl" and _wl_pack_enabled()
+        if packed:
+            ja_h = _pack_wl_ja(np.asarray(ja_h), ja_h.shape[0] // ng_dev)
         bins.append(
             DeviceSellBin(
                 k=int(b.k),
@@ -182,6 +222,7 @@ def device_put_sell(sell, dtype=jnp.float32, device=None, resident=True):
                 add_into=bool(getattr(b, "add_into", False)),
                 resident_g_per=res_g_per,
                 sg_slots=bool(getattr(b, "sg_slots", False)),
+                ja_packed=packed,
             )
         )
     return DeviceSell(sell.nrows, sell.ncols, sell.nnz, sell.num_groups,
@@ -595,7 +636,7 @@ def _kernel_sb_list(k: int, span: int, g_per: int = 1, ck: int = CHUNK_K,
 
 
 def _kernel_wl(k: int, L: int, NW: int, g_per: int = 1,
-               accumulate: bool = False):
+               accumulate: bool = False, packed: bool = False):
     """Window-layered kernel (clustered matrices: FEM stencils).
 
     Data layout (formats/sell.py _wl_profile / _emit_wl_bin): per 128-row
@@ -607,15 +648,18 @@ def _kernel_wl(k: int, L: int, NW: int, g_per: int = 1,
     at the streaming floor). ``ja`` stores lane offsets m directly.
     """
     assert k == 8 * NW * L
+    Tn = SUBLANES * NW * L          # (8,128) tiles per group
+    Tp = -(-Tn // 4)                # packed int32 tiles per group
 
     def kernel(gid_ref, slabs_ref, cnt_ref, x_ref, ja_ref, as_ref, yin_ref,
                y_ref):
         step = pl.program_id(0)
-        dtype = x_ref.dtype  # accumulate in x dtype; values may be narrower
+        dtype = x_ref.dtype  # accumulate in x dtype; may be narrower values
         rows = []
         for gi in range(g_per):
             g = step * g_per + gi
             gbase = gi * k * SUBLANES
+            pbase = gi * Tp * 8
             for rb in range(SUBLANES):
                 acc = jnp.zeros((8, LANES), dtype)
                 for w in range(NW):
@@ -626,7 +670,16 @@ def _kernel_wl(k: int, L: int, NW: int, g_per: int = 1,
                     for l in range(L):
                         t = (rb * NW + w) * L + l
                         off = pl.multiple_of(gbase + t * 8, 8)
-                        m = ja_ref[pl.ds(off, 8), :]
+                        if packed:
+                            # 4 lane-index tiles per int32 tile: byte t%4
+                            # of packed tile t//4 (_pack_wl_ja). One
+                            # shift+mask replaces 3 extra HBM index bytes
+                            # per slot.
+                            poff = pl.multiple_of(pbase + (t // 4) * 8, 8)
+                            pw = ja_ref[pl.ds(poff, 8), :]
+                            m = (pw >> (8 * (t % 4))) & (LANES - 1)
+                        else:
+                            m = ja_ref[pl.ds(off, 8), :]
                         vals = as_ref[pl.ds(off, 8), :].astype(dtype)
                         acc = acc + vals * jnp.take_along_axis(W, m, axis=1)
                 rows.append(jnp.sum(acc, axis=0))
@@ -778,9 +831,12 @@ def _bin_call(bin_: DeviceSellBin, x_tab, y, num_groups: int, interpret: bool,
     efficiency (≙ reference block-size tuning, main_cuda.cu occupancy)."""
     ng, K = bin_.n_groups, bin_.k
     resident = int(getattr(bin_, "resident_g_per", 0) or 0)
+    packed = bool(getattr(bin_, "ja_packed", False))
     g_per = resident if resident > 1 else _pick_g_per(
-        bin_, bytes_per_entry=4 + bin_.as_.dtype.itemsize)
+        bin_, bytes_per_entry=(1 if packed else 4) + bin_.as_.dtype.itemsize)
     KB = K * SUBLANES * g_per
+    # packed wl: the index plane carries ceil(tiles/4) int32 tiles per group
+    KBJ = (-(-(K * SUBLANES // 8) // 4) * 8 * g_per) if packed else KB
     R = x_tab.shape[0]
 
     if resident > 1:
@@ -803,7 +859,7 @@ def _bin_call(bin_: DeviceSellBin, x_tab, y, num_groups: int, interpret: bool,
         grid=(ng // g_per,),
         in_specs=[
             pl.BlockSpec((R, LANES), lambda g, *refs: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((KB, LANES), lambda g, *refs: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((KBJ, LANES), lambda g, *refs: (g, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((KB, LANES), lambda g, *refs: (g, 0), memory_space=pltpu.VMEM),
             # the aliased y input: same mapping as the output so the window
             # holds what we overwrite (revolving tile, or the whole buffer)
@@ -817,7 +873,8 @@ def _bin_call(bin_: DeviceSellBin, x_tab, y, num_groups: int, interpret: bool,
     elif bin_.layout == "sb-list":
         kernel = _kernel_sb_list(K, bin_.span, g_per, bin_.chunk_k, accumulate)
     elif bin_.layout == "wl":
-        kernel = _kernel_wl(K, bin_.span, bin_.chunk_k, g_per, accumulate)
+        kernel = _kernel_wl(K, bin_.span, bin_.chunk_k, g_per, accumulate,
+                            packed=packed)
     elif bin_.layout == "sg":
         kernel = _kernel_sg(K, bin_.span, g_per, accumulate,
                             resident=resident > 1,

@@ -49,20 +49,23 @@ class DeviceSellBinDD:
     chunk_k: int = CHUNK_K
     add_into: bool = False
     resident_g_per: int = 0  # see ops/pallas_sell.py DeviceSellBin
+    ja_packed: bool = False  # wl: 4 lane-bytes per int32 tile (_pack_wl_ja)
 
     def tree_flatten(self):
         return (
             (self.group_ids, self.ja, self.as_hi, self.as_lo,
              self.slab_list, self.slab_count),
             (self.k, self.n_groups, self.layout, self.span, self.contig_start,
-             self.chunk_k, self.add_into, self.resident_g_per),
+             self.chunk_k, self.add_into, self.resident_g_per,
+             self.ja_packed),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        k, ng, layout, span, contig, ck, add, res = aux
+        k, ng, layout, span, contig, ck, add, res, packed = aux
         return cls(k, ng, layout, span, *children, contig_start=contig,
-                   chunk_k=ck, add_into=add, resident_g_per=res)
+                   chunk_k=ck, add_into=add, resident_g_per=res,
+                   ja_packed=packed)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -143,8 +146,13 @@ def device_put_sell_dd(sell, device=None):
                 b.group_ids, b.ja, b.as_, b.slab_list, b.slab_count)
             ng_dev = int(b.n_groups)
         hi, lo = split_f64(np.asarray(as_h, np.float64))
+        from .pallas_sell import _pack_wl_ja, _wl_pack_enabled
+        packed = b.layout == "wl" and _wl_pack_enabled()
+        if packed:
+            ja_h = _pack_wl_ja(np.asarray(ja_h), ja_h.shape[0] // ng_dev)
         bins.append(
             DeviceSellBinDD(
+                ja_packed=packed,
                 contig_start=contig,
                 chunk_k=int(getattr(b, "chunk_k", 8)),
                 add_into=bool(getattr(b, "add_into", False)),
@@ -391,12 +399,17 @@ def _kernel_k_major_dd(k: int, interpret: bool = False, g_per: int = 1,
 
 
 def _kernel_wl_dd(k: int, L: int, NW: int, interpret: bool = False,
-                  g_per: int = 1, accumulate: bool = False):
+                  g_per: int = 1, accumulate: bool = False,
+                  packed: bool = False):
     """DD twin of the window-layered kernel (ops/pallas_sell.py _kernel_wl):
     one W table pair (hi, lo) per window, one take_along_axis pair per layer
     tile, dd accumulation. Under interpret the layer loop stays rolled so
-    XLA CPU cannot fold the error-free transforms."""
+    XLA CPU cannot fold the error-free transforms. ``packed``: the index
+    plane holds 4 lane-bytes per int32 tile (_pack_wl_ja) — the rolled
+    interpret loop unpacks with a dynamic shift, the Mosaic path unrolls
+    with static byte lanes."""
     assert k == 8 * NW * L
+    Tp = -(-(SUBLANES * NW * L) // 4)
 
     def kernel(gid_ref, slabs_ref, cnt_ref, xh_ref, xl_ref, ja_ref, ah_ref,
                al_ref, yinh_ref, yinl_ref, yh_ref, yl_ref):
@@ -405,6 +418,7 @@ def _kernel_wl_dd(k: int, L: int, NW: int, interpret: bool = False,
         for gi in range(g_per):
             g = step * g_per + gi
             gbase = gi * k * SUBLANES
+            pbase = gi * Tp * 8
             for rb in range(SUBLANES):
                 acc_h = jnp.zeros((8, LANES), jnp.float32)
                 acc_l = jnp.zeros((8, LANES), jnp.float32)
@@ -415,21 +429,31 @@ def _kernel_wl_dd(k: int, L: int, NW: int, interpret: bool = False,
                     Wl = jnp.stack(
                         [xl_ref[slabs_ref[g, sbase + s], :] for s in range(8)])
 
+                    def _load_m(l_static_or_traced, _rb=rb, _w=w,
+                                _gbase=gbase, _pbase=pbase):
+                        t = (_rb * NW + _w) * L + l_static_or_traced
+                        if packed:
+                            pw = ja_ref[pl.ds(_pbase + (t // 4) * 8, 8), :]
+                            return (pw >> (8 * (t % 4))) & 127
+                        return ja_ref[pl.ds(_gbase + t * 8, 8), :]
+
                     def layer_body(l, carry, _rb=rb, _w=w, _gbase=gbase,
                                    _Wh=Wh, _Wl=Wl):
                         ah, al = carry
                         off = _gbase + ((_rb * NW + _w) * L) * 8 + l * 8
-                        m = ja_ref[pl.ds(off, 8), :]
+                        m = _load_m(l, _rb=_rb, _w=_w)
                         vh = ah_ref[pl.ds(off, 8), :]
                         vl = al_ref[pl.ds(off, 8), :]
                         gh = jnp.take_along_axis(_Wh, m, axis=1)
                         gl_ = jnp.take_along_axis(_Wl, m, axis=1)
                         return _dd_chunk_accumulate(ah, al, vh, vl, gh, gl_)
 
-                    acc_h, acc_l = jax.lax.fori_loop(
-                        0, L, layer_body, (acc_h, acc_l),
-                        unroll=1 if interpret else L,
-                    )
+                    if interpret:
+                        acc_h, acc_l = jax.lax.fori_loop(
+                            0, L, layer_body, (acc_h, acc_l), unroll=1)
+                    else:
+                        for l in range(L):
+                            acc_h, acc_l = layer_body(l, (acc_h, acc_l))
                 rh, rl = _dd_reduce_sublanes(acc_h, acc_l, 8)
                 rows_h.append(rh)
                 rows_l.append(rl)
@@ -582,11 +606,14 @@ def _bin_call_dd(bin_, xh_tab, xl_tab, yh, yl, num_groups: int, interpret: bool,
     # twin's _bin_call (a revolving out_map with gid=-1 would clobber a real
     # group's tile with zeros)
     resident = int(getattr(bin_, "resident_g_per", 0) or 0)
+    packed = bool(getattr(bin_, "ja_packed", False))
     if resident > 1:
         g_per = resident
     else:
-        g_per = _pick_g_per(bin_, bytes_per_entry=12)  # JA i32 + AS hi/lo f32
+        # JA i32 (or 1B packed) + AS hi/lo f32
+        g_per = _pick_g_per(bin_, bytes_per_entry=9 if packed else 12)
     KB = K * SUBLANES * g_per
+    KBJ = (-(-(K * SUBLANES // 8) // 4) * 8 * g_per) if packed else KB
     R = xh_tab.shape[0]
 
     if resident > 1:
@@ -607,7 +634,7 @@ def _bin_call_dd(bin_, xh_tab, xl_tab, yh, yl, num_groups: int, interpret: bool,
         in_specs=[
             pl.BlockSpec((R, LANES), lambda g, *r: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((R, LANES), lambda g, *r: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((KB, LANES), lambda g, *r: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((KBJ, LANES), lambda g, *r: (g, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((KB, LANES), lambda g, *r: (g, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((KB, LANES), lambda g, *r: (g, 0), memory_space=pltpu.VMEM),
             out_map_spec,
@@ -624,7 +651,7 @@ def _bin_call_dd(bin_, xh_tab, xl_tab, yh, yl, num_groups: int, interpret: bool,
                                     accumulate)
     elif bin_.layout == "wl":
         kernel = _kernel_wl_dd(K, bin_.span, bin_.chunk_k, interpret, g_per,
-                               accumulate)
+                               accumulate, packed=packed)
     elif bin_.layout == "sg":
         kernel = _kernel_sg_dd(K, bin_.span, interpret, g_per, accumulate,
                                resident=resident > 1)

@@ -177,3 +177,50 @@ def test_wl_shed_no_shed_fallback():
     s = SellMatrix.from_csr(csr, layout="wl-shed")
     x = rng.standard_normal(csr.ncols)
     np.testing.assert_allclose(s.spmv(x), csr.spmv(x), rtol=1e-12, atol=1e-12)
+
+
+def test_wl_packed_ja_bit_identical(monkeypatch):
+    """Index bit-plane packing (VERDICT r4 item 6): SPMV_WL_PACK=1 packs
+    four 7-bit lane indices per int32 tile (4B -> 1B of index traffic per
+    wl slot); outputs must be BIT-identical to the unpacked kernel for f32
+    and dd."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from sparsematrixvectormultiplication_tpu.formats.csr import CSRMatrix
+    from sparsematrixvectormultiplication_tpu.formats.sell import SellMatrix
+    from sparsematrixvectormultiplication_tpu.models.synthetic import fem_3d
+    from sparsematrixvectormultiplication_tpu.ops.pallas_sell import (
+        device_put_sell, device_put_x, sell_spmv_pallas,
+    )
+    from sparsematrixvectormultiplication_tpu.ops.pallas_sell_dd import (
+        device_put_sell_dd, sell_spmv_pallas_dd,
+    )
+
+    coo = fem_3d(10, 10, 10, dof=3, seed=7)
+    csr = CSRMatrix.from_coo(coo)
+    x = np.random.default_rng(0).standard_normal(csr.ncols)
+    sell = SellMatrix.from_csr(csr, layout="wl")
+    assert any(b.layout == "wl" for b in sell.bins)
+    xd = device_put_x(x, csr.ncols, jnp.float32)
+    xh = np.asarray(x, np.float32)
+    xl = np.asarray(x - xh.astype(np.float64), np.float32)
+    xh_d = device_put_x(xh, csr.ncols, jnp.float32)
+    xl_d = device_put_x(xl, csr.ncols, jnp.float32)
+
+    outs = {}
+    for flag in ("0", "1"):
+        monkeypatch.setenv("SPMV_WL_PACK", flag)
+        d = device_put_sell(sell, dtype=jnp.float32)
+        if flag == "1":
+            assert any(b.ja_packed for b in d.bins if b.layout == "wl")
+            for b in d.bins:
+                if b.ja_packed:  # index plane really shrank ~4x
+                    assert b.ja.shape[0] * 4 <= b.as_.shape[0] + 32 * 8
+        y = np.asarray(sell_spmv_pallas(d, xd, interpret=True))
+        ddm = device_put_sell_dd(sell)
+        yh, yl = sell_spmv_pallas_dd(ddm, xh_d, xl_d, interpret=True)
+        outs[flag] = (y, np.asarray(yh), np.asarray(yl))
+    np.testing.assert_array_equal(outs["0"][0], outs["1"][0])
+    np.testing.assert_array_equal(outs["0"][1], outs["1"][1])
+    np.testing.assert_array_equal(outs["0"][2], outs["1"][2])
