@@ -117,6 +117,20 @@ def run_path_scale_sweep(
             timed_args = (spmd.stacked, Xr)
             y = pr_spmv_spmd(spmd, x, mesh, interpret=not on_tpu).astype(
                 np.float64)
+        elif path == "sell_cols":
+            # TP-style column sharding + psum epilogue (VERDICT r4 item 8)
+            from ..parallel.spmd_colsell import (_spmd_run_cols,
+                                                 build_spmd_sell_cols,
+                                                 pack_x_cols,
+                                                 sell_spmv_spmd_cols)
+            spmd = build_spmd_sell_cols(csr, n, mesh=mesh, dtype=dtype)
+            x_tabs = pack_x_cols(spmd, x, mesh, dtype=dtype)
+            fn = lambda st, xx: _spmd_run_cols(st, xx, mesh=mesh,
+                                               axis=spmd.axis,
+                                               interpret=not on_tpu)
+            timed_args = (spmd.stacked, x_tabs)
+            y = sell_spmv_spmd_cols(spmd, x, mesh,
+                                    interpret=not on_tpu).astype(np.float64)
         elif path == "split":
             from ..parallel.spmd_split import (_spmd_run_split,
                                                build_spmd_split,
