@@ -125,6 +125,40 @@ class DeviceSell:
         return sell_spmv_pallas(self, x)
 
 
+def _sb_i16_enabled() -> bool:
+    """sb-major chunk-relative int16 index plane (VERDICT r4 item 6) —
+    opt-in via SPMV_SB_I16=1. r2 measured an int16 *absolute-column* cast
+    losing when kernels were pass-bound; the dd sb bins now sit at the
+    two-stream byte floor (kkt dd 26.9 GF ~ 260 GB/s), where halving the
+    4B index plane is worth ~1.2x. Stored value: (dq << 7) | lane with
+    dq = slab - chunk_qbase (fits: static spans <= 40), pads clipped to
+    dq = -1 (matches no pass; their values are 0)."""
+    return os.environ.get("SPMV_SB_I16", "0") == "1"
+
+
+def _pack_sb_i16(ja_h: np.ndarray, sl_h: np.ndarray, ng: int, K: int,
+                 ck: int, span: int) -> np.ndarray:
+    """(rows,128) absolute-column sb-major plane -> int16 (dq<<7)|m plane.
+
+    Row r of a group's (SUBLANES, K) block belongs to chunk (r % K) // ck;
+    its qbase is slab_list[g, sb*nchunks + c] (the scalar-prefetched table
+    the kernel already reads)."""
+    rows = ja_h.shape[0]
+    kb = SUBLANES * K
+    assert rows == ng * kb, (rows, ng, K)
+    nchunks = K // ck
+    q = (ja_h.astype(np.int64) >> 7)
+    m = ja_h & (LANES - 1)
+    # per-row (g, sb, c) -> qbase
+    r = np.arange(rows, dtype=np.int64)
+    g_of = r // kb
+    sb_of = (r % kb) // K
+    c_of = (r % K) // ck
+    qb = np.asarray(sl_h).reshape(ng, -1)[g_of, sb_of * nchunks + c_of]
+    dq = np.clip(q - qb[:, None], -1, 255)
+    return ((dq << 7) | m).astype(np.int16)
+
+
 def _wl_pack_enabled() -> bool:
     """wl index bit-plane packing (VERDICT r4 item 6) — opt-in via
     SPMV_WL_PACK=1 until the A/B lands; r2 measured an int16 CAST losing
@@ -206,6 +240,12 @@ def device_put_sell(sell, dtype=jnp.float32, device=None, resident=True):
         packed = b.layout == "wl" and _wl_pack_enabled()
         if packed:
             ja_h = _pack_wl_ja(np.asarray(ja_h), ja_h.shape[0] // ng_dev)
+        if (b.layout == "sb-major" and _sb_i16_enabled()
+                and int(getattr(b, "span", 0)) <= 255):
+            # int16 plane signals itself by dtype; kernels switch on it
+            ja_h = _pack_sb_i16(np.asarray(ja_h), np.asarray(sl_h), ng_dev,
+                                int(b.k), int(getattr(b, "chunk_k", 8)),
+                                int(b.span))
         bins.append(
             DeviceSellBin(
                 k=int(b.k),
@@ -213,7 +253,9 @@ def device_put_sell(sell, dtype=jnp.float32, device=None, resident=True):
                 layout=b.layout,
                 span=int(b.span),
                 group_ids=jax.device_put(jnp.asarray(gid_h, jnp.int32), device),
-                ja=jax.device_put(jnp.asarray(ja_h, jnp.int32), device),
+                ja=jax.device_put(jnp.asarray(
+                    ja_h, jnp.int16 if ja_h.dtype == np.int16
+                    else jnp.int32), device),
                 as_=jax.device_put(jnp.asarray(as_h, dtype), device),
                 slab_list=jax.device_put(jnp.asarray(sl_h, jnp.int32), device),
                 slab_count=jax.device_put(jnp.asarray(cnt_h, jnp.int32), device),
@@ -508,7 +550,7 @@ def _kernel_k_major(k: int, g_per: int = 1, accumulate: bool = False,
 
 
 def _kernel_sb_major(k: int, span: int, g_per: int = 1, ck: int = CHUNK_K,
-                     accumulate: bool = False):
+                     accumulate: bool = False, idx16: bool = False):
     """Range-scan kernel with fully static control flow.
 
     Per (8,128) chunk: ``span`` unrolled gather passes starting at the
@@ -534,15 +576,22 @@ def _kernel_sb_major(k: int, span: int, g_per: int = 1, ck: int = CHUNK_K,
                 def chunk_body(c, acc, _sb=sb, _g=g, _gbase=gbase):
                     off = pl.multiple_of(_gbase + _sb * k, ck) + c * ck
                     tile = ja_ref[pl.ds(off, ck), :]
+                    if idx16:
+                        # chunk-relative int16 plane (_pack_sb_i16): value
+                        # is (dq << 7) | lane, dq = slab - qbase — half the
+                        # index HBM bytes, and the compare target becomes
+                        # the static pass id s (no qb add per pass)
+                        tile = tile.astype(jnp.int32)
                     vals = as_ref[pl.ds(off, ck), :].astype(dtype)
                     qb = qb_ref[_g, _sb * nchunks + c]
                     if span == 1:
-                        m = tile - qb * LANES  # q == qb for every entry
+                        m = (tile & (LANES - 1)) if idx16 \
+                            else tile - qb * LANES  # q == qb for every entry
                         xrow = x_ref[qb, :]
                         xb = jnp.broadcast_to(xrow[None, :], (ck, LANES))
                         gath = jnp.take_along_axis(xb, m, axis=1)
                     else:
-                        q = tile >> 7          # // 128
+                        q = tile >> 7          # // 128 (idx16: dq)
                         m = tile & (LANES - 1)  # % 128
                         gath = jnp.zeros((ck, LANES), dtype)
                         for s in range(span):  # static unroll
@@ -550,7 +599,8 @@ def _kernel_sb_major(k: int, span: int, g_per: int = 1, ck: int = CHUNK_K,
                             xrow = x_ref[sq, :]
                             xb = jnp.broadcast_to(xrow[None, :], (ck, LANES))
                             gat = jnp.take_along_axis(xb, m, axis=1)
-                            gath = gath + jnp.where(q == sq, gat, 0)
+                            gath = gath + jnp.where(q == (s if idx16 else sq),
+                                                    gat, 0)
                     return acc + vals * gath
 
                 # Mosaic fori_loop supports only unroll=1 or full unroll
@@ -832,8 +882,9 @@ def _bin_call(bin_: DeviceSellBin, x_tab, y, num_groups: int, interpret: bool,
     ng, K = bin_.n_groups, bin_.k
     resident = int(getattr(bin_, "resident_g_per", 0) or 0)
     packed = bool(getattr(bin_, "ja_packed", False))
+    ja_bytes = 1 if packed else bin_.ja.dtype.itemsize
     g_per = resident if resident > 1 else _pick_g_per(
-        bin_, bytes_per_entry=(1 if packed else 4) + bin_.as_.dtype.itemsize)
+        bin_, bytes_per_entry=ja_bytes + bin_.as_.dtype.itemsize)
     KB = K * SUBLANES * g_per
     # packed wl: the index plane carries ceil(tiles/4) int32 tiles per group
     KBJ = (-(-(K * SUBLANES // 8) // 4) * 8 * g_per) if packed else KB
@@ -869,7 +920,8 @@ def _bin_call(bin_: DeviceSellBin, x_tab, y, num_groups: int, interpret: bool,
     )
 
     if bin_.layout == "sb-major":
-        kernel = _kernel_sb_major(K, bin_.span, g_per, bin_.chunk_k, accumulate)
+        kernel = _kernel_sb_major(K, bin_.span, g_per, bin_.chunk_k, accumulate,
+                                  idx16=bin_.ja.dtype == jnp.int16)
     elif bin_.layout == "sb-list":
         kernel = _kernel_sb_list(K, bin_.span, g_per, bin_.chunk_k, accumulate)
     elif bin_.layout == "wl":

@@ -146,10 +146,16 @@ def device_put_sell_dd(sell, device=None):
                 b.group_ids, b.ja, b.as_, b.slab_list, b.slab_count)
             ng_dev = int(b.n_groups)
         hi, lo = split_f64(np.asarray(as_h, np.float64))
-        from .pallas_sell import _pack_wl_ja, _wl_pack_enabled
+        from .pallas_sell import (_pack_sb_i16, _pack_wl_ja, _sb_i16_enabled,
+                                  _wl_pack_enabled)
         packed = b.layout == "wl" and _wl_pack_enabled()
         if packed:
             ja_h = _pack_wl_ja(np.asarray(ja_h), ja_h.shape[0] // ng_dev)
+        if (b.layout == "sb-major" and _sb_i16_enabled()
+                and int(getattr(b, "span", 0)) <= 255):
+            ja_h = _pack_sb_i16(np.asarray(ja_h), np.asarray(sl_h), ng_dev,
+                                int(b.k), int(getattr(b, "chunk_k", 8)),
+                                int(b.span))
         bins.append(
             DeviceSellBinDD(
                 ja_packed=packed,
@@ -162,7 +168,9 @@ def device_put_sell_dd(sell, device=None):
                 layout=b.layout,
                 span=int(b.span),
                 group_ids=jax.device_put(jnp.asarray(gid_h, jnp.int32), device),
-                ja=jax.device_put(jnp.asarray(ja_h, jnp.int32), device),
+                ja=jax.device_put(jnp.asarray(
+                    ja_h, jnp.int16 if ja_h.dtype == np.int16
+                    else jnp.int32), device),
                 as_hi=jax.device_put(jnp.asarray(hi), device),
                 as_lo=jax.device_put(jnp.asarray(lo), device),
                 slab_list=jax.device_put(jnp.asarray(sl_h, jnp.int32), device),
@@ -191,7 +199,8 @@ def _dd_reduce_sublanes(acc_h, acc_l, ck: int = CHUNK_K):
 
 
 def _kernel_sb_major_dd(k: int, span: int, interpret: bool = False, g_per: int = 1,
-                        ck: int = CHUNK_K, accumulate: bool = False):
+                        ck: int = CHUNK_K, accumulate: bool = False,
+                        idx16: bool = False):
     """interpret=True keeps every loop rolled (unroll=1): the XLA CPU jit that
     executes interpreted kernels folds the error-free-transform terms when
     bodies are unrolled (this runtime sets --xla_allow_excess_precision).
@@ -213,11 +222,13 @@ def _kernel_sb_major_dd(k: int, span: int, interpret: bool = False, g_per: int =
                 acc_h, acc_l = carry
                 off = pl.multiple_of(_gbase + _sb * k, ck) + c * ck
                 tile = ja_ref[pl.ds(off, ck), :]
+                if idx16:  # chunk-relative (dq<<7)|lane int16 plane
+                    tile = tile.astype(jnp.int32)
                 vh = ah_ref[pl.ds(off, ck), :]
                 vl = al_ref[pl.ds(off, ck), :]
                 qb = qb_ref[_g, _sb * nchunks + c]
                 if span == 1:
-                    m = tile - qb * LANES
+                    m = (tile & (LANES - 1)) if idx16 else tile - qb * LANES
                     xbh = jnp.broadcast_to(xh_ref[qb, :][None, :], (ck, LANES))
                     xbl = jnp.broadcast_to(xl_ref[qb, :][None, :], (ck, LANES))
                     g_h = jnp.take_along_axis(xbh, m, axis=1)
@@ -231,7 +242,7 @@ def _kernel_sb_major_dd(k: int, span: int, interpret: bool = False, g_per: int =
                         sq = qb + s
                         xbh = jnp.broadcast_to(xh_ref[sq, :][None, :], (ck, LANES))
                         xbl = jnp.broadcast_to(xl_ref[sq, :][None, :], (ck, LANES))
-                        mask = q == sq
+                        mask = q == (s if idx16 else sq)
                         g_h = g_h + jnp.where(mask, jnp.take_along_axis(xbh, m, axis=1), 0)
                         g_l = g_l + jnp.where(mask, jnp.take_along_axis(xbl, m, axis=1), 0)
                 return _dd_chunk_accumulate(acc_h, acc_l, vh, vl, g_h, g_l)
@@ -610,8 +621,9 @@ def _bin_call_dd(bin_, xh_tab, xl_tab, yh, yl, num_groups: int, interpret: bool,
     if resident > 1:
         g_per = resident
     else:
-        # JA i32 (or 1B packed) + AS hi/lo f32
-        g_per = _pick_g_per(bin_, bytes_per_entry=9 if packed else 12)
+        # JA i32 (1B wl-packed / 2B sb-i16) + AS hi/lo f32
+        ja_b = 1 if packed else bin_.ja.dtype.itemsize
+        g_per = _pick_g_per(bin_, bytes_per_entry=8 + ja_b)
     KB = K * SUBLANES * g_per
     KBJ = (-(-(K * SUBLANES // 8) // 4) * 8 * g_per) if packed else KB
     R = xh_tab.shape[0]
@@ -645,7 +657,8 @@ def _bin_call_dd(bin_, xh_tab, xl_tab, yh, yl, num_groups: int, interpret: bool,
 
     if bin_.layout == "sb-major":
         kernel = _kernel_sb_major_dd(K, bin_.span, interpret, g_per, bin_.chunk_k,
-                                     accumulate)
+                                     accumulate,
+                                     idx16=bin_.ja.dtype == jnp.int16)
     elif bin_.layout == "sb-list":
         kernel = _kernel_sb_list_dd(K, bin_.span, interpret, g_per, bin_.chunk_k,
                                     accumulate)

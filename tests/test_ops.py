@@ -279,3 +279,33 @@ def test_contig_tail_pad_dd_validates():
     # 1.13e-11 measured with AND without padding on this matrix (the
     # rel-floor near-zero rows dominate); padding adds zero error
     assert np.max(rel) < 1e-10
+
+
+def test_sb_major_i16_bit_identical(monkeypatch):
+    """Chunk-relative int16 sb-major index plane (SPMV_SB_I16=1, VERDICT r4
+    item 6): outputs bit-identical to the int32 plane; index bytes halve."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from sparsematrixvectormultiplication_tpu.formats.csr import CSRMatrix
+    from sparsematrixvectormultiplication_tpu.formats.sell import SellMatrix
+    from sparsematrixvectormultiplication_tpu.models.synthetic import banded
+    from sparsematrixvectormultiplication_tpu.ops.pallas_sell import (
+        device_put_sell, device_put_x, sell_spmv_pallas,
+    )
+
+    csr = CSRMatrix.from_coo(banded(2048, 10, 260, seed=3))
+    x = np.random.default_rng(0).standard_normal(csr.ncols)
+    sell = SellMatrix.from_csr(csr, layout="sb-major")
+    xd = device_put_x(x, csr.ncols, jnp.float32)
+    outs = {}
+    for flag in ("0", "1"):
+        monkeypatch.setenv("SPMV_SB_I16", flag)
+        d = device_put_sell(sell, dtype=jnp.float32)
+        if flag == "1":
+            i16 = [b for b in d.bins if b.ja.dtype == jnp.int16]
+            assert i16, "no int16 sb bin"
+            for b in i16:
+                assert b.ja.nbytes * 2 == b.as_.nbytes  # index plane halved
+        outs[flag] = np.asarray(sell_spmv_pallas(d, xd, interpret=True))
+    np.testing.assert_array_equal(outs["0"], outs["1"])
