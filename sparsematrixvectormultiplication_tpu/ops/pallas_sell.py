@@ -159,6 +159,35 @@ def _pack_sb_i16(ja_h: np.ndarray, sl_h: np.ndarray, ng: int, K: int,
     return ((dq << 7) | m).astype(np.int16)
 
 
+def _pack_sl_i16(ja_h: np.ndarray, lst_h: np.ndarray, ng: int, K: int,
+                 ck: int, span: int) -> np.ndarray:
+    """sb-list twin of :func:`_pack_sb_i16`: stored value is
+    (js << 7) | lane where js = the slab's POSITION in its chunk's sorted
+    distinct list — the kernel compares js against the static pass id and
+    keeps gathering from ``lst_ref[..s]``. Pad entries (slab 0 not in the
+    list) resolve to js = -1 or to a harmless list hit on value-0 slots."""
+    rows = ja_h.shape[0]
+    kb = SUBLANES * K
+    assert rows == ng * kb, (rows, ng, K)
+    nchunks = K // ck
+    q = (ja_h.astype(np.int32) >> 7)
+    m = ja_h & (LANES - 1)
+    r = np.arange(rows, dtype=np.int64)
+    chunk_of = ((r // kb) * SUBLANES * nchunks
+                + ((r % kb) // K) * nchunks
+                + (r % K) // ck)
+    lists2 = np.asarray(lst_h, np.int32).reshape(ng * SUBLANES * nchunks,
+                                                 span)
+    js = np.empty((rows, LANES), np.int16)
+    blk = max(1, (1 << 22) // max(span, 1))   # bound temp to ~2 GB
+    for a in range(0, rows, blk):
+        z = min(rows, a + blk)
+        lr = lists2[chunk_of[a:z]]            # (B, span) sorted ascending
+        js[a:z] = ((lr[:, None, :] <= q[a:z, :, None]).sum(-1) - 1
+                   ).astype(np.int16)
+    return ((js.astype(np.int32) << 7) | m).astype(np.int16)
+
+
 def _wl_pack_enabled() -> bool:
     """wl index bit-plane packing (VERDICT r4 item 6) — opt-in via
     SPMV_WL_PACK=1 until the A/B lands; r2 measured an int16 CAST losing
@@ -240,12 +269,13 @@ def device_put_sell(sell, dtype=jnp.float32, device=None, resident=True):
         packed = b.layout == "wl" and _wl_pack_enabled()
         if packed:
             ja_h = _pack_wl_ja(np.asarray(ja_h), ja_h.shape[0] // ng_dev)
-        if (b.layout == "sb-major" and _sb_i16_enabled()
-                and int(getattr(b, "span", 0)) <= 255):
+        if (_sb_i16_enabled() and int(getattr(b, "span", 0)) <= 255
+                and b.layout in ("sb-major", "sb-list")):
             # int16 plane signals itself by dtype; kernels switch on it
-            ja_h = _pack_sb_i16(np.asarray(ja_h), np.asarray(sl_h), ng_dev,
-                                int(b.k), int(getattr(b, "chunk_k", 8)),
-                                int(b.span))
+            pack = _pack_sb_i16 if b.layout == "sb-major" else _pack_sl_i16
+            ja_h = pack(np.asarray(ja_h), np.asarray(sl_h), ng_dev,
+                        int(b.k), int(getattr(b, "chunk_k", 8)),
+                        int(b.span))
         bins.append(
             DeviceSellBin(
                 k=int(b.k),
@@ -639,7 +669,7 @@ def _pick_g_per(bin_, bytes_per_entry: int = 8) -> int:
 
 
 def _kernel_sb_list(k: int, span: int, g_per: int = 1, ck: int = CHUNK_K,
-                    accumulate: bool = False):
+                    accumulate: bool = False, idx16: bool = False):
     """Hybrid kernel: sb-major data layout with per-chunk *distinct-slab
     lists* (scalar-prefetched, padded with the spare zero slab Rp-1).
     Robust when a chunk's slab range is wide but its distinct count is small
@@ -661,6 +691,11 @@ def _kernel_sb_list(k: int, span: int, g_per: int = 1, ck: int = CHUNK_K,
                 def chunk_body(c, acc, _sb=sb, _g=g, _gbase=gbase):
                     off = pl.multiple_of(_gbase + _sb * k, ck) + c * ck
                     tile = ja_ref[pl.ds(off, ck), :]
+                    if idx16:
+                        # list-position int16 plane (_pack_sl_i16): value is
+                        # (js << 7) | lane — compare against the static pass
+                        # id instead of the prefetched slab value
+                        tile = tile.astype(jnp.int32)
                     vals = as_ref[pl.ds(off, ck), :].astype(dtype)
                     q = tile >> 7
                     m = tile & (LANES - 1)
@@ -671,7 +706,8 @@ def _kernel_sb_list(k: int, span: int, g_per: int = 1, ck: int = CHUNK_K,
                         xrow = x_ref[sq, :]  # pads point at the spare zero slab
                         xb = jnp.broadcast_to(xrow[None, :], (ck, LANES))
                         gat = jnp.take_along_axis(xb, m, axis=1)
-                        gath = gath + jnp.where(q == sq, gat, 0)
+                        gath = gath + jnp.where(q == (s if idx16 else sq),
+                                                gat, 0)
                     return acc + vals * gath
 
                 psum = jax.lax.fori_loop(
@@ -923,7 +959,8 @@ def _bin_call(bin_: DeviceSellBin, x_tab, y, num_groups: int, interpret: bool,
         kernel = _kernel_sb_major(K, bin_.span, g_per, bin_.chunk_k, accumulate,
                                   idx16=bin_.ja.dtype == jnp.int16)
     elif bin_.layout == "sb-list":
-        kernel = _kernel_sb_list(K, bin_.span, g_per, bin_.chunk_k, accumulate)
+        kernel = _kernel_sb_list(K, bin_.span, g_per, bin_.chunk_k, accumulate,
+                                 idx16=bin_.ja.dtype == jnp.int16)
     elif bin_.layout == "wl":
         kernel = _kernel_wl(K, bin_.span, bin_.chunk_k, g_per, accumulate,
                             packed=packed)

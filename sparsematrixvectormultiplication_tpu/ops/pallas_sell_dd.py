@@ -146,16 +146,17 @@ def device_put_sell_dd(sell, device=None):
                 b.group_ids, b.ja, b.as_, b.slab_list, b.slab_count)
             ng_dev = int(b.n_groups)
         hi, lo = split_f64(np.asarray(as_h, np.float64))
-        from .pallas_sell import (_pack_sb_i16, _pack_wl_ja, _sb_i16_enabled,
-                                  _wl_pack_enabled)
+        from .pallas_sell import (_pack_sb_i16, _pack_sl_i16, _pack_wl_ja,
+                                  _sb_i16_enabled, _wl_pack_enabled)
         packed = b.layout == "wl" and _wl_pack_enabled()
         if packed:
             ja_h = _pack_wl_ja(np.asarray(ja_h), ja_h.shape[0] // ng_dev)
-        if (b.layout == "sb-major" and _sb_i16_enabled()
-                and int(getattr(b, "span", 0)) <= 255):
-            ja_h = _pack_sb_i16(np.asarray(ja_h), np.asarray(sl_h), ng_dev,
-                                int(b.k), int(getattr(b, "chunk_k", 8)),
-                                int(b.span))
+        if (_sb_i16_enabled() and int(getattr(b, "span", 0)) <= 255
+                and b.layout in ("sb-major", "sb-list")):
+            pack = _pack_sb_i16 if b.layout == "sb-major" else _pack_sl_i16
+            ja_h = pack(np.asarray(ja_h), np.asarray(sl_h), ng_dev,
+                        int(b.k), int(getattr(b, "chunk_k", 8)),
+                        int(b.span))
         bins.append(
             DeviceSellBinDD(
                 ja_packed=packed,
@@ -265,7 +266,8 @@ def _kernel_sb_major_dd(k: int, span: int, interpret: bool = False, g_per: int =
 
 
 def _kernel_sb_list_dd(k: int, span: int, interpret: bool = False, g_per: int = 1,
-                       ck: int = CHUNK_K, accumulate: bool = False):
+                       ck: int = CHUNK_K, accumulate: bool = False,
+                       idx16: bool = False):
     """DD twin of the sb-list hybrid (per-chunk distinct-slab lists)."""
     assert k % ck == 0
     nchunks = k // ck
@@ -283,6 +285,8 @@ def _kernel_sb_list_dd(k: int, span: int, interpret: bool = False, g_per: int = 
                 acc_h, acc_l = carry
                 off = pl.multiple_of(_gbase + _sb * k, ck) + c * ck
                 tile = ja_ref[pl.ds(off, ck), :]
+                if idx16:  # list-position (js<<7)|lane int16 plane
+                    tile = tile.astype(jnp.int32)
                 vh = ah_ref[pl.ds(off, ck), :]
                 vl = al_ref[pl.ds(off, ck), :]
                 q = tile >> 7
@@ -294,7 +298,7 @@ def _kernel_sb_list_dd(k: int, span: int, interpret: bool = False, g_per: int = 
                     sq = lst_ref[_g, lbase + s]
                     xbh = jnp.broadcast_to(xh_ref[sq, :][None, :], (ck, LANES))
                     xbl = jnp.broadcast_to(xl_ref[sq, :][None, :], (ck, LANES))
-                    mask = q == sq
+                    mask = q == (s if idx16 else sq)
                     g_h = g_h + jnp.where(mask, jnp.take_along_axis(xbh, m, axis=1), 0)
                     g_l = g_l + jnp.where(mask, jnp.take_along_axis(xbl, m, axis=1), 0)
                 return _dd_chunk_accumulate(acc_h, acc_l, vh, vl, g_h, g_l)
@@ -661,7 +665,8 @@ def _bin_call_dd(bin_, xh_tab, xl_tab, yh, yl, num_groups: int, interpret: bool,
                                      idx16=bin_.ja.dtype == jnp.int16)
     elif bin_.layout == "sb-list":
         kernel = _kernel_sb_list_dd(K, bin_.span, interpret, g_per, bin_.chunk_k,
-                                    accumulate)
+                                    accumulate,
+                                    idx16=bin_.ja.dtype == jnp.int16)
     elif bin_.layout == "wl":
         kernel = _kernel_wl_dd(K, bin_.span, bin_.chunk_k, interpret, g_per,
                                accumulate, packed=packed)

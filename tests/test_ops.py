@@ -309,3 +309,31 @@ def test_sb_major_i16_bit_identical(monkeypatch):
                 assert b.ja.nbytes * 2 == b.as_.nbytes  # index plane halved
         outs[flag] = np.asarray(sell_spmv_pallas(d, xd, interpret=True))
     np.testing.assert_array_equal(outs["0"], outs["1"])
+
+
+def test_sb_list_i16_bit_identical(monkeypatch):
+    """sb-list list-position int16 plane (SPMV_SB_I16=1): bit-identical."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from sparsematrixvectormultiplication_tpu.formats.csr import CSRMatrix
+    from sparsematrixvectormultiplication_tpu.formats.sell import SellMatrix
+    from sparsematrixvectormultiplication_tpu.models.synthetic import fem_3d
+
+    from sparsematrixvectormultiplication_tpu.ops.pallas_sell import (
+        device_put_sell, device_put_x, sell_spmv_pallas,
+    )
+
+    csr = CSRMatrix.from_coo(fem_3d(7, 7, 7, dof=3, seed=7))
+    x = np.random.default_rng(0).standard_normal(csr.ncols)
+    sell = SellMatrix.from_csr(csr, layout="sb-list")
+    assert any(b.layout == "sb-list" for b in sell.bins)
+    xd = device_put_x(x, csr.ncols, jnp.float32)
+    outs = {}
+    for flag in ("0", "1"):
+        monkeypatch.setenv("SPMV_SB_I16", flag)
+        d = device_put_sell(sell, dtype=jnp.float32)
+        if flag == "1":
+            assert any(b.ja.dtype == jnp.int16 for b in d.bins)
+        outs[flag] = np.asarray(sell_spmv_pallas(d, xd, interpret=True))
+    np.testing.assert_array_equal(outs["0"], outs["1"])
