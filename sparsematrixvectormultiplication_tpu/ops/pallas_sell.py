@@ -188,6 +188,56 @@ def _pack_sl_i16(ja_h: np.ndarray, lst_h: np.ndarray, ng: int, K: int,
     return ((js.astype(np.int32) << 7) | m).astype(np.int16)
 
 
+# scalar-prefetch tables per pallas_call must fit the compile helper's SMEM
+# budget; the r2-measured ">512 KB prefetch tables = big slowdown" is also a
+# hard COMPILE failure at AOT time (the 127M-scale HTTP 500s: fem3d_large's
+# default wl bin carries a 1.2 MB slabs table vs fem3d_cube's 486 KB at
+# identical per-group geometry — ng is the only scale difference)
+_SMEM_TABLE_CAP = 384 * 1024
+
+
+def _split_oversize_host_bins(bins):
+    """Split host bins into contiguous group-range sub-bins wherever the
+    scalar-prefetch tables would exceed the SMEM compile budget or a device
+    plane would exceed the single-array upload cap. Group-aligned slicing
+    is exact for every layout (all planes and tables are per-group rows);
+    per-bin kernel geometry (k/span/chunk_k) is unchanged, so sub-bins
+    compile to the same kernel with a smaller grid."""
+    import dataclasses
+
+    out = []
+    for b in bins:
+        ng = int(b.n_groups)
+        sl = np.asarray(b.slab_list)
+        sl2 = sl if sl.ndim == 2 else (
+            sl.reshape(ng, -1) if ng and sl.size % ng == 0 else None)
+        tables = (sl.nbytes + np.asarray(b.group_ids).nbytes
+                  + np.asarray(b.slab_count).nbytes)
+        plane = max(b.ja.shape[0] * LANES * 4, b.ja.nbytes)
+        parts = int(max(-(-tables // _SMEM_TABLE_CAP),
+                        -(-plane // _MAX_ARRAY_BYTES)))
+        if parts <= 1 or ng < 2 * parts or sl2 is None:
+            out.append(b)
+            continue
+        kb = b.ja.shape[0] // ng
+        cnt = np.asarray(b.slab_count)
+        edges = [round(i * ng / parts) for i in range(parts + 1)]
+        for a, z in zip(edges[:-1], edges[1:]):
+            if z <= a:
+                continue
+            out.append(dataclasses.replace(
+                b,
+                group_ids=np.asarray(b.group_ids)[a:z],
+                ja=b.ja[a * kb: z * kb],
+                as_=b.as_[a * kb: z * kb],
+                slab_list=sl2[a:z],
+                slab_count=cnt[a:z] if cnt.ndim == 1 and cnt.size == ng
+                else cnt,
+                real_nnz=int(b.real_nnz) * (z - a) // ng,
+            ))
+    return out
+
+
 def _wl_pack_enabled() -> bool:
     """wl index bit-plane packing (VERDICT r4 item 6) — opt-in via
     SPMV_WL_PACK=1 until the A/B lands; r2 measured an int16 CAST losing
@@ -242,7 +292,7 @@ def device_put_sell(sell, dtype=jnp.float32, device=None, resident=True):
     bins = []
     y_groups = sell.num_groups
     itemsize = jnp.dtype(dtype).itemsize
-    for b in sell.bins:
+    for b in _split_oversize_host_bins(sell.bins):
         gids = np.asarray(b.group_ids, np.int64)
         contig = (
             int(gids[0])

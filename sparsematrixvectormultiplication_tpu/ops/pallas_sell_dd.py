@@ -99,15 +99,20 @@ def device_put_sell_dd(sell, device=None):
         return device_put_panel_sell_dd(sell, device=device)
     from .pallas_sell import _MAX_ARRAY_BYTES, _MAX_UPLOAD_BYTES
 
+    from .pallas_sell import _split_oversize_host_bins
+    split_bins = _split_oversize_host_bins(sell.bins)
+
     # per-ARRAY cap: the observed worker-killers were ~1.4 GB single
     # transfers; many-array structures up to 1.9 GB uploaded fine (r1
     # 119M-nnz dd). Uploads happen bin-by-bin below (incremental), so the
     # total cap is the looser memory-pressure bound — this re-admits the
     # reference's own headline scale (fp64 at 127M nnz, result_cuda.csv:3)
-    # that r2's all-or-nothing 2.2 GB total guard skipped.
-    biggest = max((max(b.ja.nbytes, b.as_.nbytes) for b in sell.bins),
-                  default=0)
-    total = sum(b.ja.nbytes + 2 * b.as_.nbytes for b in sell.bins)
+    # that r2's all-or-nothing 2.2 GB total guard skipped. Oversize bins
+    # were split above (the hi/lo planes upload at rows*128*4 B each,
+    # which _split_oversize_host_bins bounds by _MAX_ARRAY_BYTES).
+    biggest = max((max(b.ja.nbytes, b.ja.shape[0] * 128 * 4)
+                   for b in split_bins), default=0)
+    total = sum(b.ja.nbytes + 2 * b.as_.nbytes for b in split_bins)
     if biggest > _MAX_ARRAY_BYTES or total > 2 * _MAX_UPLOAD_BYTES:
         raise MemoryError(
             f"dd SELL device arrays: biggest {biggest/2**20:.0f} MiB / "
@@ -118,7 +123,7 @@ def device_put_sell_dd(sell, device=None):
 
     bins = []
     y_groups = sell.num_groups
-    for b in sell.bins:
+    for b in split_bins:
         if b.layout == "sg" and getattr(b, "sg_slots", False):
             raise ValueError(
                 "dd kernels need row-unique sg positions (their error-free "

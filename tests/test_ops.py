@@ -337,3 +337,28 @@ def test_sb_list_i16_bit_identical(monkeypatch):
             assert any(b.ja.dtype == jnp.int16 for b in d.bins)
         outs[flag] = np.asarray(sell_spmv_pallas(d, xd, interpret=True))
     np.testing.assert_array_equal(outs["0"], outs["1"])
+
+
+def test_oversize_bin_split_preserves_results(monkeypatch):
+    """127M-scale compile-500 guard: bins whose scalar-prefetch tables
+    exceed the SMEM budget are split into group-range sub-bins at
+    device_put; outputs must be bit-identical."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    import sparsematrixvectormultiplication_tpu.ops.pallas_sell as ps
+    from sparsematrixvectormultiplication_tpu.formats.csr import CSRMatrix
+    from sparsematrixvectormultiplication_tpu.formats.sell import SellMatrix
+    from sparsematrixvectormultiplication_tpu.models.synthetic import banded
+
+    csr = CSRMatrix.from_coo(banded(60_000, 8, 400, seed=7))
+    x = np.random.default_rng(0).standard_normal(csr.ncols)
+    sell = SellMatrix.from_csr(csr)
+    xd = ps.device_put_x(x, csr.ncols, jnp.float32)
+    y0 = np.asarray(ps.sell_spmv_pallas(
+        ps.device_put_sell(sell, dtype=jnp.float32), xd, interpret=True))
+    monkeypatch.setattr(ps, "_SMEM_TABLE_CAP", 256)
+    d = ps.device_put_sell(sell, dtype=jnp.float32)
+    assert len(d.bins) > len(sell.bins)
+    y1 = np.asarray(ps.sell_spmv_pallas(d, xd, interpret=True))
+    np.testing.assert_array_equal(y0, y1)
