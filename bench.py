@@ -104,6 +104,18 @@ def main():
     float(np.asarray(jnp.sum(jax.device_put(np.ones(1024, np.float32)))))
     log(f"transfer warm-up: {time.time()-t0:.0f}s")
 
+    # wl index bit-plane packing: adopt only with on-device PROOF — the
+    # PKSMOKE chain stage writes "PK SMOKE OK" after verifying packed
+    # outputs bit-identical to unpacked on the real chip (probes/pk_smoke.py)
+    import os
+    try:
+        with open("/root/repo/probes/pk_smoke_r5.out") as f:
+            if "PK SMOKE OK" in f.read():
+                os.environ.setdefault("SPMV_WL_PACK", "1")
+                log("packed-wl enabled (PKSMOKE proof found)")
+    except OSError:
+        pass
+
     cfg = BenchConfig(
         iterations=256,
         rounds=2,
