@@ -123,6 +123,7 @@ def run_path_scale_sweep(
                                                  build_spmd_sell_cols,
                                                  pack_x_cols,
                                                  sell_spmv_spmd_cols)
+            mesh = make_mesh(n, ("cols",))
             spmd = build_spmd_sell_cols(csr, n, mesh=mesh, dtype=dtype)
             x_tabs = pack_x_cols(spmd, x, mesh, dtype=dtype)
             fn = lambda st, xx: _spmd_run_cols(st, xx, mesh=mesh,
