@@ -208,6 +208,9 @@ def _split_oversize_host_bins(bins):
     out = []
     for b in bins:
         ng = int(b.n_groups)
+        if b.layout not in ("k-major", "sb-major", "sb-list", "wl"):
+            out.append(b)  # sg tables are not plain per-group rows
+            continue
         sl = np.asarray(b.slab_list)
         sl2 = sl if sl.ndim == 2 else (
             sl.reshape(ng, -1) if ng and sl.size % ng == 0 else None)
