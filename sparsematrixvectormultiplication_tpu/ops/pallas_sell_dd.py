@@ -119,7 +119,9 @@ def device_put_sell_dd(sell, device=None):
             f"total {total/2**20:.0f} MiB exceed the worker-crash guard "
             f"({_MAX_ARRAY_BYTES/2**20:.0f} / "
             f"{2*_MAX_UPLOAD_BYTES/2**20:.0f} MiB)")
-    from .pallas_sell import _contig_tail_pad, _resident_pad
+    from .pallas_sell import (_contig_tail_pad, _pack_sb_i16,
+                              _pack_sl_i16, _pack_wl_ja, _resident_pad,
+                              _sb_i16_enabled, _wl_pack_enabled)
 
     bins = []
     y_groups = sell.num_groups
@@ -151,8 +153,6 @@ def device_put_sell_dd(sell, device=None):
                 b.group_ids, b.ja, b.as_, b.slab_list, b.slab_count)
             ng_dev = int(b.n_groups)
         hi, lo = split_f64(np.asarray(as_h, np.float64))
-        from .pallas_sell import (_pack_sb_i16, _pack_sl_i16, _pack_wl_ja,
-                                  _sb_i16_enabled, _wl_pack_enabled)
         packed = b.layout == "wl" and _wl_pack_enabled()
         if packed:
             ja_h = _pack_wl_ja(np.asarray(ja_h), ja_h.shape[0] // ng_dev)

@@ -93,8 +93,10 @@ def build_spmd_sell_cols(
 
     shards = []
     for i in range(n_shards):
-        sl = _slice_cols(csr, i * cols_per, min((i + 1) * cols_per,
-                                                i * cols_per + cols_per))
+        # uniform cols_per on every shard (the tail range may reach past
+        # ncols — _slice_cols keeps only real entries; the uniform local
+        # width is what pack_x_cols / r_loc harmonization require)
+        sl = _slice_cols(csr, i * cols_per, (i + 1) * cols_per)
         shards.append(SellMatrix.from_csr(sl, k_bins=k_bins,
                                           layout="k-major"))
 

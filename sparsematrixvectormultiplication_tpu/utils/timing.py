@@ -139,23 +139,55 @@ def run_device_validated(fn, *args, y_ref, reps: int = 16):
     """
     y_ref = jnp.asarray(y_ref)
 
-    @jax.jit
-    def chained(y_r, *args):
-        def body(carry, _):
-            out = fn(*args)
-            out0 = out[0] if isinstance(out, tuple) else out
-            d = jnp.max(jnp.abs(out0.reshape(-1)[: y_r.size]
-                                - y_r.reshape(-1).astype(out0.dtype)))
-            # max() ties each iteration to the carry (no LICM hoist)
-            return jnp.maximum(carry, d.astype(jnp.float32)), ()
+    # LICM guard, same scheme as time_device_fn_batched: perturb one input
+    # leaf by a carry-derived runtime-zero so fn(*args) itself data-depends
+    # on the previous iteration (a max-only carry chain would NOT stop XLA
+    # from hoisting the loop-invariant fn call out of the scan).
+    flat, treedef = jax.tree_util.tree_flatten(args)
+    chain_idx = None
+    for i in range(len(flat) - 1, -1, -1):
+        leaf = flat[i]
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.number):
+            if chain_idx is None or jnp.issubdtype(leaf.dtype, jnp.inexact):
+                chain_idx = i
+                if jnp.issubdtype(leaf.dtype, jnp.inexact):
+                    break
 
-        acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=reps)
-        return acc
+    def chained_fn(reps_):
+        @jax.jit
+        def chained(y_r, *args):
+            flat0, _ = jax.tree_util.tree_flatten(args)
 
-    force_readback(chained(y_ref, *args))  # compile
+            def body(carry, _):
+                flat_i = list(flat0)
+                if chain_idx is not None:
+                    leaf = flat_i[chain_idx]
+                    # carry >= 0 always; the compare is runtime-false but
+                    # not provably so (carry holds unknown device values)
+                    z = jnp.where(carry < -1.0, 1.0, 0.0)
+                    flat_i[chain_idx] = leaf + z.astype(leaf.dtype)
+                out = fn(*jax.tree_util.tree_unflatten(treedef, flat_i))
+                out0 = out[0] if isinstance(out, tuple) else out
+                d = jnp.max(jnp.abs(out0.reshape(-1)[: y_r.size]
+                                    - y_r.reshape(-1).astype(out0.dtype)))
+                return jnp.maximum(carry, d.astype(jnp.float32)), ()
+
+            acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=reps_)
+            return acc
+
+        return chained
+
+    c1, c2 = chained_fn(reps), chained_fn(2 * reps)
+    force_readback(c1(y_ref, *args))  # compile
+    force_readback(c2(y_ref, *args))
     t0 = time.perf_counter()
-    max_diff = force_readback(chained(y_ref, *args))
-    sec = (time.perf_counter() - t0) / reps
+    max_diff = force_readback(c1(y_ref, *args))
+    t1 = time.perf_counter()
+    force_readback(c2(y_ref, *args))
+    t2 = time.perf_counter()
+    # slope: the tunnel's fixed ~32 ms per chained invocation cancels, so
+    # the per-rep time is comparable with the harness's slope-timed stage
+    sec = max(((t2 - t1) - (t1 - t0)) / reps, 1e-9)
     return float(max_diff), sec
 
 
