@@ -188,12 +188,14 @@ def _pack_sl_i16(ja_h: np.ndarray, lst_h: np.ndarray, ng: int, K: int,
     return ((js.astype(np.int32) << 7) | m).astype(np.int16)
 
 
-# scalar-prefetch tables per pallas_call must fit the compile helper's SMEM
-# budget; the r2-measured ">512 KB prefetch tables = big slowdown" is also a
-# hard COMPILE failure at AOT time (the 127M-scale HTTP 500s: fem3d_large's
-# default wl bin carries a 1.2 MB slabs table vs fem3d_cube's 486 KB at
-# identical per-group geometry — ng is the only scale difference)
-_SMEM_TABLE_CAP = 384 * 1024
+# scalar-prefetch tables per pallas_call must fit the compile budget: the
+# 127M-scale HTTP 500s come from tables that scale with ng — fem3d_large's
+# default wl bin carries a 2.76 MB slabs table and fails AOT compile, while
+# fem3d_cube's 918 KB bin compiles AND measures 96.9 GF (the r4 headline).
+# Cap placed just above the proven-good 918 KB so the cube structure stays
+# byte-identical; fem3d_large splits into ~919 KB parts (inside the proven
+# envelope, below the presumed 1 MB compile limit).
+_SMEM_TABLE_CAP = 930 * 1024
 
 
 def _split_oversize_host_bins(bins):
