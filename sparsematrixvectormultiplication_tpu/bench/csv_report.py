@@ -90,13 +90,15 @@ def write_native_row(path: str, result: MatrixResult):
     default_pad = result.format_stats.get("sell", {}).get("padding_ratio", 1.0)
     for stage, s in result.stages.items():
         pad = s.extra.get("padding_ratio", default_pad)
-        # streamed-bytes estimate: 4B ja + value plane (2B bf16 / 4B f32 /
-        # 8B dd hi+lo)
+        # streamed-bytes estimate: ja plane (4B, or 1B when the wl packed
+        # index plane is active — SPMV_WL_PACK=1, ops/pallas_sell.py) +
+        # value plane (2B bf16 / 4B f32 / 8B dd hi+lo)
+        ja_b = 1.0 if os.environ.get("SPMV_WL_PACK") == "1" else 4.0
         dd = stage.endswith("_dd") or "_dd_" in stage
         per_nnz = (12.0 if "csr" in stage
-                   else 6.0 * pad if "bf16" in stage
-                   else 12.0 * pad if dd
-                   else 8.0 * pad)
+                   else (ja_b + 2.0) * pad if "bf16" in stage
+                   else (ja_b + 8.0) * pad if dd
+                   else (ja_b + 4.0) * pad)
         dtype, arith = _stage_dtype_and_class(stage, result.config.dtype)
         pct_bw = (per_nnz * result.nnz / max(s.seconds, 1e-12)
                   / STREAM_BW_BYTES * 100.0)
