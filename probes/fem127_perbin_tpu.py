@@ -56,45 +56,6 @@ def main() -> None:
     x = np.ones(csr.ncols)
     y_ref = csr.spmv(x)
 
-    # ---- f32 ----
-    t0 = time.time()
-    d = device_put_sell(sell, dtype=jnp.float32)
-    xd = device_put_x(np.asarray(x, np.float32), csr.ncols, jnp.float32)
-    print(f"f32 upload {time.time()-t0:.0f}s bins={len(d.bins)}", flush=True)
-    yg = d.y_groups or d.num_groups
-
-    @jax.jit
-    def one_bin(b, xx):
-        y0 = jnp.zeros((yg * SUBLANES, LANES), jnp.float32)
-        return _bin_call(b, xx, y0, yg, False)
-
-    total = 0.0
-    y_acc = np.zeros((yg * SUBLANES, LANES), np.float64)
-    ok = True
-    for i, b in enumerate(d.bins):
-        try:
-            y_i = np.asarray(one_bin(b, xd), np.float64)
-        except Exception as e:  # noqa: BLE001
-            print(f"  f32 bin{i} ({b.layout} K={b.k} ng={b.n_groups}) "
-                  f"FAILED: {type(e).__name__}: {str(e)[:200]}", flush=True)
-            ok = False
-            continue
-        y_acc += y_i
-        sec, _ = time_device_fn_slope(one_bin, b, xd, reps=64, rounds=2)
-        total += sec
-        print(f"  f32 bin{i} {b.layout} K={b.k} ng={b.n_groups}: "
-              f"{sec*1e3:.3f} ms", flush=True)
-    if ok:
-        dm = difference_metrics(y_ref, y_acc.reshape(-1)[: csr.nrows],
-                                1e-5, 1e-4)
-        gf = 2 * csr.nnz / total / 1e9
-        print(f"FEM127 PERBIN f32: {total*1e3:.3f} ms = {gf:.2f} GFLOPS "
-              f"(ref 47.09 fp64 -> {gf/47.09:.2f}x) "
-              f"sig_diffs={dm.significant_diffs}", flush=True)
-    del d, xd
-    import gc
-    gc.collect()
-
     # ---- dd ----
     t0 = time.time()
     dd = device_put_sell_dd(sell)
@@ -139,6 +100,45 @@ def main() -> None:
               f"(ref 47.09 fp64 -> {gf/47.09:.2f}x) "
               f"sig_diffs={dm.significant_diffs}", flush=True)
 
+
+    # ---- f32 ----
+    t0 = time.time()
+    d = device_put_sell(sell, dtype=jnp.float32)
+    xd = device_put_x(np.asarray(x, np.float32), csr.ncols, jnp.float32)
+    print(f"f32 upload {time.time()-t0:.0f}s bins={len(d.bins)}", flush=True)
+    yg = d.y_groups or d.num_groups
+
+    @jax.jit
+    def one_bin(b, xx):
+        y0 = jnp.zeros((yg * SUBLANES, LANES), jnp.float32)
+        return _bin_call(b, xx, y0, yg, False)
+
+    total = 0.0
+    y_acc = np.zeros((yg * SUBLANES, LANES), np.float64)
+    ok = True
+    for i, b in enumerate(d.bins):
+        try:
+            y_i = np.asarray(one_bin(b, xd), np.float64)
+        except Exception as e:  # noqa: BLE001
+            print(f"  f32 bin{i} ({b.layout} K={b.k} ng={b.n_groups}) "
+                  f"FAILED: {type(e).__name__}: {str(e)[:200]}", flush=True)
+            ok = False
+            continue
+        y_acc += y_i
+        sec, _ = time_device_fn_slope(one_bin, b, xd, reps=64, rounds=2)
+        total += sec
+        print(f"  f32 bin{i} {b.layout} K={b.k} ng={b.n_groups}: "
+              f"{sec*1e3:.3f} ms", flush=True)
+    if ok:
+        dm = difference_metrics(y_ref, y_acc.reshape(-1)[: csr.nrows],
+                                1e-5, 1e-4)
+        gf = 2 * csr.nnz / total / 1e9
+        print(f"FEM127 PERBIN f32: {total*1e3:.3f} ms = {gf:.2f} GFLOPS "
+              f"(ref 47.09 fp64 -> {gf/47.09:.2f}x) "
+              f"sig_diffs={dm.significant_diffs}", flush=True)
+    del d, xd
+    import gc
+    gc.collect()
 
 if __name__ == "__main__":
     main()
