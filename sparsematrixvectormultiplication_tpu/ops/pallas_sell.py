@@ -198,13 +198,31 @@ def _pack_sl_i16(ja_h: np.ndarray, lst_h: np.ndarray, ng: int, K: int,
 _SMEM_TABLE_CAP = 930 * 1024
 
 
-def _split_oversize_host_bins(bins):
-    """Split host bins into contiguous group-range sub-bins wherever the
-    scalar-prefetch tables would exceed the SMEM compile budget or a device
-    plane would exceed the single-array upload cap. Group-aligned slicing
-    is exact for every layout (all planes and tables are per-group rows);
-    per-bin kernel geometry (k/span/chunk_k) is unchanged, so sub-bins
-    compile to the same kernel with a smaller grid."""
+# Grid-step compile limit (measured, round 5): a single-kernel program at
+# 525 grid steps (fem3d_large wl sub-bin, g_per=1) fails AOT compile with
+# the same HTTP 500 as the multi-kernel programs, while 306 steps (the r4
+# unpacked cube big bin, g_per=2) compiles and runs at 96.9 GF. The
+# scalar-prefetch revolving-output pipeline appears to materialize
+# per-step state at compile time. Also retro-explains the r4 kkt
+# default/pow2/fine ladder 500s (non-contig k-major bins, ~1033 steps at
+# g_per=1) and the road default-sbmajor hang class.
+_MAX_GRID_STEPS = 320
+
+
+def _split_oversize_host_bins(bins, num_groups=None):
+    """Split host bins into contiguous group-range sub-bins so that each
+    part (a) keeps its scalar-prefetch tables under the SMEM compile
+    budget, (b) keeps every upload plane under the single-array cap, and
+    (c) keeps its GRID at <= _MAX_GRID_STEPS steps under the g_per it
+    will get. Group-aligned slicing is exact for every layout (planes and
+    tables are per-group rows); kernel geometry is unchanged.
+
+    Part sizing: contiguous bins take multiples of 16 groups (so
+    _pick_g_per keeps g_per >= 2 — an odd part falls to g_per=1 and
+    doubles its steps); an odd remainder is capped at _MAX_GRID_STEPS.
+    Non-contiguous bins assume g_per=1 unless resident-eligible (the
+    resident whole-y mode multi-group-steps and needs no split).
+    """
     import dataclasses
 
     out = []
@@ -216,20 +234,53 @@ def _split_oversize_host_bins(bins):
         sl = np.asarray(b.slab_list)
         sl2 = sl if sl.ndim == 2 else (
             sl.reshape(ng, -1) if ng and sl.size % ng == 0 else None)
-        tables = (sl.nbytes + np.asarray(b.group_ids).nbytes
-                  + np.asarray(b.slab_count).nbytes)
-        plane = max(b.ja.shape[0] * LANES * 4, b.ja.nbytes)
-        parts = int(max(-(-tables // _SMEM_TABLE_CAP),
-                        -(-plane // _MAX_ARRAY_BYTES)))
-        if parts <= 1 or ng < 2 * parts or sl2 is None:
+        if sl2 is None or ng < 2:
             out.append(b)
             continue
+        gids = np.asarray(b.group_ids, np.int64)
+        contig = bool(gids.size and np.array_equal(
+            gids, gids[0] + np.arange(gids.size)))
+        resident_ok = (
+            not contig and b.layout in _RESIDENT_LAYOUTS and ng >= 4
+            and num_groups is not None
+            and (num_groups + 15) * SUBLANES * LANES * 8 <= _RESIDENT_Y_BYTES)
+
         kb = b.ja.shape[0] // ng
+        table_pg = (sl2[0].nbytes if sl2.size else 4) + 8
+        plane_pg = max(kb * LANES * 4, b.ja[:kb].nbytes)
+        cap_tab = max(int(_SMEM_TABLE_CAP // max(table_pg, 1)), 1)
+        cap_pl = max(int(_MAX_ARRAY_BYTES // max(plane_pg, 1)), 1)
+        if contig:
+            cap_grid = _MAX_GRID_STEPS * 2       # parts sized for g_per>=2
+        elif resident_ok:
+            cap_grid = _MAX_GRID_STEPS * 16      # resident multi-group steps
+        else:
+            cap_grid = _MAX_GRID_STEPS           # g_per = 1
+        max_take = min(cap_tab, cap_pl, cap_grid)
+        if contig:
+            max_take = max((max_take // 16) * 16, 16)
+        fits_whole = ng <= max_take and not (
+            contig and ng % 2 and ng > min(cap_tab, cap_pl, _MAX_GRID_STEPS))
+        if fits_whole:
+            out.append(b)
+            continue
+
+        sizes = []
+        rem = ng
+        while rem > max_take:
+            sizes.append(max_take)
+            rem -= max_take
+        if contig and rem % 2 and rem > _MAX_GRID_STEPS:
+            take = max(min((max_take // 2 // 16) * 16, rem - 1), 16)
+            sizes.append(take)
+            rem -= take
+        if rem:
+            sizes.append(rem)
+
         cnt = np.asarray(b.slab_count)
-        edges = [round(i * ng / parts) for i in range(parts + 1)]
-        for a, z in zip(edges[:-1], edges[1:]):
-            if z <= a:
-                continue
+        a = 0
+        for size in sizes:
+            z = a + size
             out.append(dataclasses.replace(
                 b,
                 group_ids=np.asarray(b.group_ids)[a:z],
@@ -238,8 +289,9 @@ def _split_oversize_host_bins(bins):
                 slab_list=sl2[a:z],
                 slab_count=cnt[a:z] if cnt.ndim == 1 and cnt.size == ng
                 else cnt,
-                real_nnz=int(b.real_nnz) * (z - a) // ng,
+                real_nnz=int(b.real_nnz) * size // ng,
             ))
+            a = z
     return out
 
 
@@ -297,7 +349,7 @@ def device_put_sell(sell, dtype=jnp.float32, device=None, resident=True):
     bins = []
     y_groups = sell.num_groups
     itemsize = jnp.dtype(dtype).itemsize
-    for b in _split_oversize_host_bins(sell.bins):
+    for b in _split_oversize_host_bins(sell.bins, sell.num_groups):
         gids = np.asarray(b.group_ids, np.int64)
         contig = (
             int(gids[0])
