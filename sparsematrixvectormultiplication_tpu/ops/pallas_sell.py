@@ -208,8 +208,18 @@ _SMEM_TABLE_CAP = 930 * 1024
 # g_per=1) and the road default-sbmajor hang class.
 _MAX_GRID_STEPS = 320
 
+# Per-OPERAND-plane byte limit (bisected, round 5, fem127_diag2 +
+# BF16PK cross-check): abstract compiles PASS with a 361.1e6-byte value
+# plane (cube K144xng612; and the cube dd pair of TWO such planes RAN at
+# 85.7 GF) and FAIL at 363.3e6 (K168xng528) regardless of packing,
+# x-table rows, y size, grid steps, or the SUM of planes — the compile
+# helper dies when any single pallas_call operand plane crosses ~362e6
+# bytes (~345 MiB). Bins beyond the proven threshold split to a target.
+_PROVEN_PLANE_BYTES = 361_200_000
+_TARGET_PLANE_BYTES = 300_000_000
 
-def _split_oversize_host_bins(bins, num_groups=None):
+
+def _split_oversize_host_bins(bins, num_groups=None, value_bytes=4):
     """Split host bins into contiguous group-range sub-bins so that each
     part (a) keeps its scalar-prefetch tables under the SMEM compile
     budget, (b) keeps every upload plane under the single-array cap, and
@@ -250,17 +260,36 @@ def _split_oversize_host_bins(bins, num_groups=None):
         plane_pg = max(kb * LANES * 4, b.ja[:kb].nbytes)
         cap_tab = max(int(_SMEM_TABLE_CAP // max(table_pg, 1)), 1)
         cap_pl = max(int(_MAX_ARRAY_BYTES // max(plane_pg, 1)), 1)
+        # single-plane byte criterion (the LARGEST operand plane as it
+        # will upload: packed wl ja = 1 B/slot, sb int16 = 2 B, else 4;
+        # value planes at their per-plane itemsize — dd hi/lo are f32)
+        if b.layout == "wl" and _wl_pack_enabled():
+            ja_b = 1.0
+        elif (b.layout in ("sb-major", "sb-list") and _sb_i16_enabled()
+              and int(getattr(b, "span", 0)) <= 255):
+            ja_b = 2.0
+        else:
+            ja_b = 4.0
+        io_pg = kb * LANES * max(ja_b, value_bytes)
+        if ng * io_pg > _PROVEN_PLANE_BYTES:
+            cap_io = max(int(_TARGET_PLANE_BYTES // io_pg), 1)
+        else:
+            cap_io = ng
         if contig:
             cap_grid = _MAX_GRID_STEPS * 2       # parts sized for g_per>=2
         elif resident_ok:
             cap_grid = _MAX_GRID_STEPS * 16      # resident multi-group steps
         else:
             cap_grid = _MAX_GRID_STEPS           # g_per = 1
-        max_take = min(cap_tab, cap_pl, cap_grid)
+        raw_cap = min(cap_tab, cap_pl, cap_grid, cap_io)
+        max_take = raw_cap
         if contig:
             max_take = max((max_take // 16) * 16, 16)
-        fits_whole = ng <= max_take and not (
-            contig and ng % 2 and ng > min(cap_tab, cap_pl, _MAX_GRID_STEPS))
+        # the whole bin fits when it is inside every cap at its own g_per
+        # (alignment only matters for PARTS, not for an unsplit bin)
+        fits_whole = ng <= raw_cap and not (
+            contig and ng % 2
+            and ng > min(cap_tab, cap_pl, cap_io, _MAX_GRID_STEPS))
         if fits_whole:
             out.append(b)
             continue
@@ -349,7 +378,8 @@ def device_put_sell(sell, dtype=jnp.float32, device=None, resident=True):
     bins = []
     y_groups = sell.num_groups
     itemsize = jnp.dtype(dtype).itemsize
-    for b in _split_oversize_host_bins(sell.bins, sell.num_groups):
+    for b in _split_oversize_host_bins(sell.bins, sell.num_groups,
+                                   value_bytes=itemsize):
         gids = np.asarray(b.group_ids, np.int64)
         contig = (
             int(gids[0])

@@ -100,7 +100,8 @@ def device_put_sell_dd(sell, device=None):
     from .pallas_sell import _MAX_ARRAY_BYTES, _MAX_UPLOAD_BYTES
 
     from .pallas_sell import _split_oversize_host_bins
-    split_bins = _split_oversize_host_bins(sell.bins, sell.num_groups)
+    split_bins = _split_oversize_host_bins(sell.bins, sell.num_groups,
+                                       value_bytes=4)  # hi/lo planes are f32 each
 
     # per-ARRAY cap: the observed worker-killers were ~1.4 GB single
     # transfers; many-array structures up to 1.9 GB uploaded fine (r1
