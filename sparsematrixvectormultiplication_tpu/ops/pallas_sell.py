@@ -325,12 +325,14 @@ def _split_oversize_host_bins(bins, num_groups=None, value_bytes=4):
 
 
 def _wl_pack_enabled() -> bool:
-    """wl index bit-plane packing (VERDICT r4 item 6) — opt-in via
-    SPMV_WL_PACK=1 until the A/B lands; r2 measured an int16 CAST losing
-    (cast cost > bytes saved), so this packs four 7-bit lane indices into
-    one int32 TILE instead: the index plane's HBM traffic drops 4x and the
-    kernels unpack with one shift+mask per (8,128) tile."""
-    return os.environ.get("SPMV_WL_PACK", "0") == "1"
+    """wl index bit-plane packing (VERDICT r4 item 6): four 7-bit lane
+    indices per int32 TILE — the index plane's HBM traffic drops 4x, the
+    kernels unpack with one shift+mask per (8,128) tile. DEFAULT ON since
+    the round-5 on-device proof (PKSMOKE bit-identity; cube f32
+    96.9 -> 140.3 GF, dd 65.0 -> 85.7, bf16 127 -> 160.5; fem3d_large
+    104.3/65.8). SPMV_WL_PACK=0 opts out. (r2's "int16 loses" finding was
+    about a CAST of absolute columns, not a bit-plane.)"""
+    return os.environ.get("SPMV_WL_PACK", "1") == "1"
 
 
 def _pack_wl_ja(ja_h: np.ndarray, rows_per_group: int) -> np.ndarray:
