@@ -67,7 +67,8 @@ def main():
         needles = ("bench.cli", "pr_tpu_probe", "run_r3_ladders",
                    "sg_tpu", "wlshed_ab_tpu", "pr_smoke",
                    "bsr_spmm_tpu", "bf16_ab_tpu", "spmm_sell_tpu",
-                   "run_r4_ladders", "pr15_diag")
+                   "run_r4_ladders", "pr15_diag", "run_r5_ladders",
+                   "fem127_perbin", "fem127_diag", "pk_smoke")
         return any(n in line for line in out.splitlines() for n in needles)
 
     busy_deadline = time.time() + 3 * 3600
